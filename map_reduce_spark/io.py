@@ -1,0 +1,105 @@
+"""Sources and sinks.
+
+Sources: the driver's parquet tables by name, plus generic readers
+(text / csv / json / parquet) and the whole-file source that backs the
+reference's ``mapper(filename, content)`` contract
+(/root/reference/lib/map_reduce/worker.ex:106-108 reads one whole file
+per map task — ``wholeTextFiles`` is the exact Spark analog).
+
+Sinks: task-commit-safe DataFrameWriter wrappers (the reference's
+append-mode sinks, worker.ex:124,147, double-write on task retry; Spark's
+output committer makes every sink here idempotent by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's parquet tables.
+
+    Parquet scan → Catalyst gets column pruning + predicate pushdown for
+    free on every downstream query.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can be used."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def whole_text_files(spark: SparkSession, directory: str) -> DataFrame:
+    """Whole-file source: one row per file, ``(filename, content)``.
+
+    The Spark analog of the reference's per-file map-task input split
+    (master.ex:112-115 lists the dir; worker.ex:106-108 File.read!s one
+    file per task). Each file becomes one partition element, so a
+    downstream ``flatMap`` mapper sees exactly the reference's input
+    granularity.
+    """
+    rdd = spark.sparkContext.wholeTextFiles(directory)
+    return spark.createDataFrame(rdd, schema="filename string, content string")
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink a single-string-column DataFrame as plain text lines.
+
+    Descendant of the reference's text sink (worker.ex:137 writes
+    ``"KEY count\\n"``) but overwrite-mode and task-commit safe.
+    """
+    if len(df.columns) != 1:
+        raise ValueError("write_text_lines expects exactly one string column")
+    df.write.mode(mode).text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",") -> None:
+    df.write.mode(mode).option("header", "true").option("sep", sep).csv(path)

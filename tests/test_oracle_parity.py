@@ -1,0 +1,25 @@
+"""Differential test: every registered query vs its DuckDB oracle.
+
+This mirrors the driver's CORRECTNESS gate (row count + columns +
+order-insensitive values) at sf0.001 so regressions surface locally.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_spark import registry
+from tests.oracle import assert_frames_match
+
+_QUERIES = registry.all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    q = _QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0  # runs at all
+    if q.oracle is None:
+        pytest.skip(f"{name}: rows-only (no SQL oracle)")
+    duck_df = duck.execute(q.oracle).fetchdf()
+    assert_frames_match(df, duck_df, name)
