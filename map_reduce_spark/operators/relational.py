@@ -1,1 +1,555 @@
-"""(filled in progressively)"""
+"""Relational operator inventory (SURVEY.md §2.2): joins, aggregations,
+rollup/cube/grouping-sets, sorts/limits/top-k, set operations.
+
+The reference has none of these (its only dataflow is word count); they
+are required categories for capability parity at the engine level. All
+built-in DataFrame ops — Catalyst plans partial aggregation, broadcast
+joins for the dimension tables, sort-merge for fact-fact joins, and
+TakeOrderedAndProject for top-k.
+
+Determinism conventions (the driver hash-compares against DuckDB):
+- money/qty aggregates go through DECIMAL (exact, order-independent),
+  then CAST to DOUBLE — FP summation order can never flip a bit;
+- averages are exact-decimal sums divided by bigint counts, in double;
+- every top-k ordering carries a unique tiebreak column.
+
+Scale notes (100 TB posture): dimension joins (region/nation/customer/
+supplier/part) are broadcast — no shuffle of the fact table; fact-fact
+joins (lineitem⋈orders) shuffle on the join key once and AQE handles
+skew; every aggregate below is partial-aggregated map-side before its
+single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+
+def _dec(col: str | "F.Column", scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _sumd(col, scale: int = 2, alias: str | None = None):
+    """Exact sum: decimal-cast, sum, back to double."""
+    e = F.sum(_dec(col, scale)).cast("double")
+    return e.alias(alias) if alias else e
+
+
+def _dec_prod(expr, scale: int = 6):
+    """Exact fixed-point recovery of a product of fixed-point columns.
+
+    Products of 2dp columns have <=6 true decimals; ``round(double, 6)``
+    recovers the exact grid value identically in Spark and DuckDB, and
+    the decimal cast makes the subsequent SUM order-independent. Keeping
+    each factor chain inside one double expression avoids decimal
+    precision-overflow (Spark and DuckDB cap at 38 with different
+    truncation rules).
+    """
+    return F.round(expr, scale).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical scan→filter→agg.
+
+    One parquet scan (pruned to 7 columns, shipdate predicate pushed
+    down), partial agg, one shuffle on a 2-column low-cardinality key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    disc_price = _dec_prod(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    charge = _dec_prod(
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    )
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        _sumd("l_quantity", alias="sum_qty"),
+        _sumd("l_extendedprice", alias="sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_basic",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+FROM lineitem
+""",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate: count / count-distinct / sum / min / max / avg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        _sumd("l_quantity", alias="total_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the sketch path for 100 TB
+    cardinalities (no exact-distinct shuffle). Algorithm-specific, so
+    rows-only; the companion exact counts live in ``agg_basic``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; NULL group keys folded to 'ALL'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _sumd("l_quantity", alias="sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 2^2 grouping sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _sumd("l_extendedprice", alias="sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status), (priority), (grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "distinct_op",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (dedup shuffle on all projected columns)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+# ---------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_star",
+    oracle="""
+SELECT r_name AS region, n_name AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim join: explicit broadcast of nation+region.
+
+    At 100 TB the fact side never shuffles for dimension joins — both
+    dims ship to every executor (BroadcastHashJoin).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _sumd("c_acctbal", alias="total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_fact_fact",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem⋈orders): one shuffle on the key;
+    sort-merge or shuffled-hash chosen by Catalyst, AQE splits skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    rev = _dec_prod(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_lines"), F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a >200k order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT o_orderpriority AS priority, COUNT(*) AS n_shipped_30d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (ships within 30 days of order).
+
+    The equi-key carries the shuffle; the range condition is evaluated
+    post-match, so this stays a single-shuffle join (no cross product).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_shipped_30d"))
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join: local-supplier revenue by nation.
+
+    Join order: facts join on their keys (shuffled once each), all four
+    dimensions broadcast; the region filter prunes before the join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec_prod(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value with a unique tiebreak (orderkey).
+
+    orderBy+limit plans TakeOrderedAndProject — per-partition heaps, no
+    global sort, no shuffle of the full table; the right top-k shape at
+    any scale.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"))
+        .limit(15)
+    )
+
+
+@register(
+    "sort_multi_col",
+    oracle="""
+SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal,
+       row_number() OVER (ORDER BY c_mktsegment, c_acctbal DESC, c_custkey) AS pos
+FROM customer
+""",
+)
+def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-column sort with the order materialized as a rank.
+
+    Spark plans a range-partitioned total sort (sampling-based
+    boundaries) — the scalable global-sort strategy.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("c_mktsegment"), F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "pos",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------
+
+_BUILDING = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_BIG_SPENDERS = (
+    "SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey "
+    "WHERE o_totalprice > 150000"
+)
+
+
+def _building(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+
+def _big_spenders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey).select("c_custkey").distinct()
+
+
+@register(
+    "set_union",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING} UNION {_BIG_SPENDERS})",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    return _building(spark, sf_dir).union(_big_spenders(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING} INTERSECT {_BIG_SPENDERS})",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    return _building(spark, sf_dir).intersect(_big_spenders(spark, sf_dir))
+
+
+@register(
+    "set_except",
+    oracle=f"SELECT c_custkey FROM ({_BUILDING} EXCEPT {_BIG_SPENDERS})",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): building-segment customers who never spent >150k."""
+    return _building(spark, sf_dir).subtract(_big_spenders(spark, sf_dir))
+
+
+@register(
+    "union_by_name",
+    oracle="""
+SELECT kind, key, CAST(bal AS DOUBLE) AS bal FROM (
+  SELECT 'customer' AS kind, c_custkey AS key, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_suppkey AS key, s_acctbal AS bal FROM supplier
+)
+""",
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with name-based column alignment (unionByName)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").cast("double").alias("bal"),
+        F.col("s_suppkey").alias("key"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)

@@ -3,6 +3,7 @@ row count, column names, and order-insensitive value comparison."""
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import pandas as pd
@@ -14,7 +15,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         # decimals -> float, numpy scalars -> python, timestamps -> iso str
         if s.dtype == object:
-            df[c] = s.map(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+            df[c] = s.map(
+                lambda v: float(v)
+                if hasattr(v, "as_tuple")
+                else v.isoformat()
+                if isinstance(v, (datetime.date, datetime.datetime))
+                else v
+            )
         if str(s.dtype).startswith("datetime"):
             df[c] = s.astype("datetime64[us]").astype(str)
         if str(df[c].dtype) in ("float32",):
