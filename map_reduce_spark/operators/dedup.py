@@ -1,1 +1,315 @@
-"""(filled in progressively)"""
+"""Deduplication operators — the LLM-training-pipeline family.
+
+Not in the reference (its only job is word count); required by the
+engine's north star: exact dedup, n-gram Jaccard near-dup, MinHash+LSH,
+SimHash, and embedding-cosine near-dup over the ``documents`` /
+``embeddings`` tables.
+
+Scale notes (100 TB posture):
+- exact dedup groups on a 128-bit fingerprint, never on raw text — the
+  shuffle carries 16-byte keys, not documents;
+- MinHash-LSH is the scale path for fuzzy dedup: candidate generation is
+  an equi-join on (band, band_hash) buckets — no pairwise cross join
+  ever materializes; only bucket-mates get verified;
+- the brute-force n-gram Jaccard variant blocks on ``source`` purely to
+  bound the quadratic term; it exists as the exactness oracle for LSH;
+- everything is built-in expressions (split/transform/aggregate/
+  xxhash64) — zero Python in the row path.
+
+Cross-engine float determinism: embedding math uses the scaled-integer
+trick — ``CAST(round(x * 1e7) AS BIGINT)`` per component, exact integer
+dot products, one final double division — so Spark and the DuckDB oracle
+agree bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+# --- exact dedup ------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content fingerprint, keep lowest doc_id.
+
+    ``n_copies > 1`` rows are the duplicate clusters. Hash-groupBy on
+    md5(text): the shuffle key is 32 hex chars, not the document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup summary: total vs distinct-content counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+# --- n-gram Jaccard (exact near-dup; the LSH oracle) ------------------
+
+
+def _shingles(col: str = "text", n: int = 3):
+    """Word n-gram shingle set (distinct), as a Spark expression."""
+    words = F.split(F.col(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+_SHINGLE_SQL = (
+    "list_distinct([array_to_string(w[i:i+2], ' ') "
+    "FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])"
+)
+
+
+@register(
+    "ngram_jaccard_dupes",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+""",
+)
+def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5), blocked by
+    ``source`` to bound the pairwise term.
+
+    This is the exactness baseline that the MinHash-LSH path
+    approximates; at 100 TB only the LSH variant runs unblocked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", _shingles().alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+# --- MinHash + LSH (the scale path) -----------------------------------
+
+NUM_PERM = 32  # minhash signature length
+BANDS = 8  # LSH bands
+ROWS_PER_BAND = NUM_PERM // BANDS  # 4 -> candidate threshold j ~ (1/8)^(1/4) ~ 0.6
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig: array<long>) — minhash over word-3-gram shingles.
+
+    Permutation ``p`` is simulated as ``xxhash64(p, shingle)`` (seeded
+    family via the extra column); the signature component is the min
+    over the shingle set. All JVM-side higher-order functions.
+    """
+    sh = docs.select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.array_min(F.transform(F.col("s"), lambda t: F.xxhash64(p, t))),
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard >= 0.5.
+
+    Pipeline: shingle → 32-perm minhash → 8 bands × 4 rows → band-bucket
+    equi-join for candidates → exact verify on the candidate set only.
+    Engine-specific hashing (xxhash64) makes this rows-only for the
+    driver; tests/test_dedup.py checks recall against the exact
+    ``ngram_jaccard_dupes`` result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+
+    # band key: hash of each signature slice
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact verify only on candidates (tiny set vs all-pairs)
+    sh = docs.select("doc_id", _shingles().alias("s"))
+    av = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+# --- SimHash ----------------------------------------------------------
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (token-hash bit voting).
+
+    sim = for each bit b: sign(sum over tokens of +-1 by bit b of
+    xxhash64(token)). Near-dups then cluster by small Hamming distance.
+    Engine-specific hashing → rows-only; tests assert exact-duplicate
+    texts collide and the fingerprint is stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    ).withColumn("hashes", F.transform(F.col("w"), lambda t: F.xxhash64(t)))
+
+    # per bit b: set bit in the fingerprint iff >half the token hashes
+    # have bit b set (majority vote); bit 63 is the long's sign bit
+    def bit_vote(b: int):
+        cnt = F.aggregate(
+            F.col("hashes"),
+            F.lit(0).cast("long"),
+            lambda a, h: a + F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")),
+        )
+        weight = (1 << b) if b < 63 else (-1 << 63)
+        return F.when(cnt * 2 > F.size("w"), F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sim = bit_vote(0)
+    for b in range(1, 64):
+        sim = sim + bit_vote(b)
+    return toks.select("doc_id", sim.alias("simhash"))
+
+
+# --- embedding cosine near-dup ----------------------------------------
+
+# scaled-integer components: exact in both engines
+_Q = 10_000_000
+
+
+def _ivec(col):
+    return F.transform(
+        col if not isinstance(col, str) else F.col(col),
+        lambda x: F.round(x.cast("double") * _Q, 0).cast("long"),
+    )
+
+
+def _idot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+_IVEC_SQL = "[CAST(round(CAST({v}[i] AS DOUBLE) * 10000000, 0) AS BIGINT) FOR i IN range(1, len({v}) + 1)]"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id, label, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nv AS (
+  SELECT vec_id, label, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
+  FROM iv
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
+             / (a.nrm * b.nrm), 6) AS cos
+FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
+      / (a.nrm * b.nrm) >= 0.9
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.9 pairs, blocked by label.
+
+    Label blocking stands in for the ANN bucketing that bounds the
+    pairwise term at scale (see similarity.ann_lsh_topk for the
+    unblocked path). Integer-scaled dot products keep both engines
+    bit-identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select("vec_id", "label", _ivec("embedding").alias("q"))
+    nv = iv.withColumn(
+        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+    )
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = _idot(F.col("a.q"), F.col("b.q")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+    )

@@ -1,1 +1,176 @@
-"""(filled in progressively)"""
+"""Event-stream semantics in batch: tumbling / sliding / session
+windows and event-type pivots over the ``events`` table.
+
+The reference is batch-only word count; these are the required
+streaming-adjacent shapes (SURVEY.md §2.2 "streaming" row). Batch-first
+per the build plan — the same semantics run incrementally in
+map_reduce_spark.streaming with watermarks; here they are
+DuckDB-checkable.
+
+Window starts are emitted as epoch seconds (bigint) — timestamp
+precision differs across engines (Spark µs vs parquet ns), integers
+don't.
+
+Scale notes: tumbling/sliding windows are pure groupBy on a derived
+bucket key (partial agg before one shuffle; sliding fans out each row
+exactly windows-per-slide times). Sessionization shuffles once on
+user_id and computes gaps/islands with a per-user sorted window — the
+standard distributed sessionization plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"  # duckdb: ns ts -> whole seconds
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+SELECT ({_EPOCH} // 300) * 300 AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation per event type.
+
+    Implemented with ``F.window`` (the streaming-compatible operator);
+    the emitted key is the window start as epoch seconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle=f"""
+SELECT ({_EPOCH} // 300) * 300 - off AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events, (SELECT UNNEST([0, 300]) AS off)
+GROUP BY 1
+""",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    exactly two windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "session_window",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session,
+         event_id
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM tagged GROUP BY user_id, session_no
+""",
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, per user.
+
+    Batch implementation is the gaps-and-islands pattern (lag + running
+    sum) — one shuffle on user_id. The streaming twin uses
+    ``F.session_window`` (see map_reduce_spark.streaming.jobs); both
+    emit (user, session_start, n_events, value).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    seq = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    tagged = seq.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy("user_id", "session_no").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
+    ).drop("session_no")
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (explicit value list, so
+    the plan is one pass — no distinct-values pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )

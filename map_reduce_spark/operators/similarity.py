@@ -1,1 +1,182 @@
-"""(filled in progressively)"""
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+North-star LLM-pipeline family: brute-force cosine top-k as the exact
+baseline, sign-random-projection LSH bucketing as the scale path, and
+per-label centroids as the IVF-style coarse quantizer building block.
+
+Scale notes (100 TB posture):
+- brute force broadcasts ONE query vector and computes a per-row dot
+  product + TakeOrderedAndProject top-k: a single scan, no shuffle of
+  the corpus, embarrassingly parallel — correct at any scale, O(N) work;
+- the LSH variant prunes the scan to one bucket (expected N/2^K rows);
+  buckets are a plain column, so the bucketed table can be written
+  partitioned-by-bucket for true partition pruning at scale;
+- centroids are a groupBy(label) over scaled-integer components — exact
+  arithmetic AND a single partial-aggregated shuffle of 64-element
+  arrays, the building block for IVF cell assignment.
+
+All vector math uses the scaled-integer trick (see operators.dedup):
+bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.operators.dedup import _idot, _ivec, _IVEC_SQL
+from map_reduce_spark.registry import register
+
+
+@register(
+    "embedding_topk",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nv AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
+  FROM iv
+),
+qv AS (SELECT q AS qq, nrm AS qnrm FROM nv WHERE vec_id = 0)
+SELECT vec_id,
+       round(CAST(list_sum([q[i]*qq[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)
+             / (nrm * qnrm), 6) AS cos
+FROM nv, qv
+WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id
+LIMIT 10
+""",
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0.
+
+    The query vector is broadcast (single-row cross join); the corpus
+    is scanned once; top-k plans TakeOrderedAndProject (per-partition
+    heaps, no global sort).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = e.select("vec_id", _ivec("embedding").alias("q")).withColumn(
+        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+    )
+    qv = nv.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    )
+    cos = _idot(F.col("q"), F.col("qq")).cast("double") / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    return (
+        nv.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# --- sign-random-projection LSH ---------------------------------------
+
+N_PLANES = 8  # 2^8 = 256 buckets
+
+
+def _planes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, engine-side
+    constant — broadcast as a literal, no data dependency)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_planes, dim)).round(4).tolist()
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Bucket id = bits of sign(dot(v, plane_p)) for each plane."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 for vec_id=0: search only the query's LSH
+    bucket (sign-random-projection, 8 planes -> 256 buckets).
+
+    At scale the bucket column becomes a partition key (write
+    partitioned-by-bucket => partition pruning turns the scan into
+    ~N/256 rows). Rows-only: bucketing is engine-defined;
+    tests/test_similarity.py measures recall vs the exact top-k.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _planes()
+    b = e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_expr(F.col("embedding"), planes).alias("bucket"),
+    )
+    qb = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    nv = b.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != 0)
+    iq = _ivec(F.col("qvec"))
+    iv = _ivec(F.col("embedding"))
+    cos = _idot(iv, iq).cast("double") / (
+        F.sqrt(_idot(iv, iv).cast("double")) * F.sqrt(_idot(iq, iq).cast("double"))
+    )
+    return (
+        nv.select("vec_id", "bucket", F.round(cos, 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+WITH iv AS (
+  SELECT label, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(CAST(SUM(q[1]) AS DOUBLE) / COUNT(*) / 10000000, 6) AS centroid_c0,
+       round(CAST(SUM(q[64]) AS DOUBLE) / COUNT(*) / 10000000, 6) AS centroid_c63,
+       round(CAST(SUM(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)])) AS DOUBLE)
+             / COUNT(*) / 100000000000000, 6) AS mean_sq_norm
+FROM iv GROUP BY label
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components + mean squared norm (IVF coarse-
+    quantizer statistics), via exact integer sums."""
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select("label", _ivec("embedding").alias("q"))
+    sq = _idot(F.col("q"), F.col("q"))
+    return (
+        iv.withColumn("sq", sq)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.element_at("q", 1)).cast("double") / F.count("*") / 1e7, 6
+            ).alias("centroid_c0"),
+            F.round(
+                F.sum(F.element_at("q", 64)).cast("double") / F.count("*") / 1e7, 6
+            ).alias("centroid_c63"),
+            # decimal(38,0) sum: the squared-norm integers are ~1.6e15
+            # per row, so a long sum would overflow past ~5k rows
+            F.round(
+                F.sum(F.col("sq").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 1e14,
+                6,
+            ).alias("mean_sq_norm"),
+        )
+    )

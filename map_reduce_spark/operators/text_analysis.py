@@ -1,1 +1,180 @@
-"""(filled in progressively)"""
+"""Text-analysis operators — LLM-data-pipeline quality/stats family.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting, per-source corpus stats. All built-in string/
+regex expressions (JVM-side); every query below is DuckDB-expressible,
+so each is a full oracle check.
+
+Scale notes: all of these are embarrassingly parallel per-row
+projections plus (at most) one partial-aggregated groupBy — the shapes
+that saturate scan bandwidth at 100 TB rather than shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+# stopword profiles for the lang-id heuristic (tiny on purpose: the
+# point is the operator shape — per-row token-set intersection against
+# broadcast profiles — not linguistic accuracy)
+_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+    return f"len(list_intersect(string_split(lower(text), ' '), [{words}]))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN {_sql_hits('en')} >= {_sql_hits('es')}
+          AND {_sql_hits('en')} >= {_sql_hits('de')}
+          AND {_sql_hits('en')} >= {_sql_hits('fr')} THEN 'en'
+         WHEN {_sql_hits('es')} >= {_sql_hits('de')}
+          AND {_sql_hits('es')} >= {_sql_hits('fr')} THEN 'es'
+         WHEN {_sql_hits('de')} >= {_sql_hits('fr')} THEN 'de'
+         ELSE 'fr'
+       END AS pred_lang
+FROM documents
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile hits, with a
+    fixed tie order (en > es > de > fr) so the result is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def hits(lang: str):
+        prof = F.array(*[F.lit(w) for w in _PROFILES[lang]])
+        return F.size(F.array_intersect(toks, prof))
+
+    en, es, de, fr = hits("en"), hits("es"), hits("de"), hits("fr")
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       round(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1), 6) AS chars_per_token
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, chars/token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_non_alpha,
+       round((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 6) AS non_alpha_ratio,
+       len(list_intersect(string_split(lower(text), ' '),
+           ['the','and','of','to','a','in','is','it'])) AS stopword_kinds,
+       CASE WHEN length(text) >= 200
+             AND len(string_split(text, ' ')) >= 30 THEN 'keep'
+            ELSE 'filter' END AS quality_verdict
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alpha ratio, stopword coverage, length gates —
+    the keep/filter verdict shape of a pretraining quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha_only = F.regexp_replace("text", "[^a-zA-Z]", "")
+    non_alpha = F.length("text") - F.length(alpha_only)
+    stop = F.array(*[F.lit(w) for w in _PROFILES["en"]])
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        non_alpha.cast("long").alias("n_non_alpha"),
+        F.round(non_alpha / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "non_alpha_ratio"
+        ),
+        F.size(F.array_intersect(F.split(F.lower("text"), " "), stop)).alias(
+            "stopword_kinds"
+        ),
+        F.when(
+            (F.length("text") >= 200) & (F.size(F.split("text", " ")) >= 30), "keep"
+        )
+        .otherwise("filter")
+        .alias("quality_verdict"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp,
+       CAST(concat('0x', substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fp_bucket
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of lower+trim) + a 32-bit
+    routing bucket — the portable-hash dedup/shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("long").alias("fp_bucket"),
+    )
+
+
+@register(
+    "text_stats_by_source",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+""",
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics rollup per (source, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,116 @@
+"""Semantic tests for the rows-only LLM-pipeline operators (the ones the
+driver can't oracle-check): MinHash-LSH recall, SimHash stability, ANN
+bucket search, multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, sf_dir):
+    from map_reduce_spark.operators.dedup import dedup_minhash_lsh
+    from map_reduce_spark.operators.wordcount import TOKEN_SEP  # noqa: F401
+    from map_reduce_spark.io import load_table
+
+    lsh_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+
+    # brute-force ground truth at small scale: all-pairs jaccard >= 0.8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shingle = lambda t: {  # noqa: E731
+        " ".join(ws) for ws in zip(*(t.split(" ")[i:] for i in range(3)))
+    } or {t}
+    sets = {r.doc_id: shingle(r.text) for r in docs}
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.8:
+                truth.add((a, b))
+
+    exact_dups = {p for p in truth if sets[p[0]] == sets[p[1]]}
+    assert exact_dups <= lsh_pairs, "LSH must always find identical docs"
+    if truth:
+        recall = len(truth & lsh_pairs) / len(truth)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} on j>=0.8 pairs"
+
+
+def test_simhash_identical_texts_collide(spark, sf_dir):
+    from map_reduce_spark.operators.dedup import dedup_simhash
+    from map_reduce_spark.io import load_table
+
+    sims = dedup_simhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = (
+        docs.join(sims, "doc_id")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.countDistinct("simhash").alias("n_sim"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad = joined.filter(F.col("n_sim") > 1).count()
+    assert bad == 0, "identical texts must have identical simhash"
+    # and the fingerprint is stable across runs
+    a = {r.doc_id: r.simhash for r in sims.collect()}
+    b = {r.doc_id: r.simhash for r in dedup_simhash(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_embedding_topk_matches_numpy(spark, sf_dir):
+    from map_reduce_spark.operators.similarity import embedding_topk
+    from map_reduce_spark.io import load_table
+
+    got = [(r.vec_id, r.cos) for r in embedding_topk(spark, sf_dir).collect()]
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    scored = sorted(
+        (
+            (-float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+    )[:10]
+    want_ids = [vid for _, vid in scored]
+    assert [vid for vid, _ in got] == want_ids
+    for (vid, cos), (neg, _) in zip(got, scored):
+        assert abs(cos - (-neg)) < 1e-4
+
+
+def test_ann_lsh_is_plausible_subset(spark, sf_dir):
+    from map_reduce_spark.operators.similarity import ann_lsh_topk, embedding_topk
+
+    approx = ann_lsh_topk(spark, sf_dir).collect()
+    assert 0 < len(approx) <= 10
+    # sorted descending, all within the exact top-1's score bound
+    scores = [r.cos for r in approx]
+    assert scores == sorted(scores, reverse=True)
+    exact_best = embedding_topk(spark, sf_dir).collect()[0].cos
+    assert all(s <= exact_best + 1e-9 for s in scores)
+
+
+def test_multimodal_features_plumbing(spark, sf_dir):
+    from map_reduce_spark.operators.multimodal import multimodal_features
+    from map_reduce_spark.io import load_table
+
+    feats = multimodal_features(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = feats.collect()
+    assert len(rows) == n_docs
+    assert feats.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:bigint,width:int,height:int,"
+        "channels:int,mean_byte:double>"
+    )
+    # deterministic across runs
+    again = {r.doc_id: r for r in multimodal_features(spark, sf_dir).collect()}
+    for r in rows:
+        assert again[r.doc_id] == r
+    # stub geometry is a function of payload bytes only
+    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in rows)
