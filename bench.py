@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side collection cost), after a small JVM warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the flagship pipeline + one representative per operator
+# family (agg, star join, fact join, window, sessionization, dedup
+# exact+fuzzy, similarity, text analysis)
+HEADLINE = [
+    "mr_pipeline",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "join_fact_fact",
+    "window_row_number_topk",
+    "window_tumbling",
+    "session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "text_quality",
+    "pivot_event_counts",
+]
+
+
+def main() -> None:
+    from map_reduce_spark.registry import queries
+    from map_reduce_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm up the JVM / codegen paths on the smallest SF
+    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

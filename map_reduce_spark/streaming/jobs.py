@@ -1,0 +1,203 @@
+"""Structured Streaming jobs (SURVEY.md §2.2 "streaming" row; §7 P4).
+
+The reference is batch-only; a complete engine needs incremental
+execution: watermarks, windowed aggregation over event time, session
+windows with late-data semantics, and exactly-once-style sinks
+(``foreachBatch``).
+
+Each job here is the streaming twin of a batch operator and reuses the
+same transformation logic, so batch results are the correctness oracle.
+For the driver contract, the ``streaming_*`` registry entries run the
+stream to completion with ``Trigger.AvailableNow`` into a memory sink
+and return the final table — a real incremental execution whose result
+must equal the batch plan's, which is exactly what the DuckDB oracle
+checks.
+
+Scale notes: these plans run unchanged against Kafka/file sources on a
+real cluster — state lives in the state store keyed by (window, key) or
+session, watermarks bound state size, and AvailableNow becomes a
+continuous trigger. Nothing below is local-mode-specific except the
+memory sink used to surface results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+# ts arrives as raw nanos (TIMESTAMP(NANOS) parquet read under
+# nanosAsLong, same as io.load_table)
+EVENTS_SCHEMA_RAW = (
+    "event_id long, ts long, user_id long, event_type string, value double, "
+    "props string"
+)
+
+
+def _run_to_table(result: DataFrame, name: str, mode: str) -> DataFrame:
+    """Execute a streaming plan to exhaustion (AvailableNow) into a
+    memory sink; return the materialized table."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file streaming source wants a directory; select the one table via
+    # a glob filter
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream with a proper event-time column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+# --- jobs -------------------------------------------------------------
+
+
+def streaming_word_count_plan(src: DataFrame) -> DataFrame:
+    """Incremental word count — the reference's flagship job as a
+    continuously-updating aggregation."""
+    return (
+        src.select(F.explode(F.split("text", "[^a-zA-Z]")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.upper("token").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "streaming_word_count",
+    oracle="""
+SELECT upper(token) AS word, count(*) AS cnt FROM (SELECT
+unnest(regexp_split_to_array(text, '[^a-zA-Z]')) AS token FROM documents)
+WHERE token <> '' GROUP BY 1
+""",
+)
+def streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count executed INCREMENTALLY (Structured Streaming,
+    AvailableNow) — must equal the batch pipeline's result."""
+    plan = streaming_word_count_plan(stream_documents(spark, sf_dir))
+    return _run_to_table(plan, "stream_wc", "complete")
+
+
+def windowed_counts_plan(events: DataFrame) -> DataFrame:
+    """5-minute tumbling window counts with a 10-minute watermark —
+    the canonical late-data-tolerant streaming aggregation."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+
+
+@register(
+    "streaming_tumbling_watermark",
+    oracle="""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, run incrementally; in
+    complete mode every window survives to the final table, so the
+    result equals the batch tumbling query (the approx-distinct column
+    is dropped from the compared output)."""
+    plan = windowed_counts_plan(stream_events(spark, sf_dir))
+    out = _run_to_table(plan, "stream_tumble", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def session_plan(events: DataFrame) -> DataFrame:
+    """Streaming sessionization: native session_window + watermark.
+
+    Append mode only emits sessions the watermark has sealed; with
+    AvailableNow over a finite source, that is every session except
+    those within 30min+delay of the stream's max event time.
+    """
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+    )
+
+
+def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute streaming sessionization (append mode). Not registered:
+    append-mode watermark semantics intentionally withhold unsealed
+    tail sessions, so it has no exact batch oracle; the test checks it
+    emits a subset of the batch gaps-and-islands sessions."""
+    out = _run_to_table(session_plan(stream_events(spark, sf_dir)), "stream_sess", "append")
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """foreachBatch sink: per-microbatch custom writer (the exactly-once
+    composition point for arbitrary sinks). Writes each batch's word
+    counts as parquet under out_dir/batch=<id>; returns batches seen."""
+    plan = streaming_word_count_plan(stream_documents(spark, sf_dir))
+    seen: list[int] = []
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        seen.append(epoch_id)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        plan.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    return len(seen)

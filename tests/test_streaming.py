@@ -1,0 +1,64 @@
+"""Streaming jobs vs their batch twins (the batch plan is the oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_word_count_equals_batch(spark, sf_dir):
+    from map_reduce_spark.operators.wordcount import count_reduce
+    from map_reduce_spark.streaming.jobs import streaming_word_count
+
+    got = {(r.word, r.cnt) for r in streaming_word_count(spark, sf_dir).collect()}
+    want = {(r.word, r.cnt) for r in count_reduce(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    from map_reduce_spark.operators.events import window_tumbling
+    from map_reduce_spark.streaming.jobs import streaming_tumbling_watermark
+
+    got = {
+        (r.window_start, r.event_type, r.n, round(r.total_value, 6))
+        for r in streaming_tumbling_watermark(spark, sf_dir).collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n, round(r.total_value, 6))
+        for r in window_tumbling(spark, sf_dir).select(
+            "window_start", "event_type", "n", "total_value"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_subset_of_batch(spark, sf_dir):
+    from map_reduce_spark.operators.events import session_window
+    from map_reduce_spark.streaming.jobs import run_streaming_sessions
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in run_streaming_sessions(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_window(spark, sf_dir).collect()
+    }
+    assert got, "append-mode stream should seal at least the early sessions"
+    assert got <= want, "streamed sessions must be a subset of batch sessions"
+    # everything sealed by the final watermark must have been emitted:
+    # only sessions near the stream's max event time may be withheld
+    missing = want - got
+    if missing:
+        max_start = max(s for _, s, _ in want)
+        assert all(s >= max_start - 3 * 3600 for _, s, _ in missing), (
+            "only tail sessions may be unsealed"
+        )
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    from map_reduce_spark.streaming.jobs import run_foreach_batch_sink
+
+    n = run_foreach_batch_sink(spark, sf_dir, str(tmp_path))
+    assert n >= 1
+    out = spark.read.parquet(str(tmp_path / "batch=0"))
+    assert out.count() > 0 and set(out.columns) == {"word", "cnt"}
