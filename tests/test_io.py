@@ -1,0 +1,84 @@
+"""Source/sink roundtrips: text, csv, json, parquet (SURVEY §2.2 rows
+"scans / sources" and "sinks"). Spark's task-commit protocol replaces
+the reference's unsafe append-mode sinks (worker.ex:124,147)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_spark import io as mio
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    df = mio.load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_pq")
+    mio.write_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_parquet_partitioned_write(spark, sf_dir, tmp_path):
+    df = mio.load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "cust_part")
+    mio.write_parquet(df, out, partition_by=["c_mktsegment"])
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition pruning: a segment filter must read only that partition
+    one = back.filter(F.col("c_mktsegment") == "BUILDING")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "c_mktsegment=BUILDING" in plan or one.count() == df.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).count()
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    df = mio.load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_csv")
+    mio.write_csv(df, out)
+    back = mio.read_csv(spark, out, schema="r_regionkey int, r_name string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    df = mio.load_table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supp_json")
+    df.write.mode("overwrite").json(out)
+    back = mio.read_json(
+        spark,
+        out,
+        schema="s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    want = df.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_text_sink_roundtrip(spark, sf_dir, tmp_path):
+    from map_reduce_spark.operators.wordcount import sink_text
+
+    lines = sink_text(spark, sf_dir)
+    out = str(tmp_path / "wc_text")
+    mio.write_text_lines(lines, out)
+    back = spark.read.text(out)
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.line for r in lines.collect()
+    )
+
+
+def test_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running a sink must not double-append (the reference's
+    append-mode recovery hazard, removed by construction)."""
+    df = mio.load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "idem")
+    mio.write_parquet(df, out)
+    mio.write_parquet(df, out)
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_whole_text_files(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha beta")
+    (d / "b.txt").write_text("gamma")
+    df = mio.whole_text_files(spark, str(d))
+    got = {r.filename.split("/")[-1]: r.content for r in df.collect()}
+    assert got == {"a.txt": "alpha beta", "b.txt": "gamma"}
