@@ -1,0 +1,212 @@
+"""Advanced join shapes Spark has no single operator for: as-of join
+(cogrouped merge_asof), salted skew-join, exact percentiles, SCD2-style
+merge emulation.
+
+Scale notes:
+- the as-of join is the canonical custom operator: cogroup both sides
+  on the equi-key and run ``pd.merge_asof`` per group — one shuffle per
+  side, per-group memory bounded by the user's history, no point-in-
+  time cross join;
+- the salted join demonstrates the hot-key mitigation: the build side
+  replicates SALT ways, the probe side spreads each hot key across
+  SALT sub-partitions; results are provably identical to the unsalted
+  join (same oracle);
+- SCD2 merge is the MERGE INTO emulation for plain parquet: union the
+  current dimension with updates, keep the latest version per key via
+  a window — idempotent and shuffle-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+SALT = 8
+
+
+@register(
+    "asof_join",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS last_purchase_us,
+       p.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND p.ts <= e.ts
+QUALIFY row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY p.ts DESC, p.event_id DESC) = 1
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the user's most recent
+    purchase at-or-before it.
+
+    Implemented with cogrouped ``applyInPandas`` + ``pd.merge_asof``
+    (sort-merge within each user group) — the scalable as-of shape:
+    one shuffle per side on user_id, no point-in-time fan-out join.
+    Ties on ts resolve to the highest event_id (both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_ts_us"),
+        "value",
+    )
+
+    def merge(left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "last_purchase_us", "last_purchase_value"]
+            ).astype(
+                {
+                    "event_id": "int64",
+                    "user_id": "int64",
+                    "last_purchase_us": "int64",
+                    "last_purchase_value": "float64",
+                }
+            )
+        left = left.sort_values(["ts_us", "event_id"])
+        # sort ties by event_id so "last row wins" == max event_id
+        right = right.sort_values(["p_ts_us", "p_event_id"])
+        m = pd.merge_asof(
+            left,
+            right[["p_ts_us", "value"]],
+            left_on="ts_us",
+            right_on="p_ts_us",
+            direction="backward",
+        )
+        m = m.dropna(subset=["p_ts_us"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "last_purchase_us": m["p_ts_us"].astype("int64"),
+                "last_purchase_value": m["value"].astype("float64"),
+            }
+        )
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, last_purchase_us long, "
+                "last_purchase_value double"
+            ),
+        )
+    )
+
+
+@register(
+    "join_salted",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact join with an explicit 8-way salt on the join key —
+    the hot-key mitigation, verified to produce the identical result
+    as the unsalted ``join_fact_fact`` (same oracle).
+
+    Probe side (lineitem) spreads each key across SALT sub-keys; build
+    side (orders) replicates every row SALT ways. The shuffle key is
+    (l_orderkey, salt), so one hot orderkey lands on SALT reducers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT).cast("int")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SALT)])))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_lines"), F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_discount, 0.5), 4) AS disc_p50
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_p50"),
+    )
+
+
+@register(
+    "scd2_merge",
+    oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey AS current_version,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS eff_date,
+       CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM (
+    SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    UNION ALL
+    SELECT * FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderstatus = 'F'
+  )
+) WHERE rn = 1
+""",
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet (SCD-style upsert):
+    current dimension (pre-2000 orders) unioned with the update feed
+    (post-2000 'F' orders); latest version per key wins via a window —
+    idempotent, one shuffle, no Delta required."""
+    o = load_table(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    updates = o.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderstatus") == "F")
+    )
+    merged = current.unionByName(updates)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("current_version"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("eff_date"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )

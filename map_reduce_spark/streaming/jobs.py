@@ -181,6 +181,55 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running per-user event counter held in the state store.
+
+    The state schema is one long per user; each micro-batch folds its
+    rows into the state and emits the updated total. At scale the state
+    store shards by the group key across executors and survives
+    restarts via the checkpoint — this is the building block for any
+    custom incremental aggregate Spark lacks natively.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = stream_events(spark, sf_dir).select("user_id", "event_id")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [total]})
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_state_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest emitted total per user
+    t = spark.table("stream_state_counts")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    return (
+        t.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+
+
 def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """foreachBatch sink: per-microbatch custom writer (the exactly-once
     composition point for arbitrary sinks). Writes each batch's word

@@ -55,6 +55,24 @@ def test_streaming_sessions_subset_of_batch(spark, sf_dir):
         )
 
 
+def test_stateful_user_counts_equals_batch(spark, sf_dir):
+    from map_reduce_spark.io import load_table
+    from map_reduce_spark.streaming.jobs import run_stateful_user_counts
+
+    got = {
+        (r.user_id, r.n_events)
+        for r in run_stateful_user_counts(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     from map_reduce_spark.streaming.jobs import run_foreach_batch_sink
 
