@@ -57,6 +57,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def parallelize_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism ONLY if the plan is
+    narrower than the core count.
+
+    Purpose: single-file/single-row-group inputs scan as one task; for
+    compute-heavy per-row operators (shingling, hashing, decode) that
+    serializes the whole job. On production data (many files, many row
+    groups) the input is already wide and this is a no-op — no wasted
+    shuffle at scale.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_spark.io import load_table
+from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
 
 # --- exact dedup ------------------------------------------------------
@@ -107,7 +107,7 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates; at 100 TB only the LSH variant runs unblocked.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "source", _shingles().alias("s"))
+    sh = parallelize_if_narrow(docs).select("doc_id", "source", _shingles().alias("s"))
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
@@ -147,7 +147,9 @@ def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
     equivalent nested higher-order-function expression, which Spark
     evaluates interpreted.
     """
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("t"))
+    sh = parallelize_if_narrow(docs).select(
+        "doc_id", F.explode(_shingles()).alias("t")
+    )
     mins = [F.min(F.xxhash64(F.lit(p), F.col("t"))).alias(f"h{p}") for p in range(n_perm)]
     return (
         sh.groupBy("doc_id")
@@ -169,22 +171,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ngram_jaccard_dupes`` result.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
 
-    # band key: hash of each signature slice
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+    # ONE explode + ONE shuffle: the same grouped aggregation yields
+    # both the 32 minhash components and the exact shingle set; its
+    # exchange is reused (AQE ReusedExchange) by all three downstream
+    # references (band table, verify-left, verify-right).
+    sh = parallelize_if_narrow(docs).select(
+        "doc_id", F.explode(_shingles()).alias("t")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(p), F.col("t"))).alias(f"h{p}")
+        for p in range(NUM_PERM)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins, F.collect_set("t").alias("s"))
+
+    # band key straight from the signature columns — no arrays at all
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
     cand = (
@@ -202,9 +214,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact verify only on candidates (tiny set vs all-pairs)
-    sh = docs.select("doc_id", _shingles().alias("s"))
-    av = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    bv = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    av = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    bv = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     return (
         cand.join(av, "doc_a")
@@ -227,7 +238,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts collide and the fingerprint is stable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = parallelize_if_narrow(docs).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
     ).withColumn("hashes", F.transform(F.col("w"), lambda t: F.xxhash64(t)))
 
