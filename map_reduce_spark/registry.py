@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.events",
     "map_reduce_spark.operators.multimodal",
     "map_reduce_spark.operators.advanced_joins",
+    "map_reduce_spark.operators.coverage_extras",
     "map_reduce_spark.operators.pandas_udfs",
     "map_reduce_spark.operators.subqueries",
     "map_reduce_spark.streaming.jobs",
