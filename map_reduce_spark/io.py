@@ -50,9 +50,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
+        # ts_us (raw epoch microseconds) travels alongside the NTZ
+        # timestamp so event-time arithmetic can stay session-timezone-
+        # independent. The NTZ itself is built with timestampadd from
+        # the epoch — pure calendar arithmetic, no session-TZ hop (a
+        # timestamp_micros -> NTZ cast would shift with the session TZ).
+        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts",
-            F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return spark.read.parquet(path)
 

@@ -50,13 +50,14 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties on ts resolve to the highest event_id (both engines).
     """
     ev = load_table(spark, sf_dir, "events")
+    # raw epoch-µs column from the loader: session-timezone-independent
     errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+        "event_id", "user_id", "ts_us"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_event_id"),
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_ts_us"),
+        F.col("ts_us").alias("p_ts_us"),
         "value",
     )
 

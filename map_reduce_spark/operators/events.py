@@ -27,12 +27,17 @@ from map_reduce_spark.io import load_table
 from map_reduce_spark.registry import register
 
 _EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"  # duckdb: ns ts -> whole seconds
+# duckdb: bucket start as a plain (TZ-free) TIMESTAMP string
+_BUCKET_TS = (
+    "strftime(TIMESTAMP '1970-01-01' + (({e} // {w}) * {w}) * INTERVAL 1 SECOND, "
+    "'%Y-%m-%d %H:%M:%S')"
+)
 
 
 @register(
     "window_tumbling",
     oracle=f"""
-SELECT ({_EPOCH} // 300) * 300 AS window_start,
+SELECT {_BUCKET_TS.format(e=_EPOCH, w=300)} AS window_start,
        event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -58,7 +63,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -70,7 +75,9 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_sliding",
     oracle=f"""
-SELECT ({_EPOCH} // 300) * 300 - off AS window_start,
+SELECT strftime(TIMESTAMP '1970-01-01'
+                + (({_EPOCH} // 300) * 300 - off) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events, (SELECT UNNEST([0, 300]) AS off)
@@ -90,7 +97,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n",
             "total_value",
         )
@@ -117,7 +124,7 @@ tagged AS (
   FROM seq
 )
 SELECT user_id,
-       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       epoch_us(MIN(ts)) // 1000000 AS session_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM tagged GROUP BY user_id, session_no
@@ -132,9 +139,8 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit (user, session_start, n_events, value).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = ts_us - F.lag(ts_us).over(w)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     seq = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
@@ -144,7 +150,7 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return tagged.groupBy("user_id", "session_no").agg(
-        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.expr("min(ts_us) div 1000000").alias("session_start"),
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
             "session_value"

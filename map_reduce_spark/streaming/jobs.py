@@ -71,9 +71,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # Watermarks require TIMESTAMP (LTZ), so the stream keeps LTZ event
+    # time; LTZ stores raw epoch micros, so window bucketing and
+    # unix_timestamp() on it are session-timezone-independent. Only
+    # *rendering* wall-clock strings needs the NTZ detour (see
+    # streaming_tumbling_watermark).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # --- jobs -------------------------------------------------------------
@@ -125,7 +128,10 @@ def windowed_counts_plan(events: DataFrame) -> DataFrame:
 @register(
     "streaming_tumbling_watermark",
     oracle="""
-SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start,
+SELECT strftime(TIMESTAMP '1970-01-01'
+                + ((CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300)
+                  * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -140,8 +146,12 @@ def streaming_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dropped from the compared output)."""
     plan = windowed_counts_plan(stream_events(spark, sf_dir))
     out = _run_to_table(plan, "stream_tumble", "complete")
+    # TZ-free render: LTZ -> epoch seconds -> NTZ calendar -> string
     return out.select(
-        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        F.expr(
+            "date_format(timestampadd(SECOND, unix_timestamp(w.start), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00'), 'yyyy-MM-dd HH:mm:ss')"
+        ).alias("window_start"),
         "event_type",
         "n",
         "total_value",
