@@ -158,6 +158,37 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS n_unique_bpe,
+       round(len(regexp_extract_all(text, '{_BPE_PATTERN}')) * 1.0
+             / greatest(length(text), 1), 6) AS tokens_per_char
+FROM documents
+""",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer: letter runs / digit runs / single symbols —
+    the GPT-2-style pre-tokenization shape, counted per document.
+    Pure regexp_extract_all (JVM regex == DuckDB RE2 on this ASCII
+    pattern), no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+        F.round(F.size(toks) / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "tokens_per_char"
+        ),
+    )
+
+
 @register(
     "text_stats_by_source",
     oracle="""
