@@ -144,6 +144,49 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_corr",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
+FROM s
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from exact-decimal moment sums.
+
+    Built-in ``corr`` accumulates floats in partition order
+    (nondeterministic across engines/parallelism); assembling the
+    moments exactly and applying the closed form once makes the result
+    bit-stable — the engine's convention for all derived statistics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d4 = lambda c: F.round(c, 4).cast("decimal(28,4)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d4(F.col("l_quantity") * F.col("l_extendedprice"))).cast("double").alias("sxy"),
+        F.sum(d4(F.col("l_quantity") * F.col("l_quantity"))).cast("double").alias("sxx"),
+        F.sum(d4(F.col("l_extendedprice") * F.col("l_extendedprice"))).cast("double").alias("syy"),
+    )
+    corr = (s.n * s.sxy - s.sx * s.sy) / (
+        F.sqrt(s.n * s.sxx - s.sx * s.sx) * F.sqrt(s.n * s.syy - s.sy * s.sy)
+    )
+    return s.select("l_returnflag", F.round(corr, 6).alias("qty_price_corr"))
+
+
+@register(
     "agg_rollup",
     oracle="""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
