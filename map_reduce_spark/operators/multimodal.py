@@ -113,3 +113,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert determinism, schema, and batch behavior.
     """
     return extract_features(binary_table(spark, sf_dir))
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize operator shape: binary in → binary out, same
+    partitioning, Arrow batches. STUB kernel (no codecs here): emits a
+    deterministic byte-downsample of the payload; a real deployment
+    swaps the kernel for PIL's resize and keeps schema + batching."""
+
+    def op(batches):
+        import pandas as pd
+
+        def fake_resize(payload: bytes, n_out: int) -> bytes:
+            if not payload:
+                return b""
+            step = max(1, len(payload) // n_out)
+            return payload[::step][:n_out]
+
+        n_out = width * height
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [fake_resize(p, n_out) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(op, schema="doc_id long, payload binary, width int, height int")
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256, every_k: int = 4) -> DataFrame:
+    """Video frame-sampling operator shape: one binary "video" row fans
+    out to one row per sampled frame (UDTF-like mapInPandas). STUB
+    framing: fixed-size byte windows stand in for decoded frames."""
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_k):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": frames}
+            )
+
+    return df.mapInPandas(op, schema="doc_id long, frame_idx int, frame binary")
+
+
+@register("multimodal_pipeline", oracle=None)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal chain: binary table → resize → frame-sample
+    → per-doc frame stats. Exercises chained mapInPandas stages with
+    repartition-free pipelining (all narrow transforms)."""
+    resized = resize_images(binary_table(spark, sf_dir), 32, 32)
+    frames = sample_frames(resized, frame_bytes=64, every_k=2)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("total_frame_bytes"),
+    )

@@ -96,6 +96,33 @@ def test_ann_lsh_is_plausible_subset(spark, sf_dir):
     assert all(s <= exact_best + 1e-9 for s in scores)
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from map_reduce_spark.operators.multimodal import (
+        binary_table,
+        multimodal_pipeline,
+        resize_images,
+        sample_frames,
+    )
+
+    resized = resize_images(binary_table(spark, sf_dir), 8, 8).collect()
+    assert all(len(r.payload) <= 64 and r.width == 8 for r in resized)
+
+    frames = sample_frames(
+        resize_images(binary_table(spark, sf_dir), 32, 32), frame_bytes=64, every_k=2
+    )
+    fr = frames.collect()
+    assert all(len(r.frame) <= 64 for r in fr)
+    assert all(r.frame_idx % 2 == 0 for r in fr)
+
+    stats = multimodal_pipeline(spark, sf_dir)
+    rows = {r.doc_id: (r.n_frames, r.total_frame_bytes) for r in stats.collect()}
+    again = {
+        r.doc_id: (r.n_frames, r.total_frame_bytes)
+        for r in multimodal_pipeline(spark, sf_dir).collect()
+    }
+    assert rows == again and len(rows) > 0
+
+
 def test_multimodal_features_plumbing(spark, sf_dir):
     from map_reduce_spark.operators.multimodal import multimodal_features
     from map_reduce_spark.io import load_table
