@@ -140,6 +140,92 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_assign",
+    oracle="""
+WITH iv AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT t.vec_id, c.clabel,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
+           / (c.n * c.n) AS d2
+  FROM terms t JOIN cent c ON t.i = c.i
+  GROUP BY t.vec_id, c.clabel, c.n
+)
+SELECT vec_id, clabel AS assigned_label,
+       round(d2 / 100000000, 6) AS dist2
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
+""",
+)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    label-centroid by L2 distance.
+
+    Exactness: components scale by 1e4 to integers; the squared
+    distance to a centroid (a rational s/n) is computed as
+    Σ(n·q_i − s_i)² / n² — the numerator is an exact integer sum
+    (< 2^53, so the double conversion is exact), making the argmin
+    deterministic at any parallelism and identical in DuckDB.
+
+    Scale shape: one posexplode (narrow), one groupBy for centroids
+    (640 rows — broadcast), one groupBy for distances. The assignment
+    column is the IVF cell key: written partitioned-by-cell it turns
+    ANN search into a one-cell scan.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+    terms = iv.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
+    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
+    num = (F.col("c.n") * F.col("t.qi") - F.col("c.s"))
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            F.col("vec_id"),
+            F.col("clabel"),
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "vec_id",
+            F.col("clabel").alias("assigned_label"),
+            F.round(F.col("d2") / 1e8, 6).alias("dist2"),
+        )
+    )
+
+
+@register(
     "embedding_centroids",
     oracle=f"""
 WITH iv AS (
