@@ -54,11 +54,14 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
 
+    # two measured passes, min per query — damps scheduler/GC jitter
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -266,6 +266,56 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_filtered",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS qty_discounted,
+       COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregation — one pass, no self-join
+    (Spark spelling: aggregate over when())."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(disc, 1)).alias("n_discounted"),
+        F.coalesce(F.sum(F.when(disc, _dec("l_quantity"))), F.lit(0))
+        .cast("double")
+        .alias("qty_discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+    )
+
+
+@register(
+    "monthly_revenue",
+    oracle="""
+SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup: calendar-month revenue (the hypertable-
+    rollup shape — group key derived by date_trunc, partial-agg before
+    one low-cardinality shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sumd("o_totalprice", alias="revenue"),
+        )
+    )
+
+
+@register(
     "distinct_op",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
 )

@@ -158,6 +158,32 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderpriority AS priority,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar_price
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame: how many same-priority orders fall
+    within ±10k of each order's price (the value-bounded frame the
+    ROWS frames can't express)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.count("*").over(w).alias("n_similar_price"),
+    )
+
+
+@register(
     "window_ntile",
     oracle="""
 SELECT c_custkey,
