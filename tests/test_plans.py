@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the scale-posture properties PERFORMANCE.md
+documents must hold structurally, not accidentally. A regression that
+turns a broadcast join into a shuffle or loses parquet pushdown fails
+here even though results stay correct."""
+
+from __future__ import annotations
+
+from map_reduce_spark.registry import queries
+
+_QS = queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = _QS[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, sf_dir, name: str) -> str:
+    df = _QS[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan schema must not include unused columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_star")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_region_filter_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "ASIA" in plan  # filter reached the scan, not a post-join Filter
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_mr_pipeline_reads_only_text(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mr_pipeline")
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" in read_schema
+    for col in ("doc_id", "lang", "source", "n_chars"):
+        assert col not in read_schema
+
+
+def test_count_reduce_partial_aggregates(spark, sf_dir):
+    """Map-side combine (the reference lacks it, worker.ex:112-113):
+    a partial HashAggregate must appear below the exchange."""
+    plan = plan_of(spark, sf_dir, "count_reduce")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_anti_plans_are_joins_not_subquery_scans(spark, sf_dir):
+    for name in ("join_semi", "join_anti"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
