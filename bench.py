@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_topk",
+    "ivf_assign",
+    "asof_join",
     "text_quality",
     "pivot_event_counts",
 ]

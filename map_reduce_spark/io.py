@@ -123,6 +123,32 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source (gated): requires the vendor driver jar on the
+    classpath; raises a clear error when absent (this image ships no
+    JDBC drivers)."""
+    try:
+        reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    except Exception as e:  # driver jar missing in this environment
+        raise NotImplementedError(
+            "JDBC source needs the vendor driver jar on the Spark classpath"
+        ) from e
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake source (gated): needs delta-spark jars, not present in
+    this image; raises a clear error instead of a cryptic one."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as e:
+        raise NotImplementedError(
+            "Delta source needs delta-spark jars on the classpath"
+        ) from e
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
     writer = df.write.mode(mode)
     if partition_by:

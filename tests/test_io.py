@@ -74,6 +74,45 @@ def test_overwrite_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == df.count()
 
 
+def test_gated_connectors_raise_cleanly(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="JDBC"):
+        mio.read_jdbc(spark, "jdbc:postgresql://nowhere/db", "t")
+    with pytest.raises(NotImplementedError, match="Delta"):
+        mio.read_delta(spark, "/tmp/no-such-delta")
+
+
+def test_salted_join_equals_plain_on_skewed_data(spark):
+    """Hot-key skew: 90% of the fact rows share one key; the salted
+    join must produce exactly the plain join's aggregate."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+        (F.col("id") % 8).cast("int").alias("salt"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = (
+        fact.join(dim, "k")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"), F.count("*").alias("c"))
+        .collect()[0]
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(8)]))
+    )
+    salted = (
+        fact.join(dim_salted, ["k", "salt"])
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"), F.count("*").alias("c"))
+        .collect()[0]
+    )
+    assert (plain.s, plain.c) == (salted.s, salted.c)
+
+
 def test_whole_text_files(spark, tmp_path):
     d = tmp_path / "corpus"
     d.mkdir()
