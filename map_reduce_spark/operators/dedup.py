@@ -147,7 +147,7 @@ def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
     equivalent nested higher-order-function expression, which Spark
     evaluates interpreted.
     """
-    sh = parallelize_if_narrow(docs).select(
+    sh = parallelize_if_narrow(docs, "doc_id").select(
         "doc_id", F.explode(_shingles()).alias("t")
     )
     mins = [F.min(F.xxhash64(F.lit(p), F.col("t"))).alias(f"h{p}") for p in range(n_perm)]
@@ -172,17 +172,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
 
-    # ONE explode + ONE shuffle: the same grouped aggregation yields
-    # both the 32 minhash components and the exact shingle set; its
-    # exchange is reused (AQE ReusedExchange) by all three downstream
-    # references (band table, verify-left, verify-right).
-    sh = parallelize_if_narrow(docs).select(
+    # One keyed repartition up front: it parallelizes the narrow scan
+    # AND satisfies the groupBy's distribution, so the grouped
+    # aggregation (32 minhash mins + the shingle set in one pass)
+    # needs no further shuffle.
+    sh = parallelize_if_narrow(docs, "doc_id").select(
         "doc_id", F.explode(_shingles()).alias("t")
     )
     mins = [
         F.min(F.xxhash64(F.lit(p), F.col("t"))).alias(f"h{p}")
         for p in range(NUM_PERM)
     ]
+    # the explode preserves the doc_id partitioning, so this groupBy
+    # aggregates in place — no second shuffle
     per_doc = sh.groupBy("doc_id").agg(*mins, F.collect_set("t").alias("s"))
 
     # band key straight from the signature columns — no arrays at all
