@@ -167,8 +167,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → 32-perm minhash → 8 bands × 4 rows → band-bucket
     equi-join for candidates → exact verify on the candidate set only.
     Engine-specific hashing (xxhash64) makes this rows-only for the
-    driver; tests/test_dedup.py checks recall against the exact
-    ``ngram_jaccard_dupes`` result.
+    driver; tests/test_llm_ops.py checks recall against brute-force
+    all-pairs Jaccard ground truth.
     """
     docs = load_table(spark, sf_dir, "documents")
 

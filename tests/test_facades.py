@@ -1,0 +1,39 @@
+"""The sources/functions/plans facade packages are importable and live."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_sources_facade(spark, sf_dir):
+    from map_reduce_spark import sources
+
+    assert sources.load_table(spark, sf_dir, "region").count() == 5
+
+
+def test_functions_facade(spark, sf_dir, duck):
+    from map_reduce_spark import functions as mf
+
+    df = spark.createDataFrame([("hello",), ("world",)], "s string")
+    got = {r.s: r.b for r in df.select("s", mf.portable_hash_bucket("s").alias("b")).collect()}
+    want = dict(
+        duck.execute(
+            "SELECT s, CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) % 8 AS b "
+            "FROM (VALUES ('hello'), ('world')) t(s)"
+        ).fetchall()
+    )
+    assert got == want
+    # exact-sum helper agrees with plain decimal sum
+    li = spark.createDataFrame([(1.25,), (2.50,)], "x double")
+    assert li.agg(mf.sumd("x", alias="s")).collect()[0].s == 3.75
+
+
+def test_plans_facade(spark, sf_dir):
+    from map_reduce_spark import plans
+    from map_reduce_spark.operators.relational import q1_pricing_summary
+
+    d = plans.describe(q1_pricing_summary(spark, sf_dir))
+    assert d["pushed_filters"] and d["scans"] == 1 and d["hash_aggregates"] >= 2
+    assert "PushedFilters" in plans.formatted_plan(
+        q1_pricing_summary(spark, sf_dir).limit(1)
+    )
