@@ -336,3 +336,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.9)
     )
+
+
+# --- portable-hash MinHash-LSH (fully oracle-verified variant) --------
+
+_PORTABLE_LSH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+perms AS (SELECT doc_id, r.range AS p, t FROM sh, range(0, 32) r),
+mins AS (
+  SELECT doc_id, p,
+         MIN(CAST(concat('0x', substr(md5(concat(p, ':', t)), 1, 8)) AS BIGINT)) AS h
+  FROM perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM mins GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sets AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_portable", oracle=_PORTABLE_LSH_ORACLE)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with an engine-portable hash family (md5-derived
+    32-bit values), so the ENTIRE pipeline — signatures, band buckets,
+    candidate set, verified pairs — is reproduced exactly by the DuckDB
+    oracle. ``dedup_minhash_lsh`` (xxhash64) is the faster production
+    variant; this one is the correctness witness for the band math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = parallelize_if_narrow(docs, "doc_id").select(
+        "doc_id", F.explode(_shingles()).alias("t")
+    )
+
+    def perm_hash(p: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("t"))), 1, 8), 16, 10
+            ).cast("long")
+        )
+
+    mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(NUM_PERM)]
+    per_doc = sh.groupBy("doc_id").agg(*mins, F.collect_set("t").alias("s"))
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    av = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    bv = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
