@@ -347,13 +347,13 @@ WITH sh AS (
 ),
 perms AS (SELECT doc_id, r.range AS p, t FROM sh, range(0, 32) r),
 mins AS (
-  SELECT doc_id, p,
-         MIN(CAST(concat('0x', substr(md5(concat(p, ':', t)), 1, 8)) AS BIGINT)) AS h
+  -- lexicographic MIN over fixed-width lowercase hex == numeric min
+  SELECT doc_id, p, MIN(substr(md5(concat(p, ':', t)), 1, 8)) AS h
   FROM perms GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, p // 4 AS band,
-         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY p)) AS bucket
+         md5(string_agg(h, ',' ORDER BY p)) AS bucket
   FROM mins GROUP BY doc_id, p // 4
 ),
 cand AS (
@@ -388,11 +388,9 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def perm_hash(p: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("t"))), 1, 8), 16, 10
-            ).cast("long")
-        )
+        # 8 lowercase hex chars; lexicographic MIN == numeric min, so no
+        # base conversion needed (conv() dominated the runtime)
+        return F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("t"))), 1, 8)
 
     mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(NUM_PERM)]
     per_doc = sh.groupBy("doc_id").agg(*mins, F.collect_set("t").alias("s"))
@@ -403,10 +401,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.concat_ws(
                     ",",
-                    *[
-                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
                 )
             ).alias("bucket"),
         )
