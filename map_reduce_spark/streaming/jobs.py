@@ -191,6 +191,24 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_exact",
+    oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: streaming ``dropDuplicates`` on the
+    content fingerprint — the state-store-backed dedup a continuous
+    ingestion pipeline runs. The emitted fingerprint set must equal the
+    batch DISTINCT (which is exactly what the oracle checks)."""
+    src = stream_documents(spark, sf_dir)
+    deduped = (
+        src.select(F.md5("text").alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    out = _run_to_table(deduped, "stream_dedup", "append")
+    return out.select("fp")
+
+
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a running per-user event counter held in the state store.
