@@ -266,6 +266,36 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_api_q6",
+    oracle="""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+)
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: a TPC-H Q6-style query written entirely as
+    SQL over a registered view — Catalyst produces the same plan as
+    the DataFrame API (one pruned, predicate-pushed scan + agg)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM sql_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+        """
+    )
+
+
+@register(
     "agg_filtered",
     oracle="""
 SELECT l_returnflag,

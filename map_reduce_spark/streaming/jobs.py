@@ -192,6 +192,38 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_window",
+    oracle="""
+SELECT strftime(TIMESTAMP '1970-01-01'
+                + ((CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - off)
+                  * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM events, (SELECT UNNEST([0, 300]) AS off)
+GROUP BY 1
+""",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min slide) computed incrementally
+    with a watermark; complete-mode result equals the batch sliding
+    aggregation."""
+    ev = stream_events(spark, sf_dir)
+    plan = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_table(plan, "stream_slide", "complete")
+    return out.select(
+        F.expr(
+            "date_format(timestampadd(SECOND, unix_timestamp(w.start), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00'), 'yyyy-MM-dd HH:mm:ss')"
+        ).alias("window_start"),
+        "n",
+    )
+
+
+@register(
     "streaming_dedup_exact",
     oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
 )
