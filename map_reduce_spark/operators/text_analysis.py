@@ -190,6 +190,56 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(ceil(running * 1.0 / 512) - 1 AS BIGINT) AS pack_id
+FROM cum
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (budget 512) within each source shard, by running token count.
+
+    The packing rule is ceil(cumulative/budget)-1 over a deterministic
+    doc order — declarative (one window over the shard key), so the
+    oracle reproduces it. A document belongs to the pack containing its
+    FINAL token, so a pack may exceed the budget by at most one
+    straddling document's length (the streaming-friendly variant of
+    bin packing — no lookahead, one pass). This is the training-batch
+    assembly step of an LLM data pipeline, shuffling only on the shard
+    key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return toks.withColumn("running", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.ceil(F.col("running") / 512) - 1).cast("long").alias("pack_id"),
+    )
+
+
+@register(
     "text_stats_by_source",
     oracle="""
 SELECT source, lang, COUNT(*) AS n_docs,
