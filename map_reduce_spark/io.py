@@ -31,6 +31,21 @@ TABLES = (
 )
 
 
+def _parquet_has_nanos(path: str) -> bool:
+    """Footer-only probe (no data read): does any column carry
+    TIMESTAMP(NANOS)? Directory datasets are checked via their first
+    fragment — parquet datasets are schema-uniform by contract."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return any(str(t) == "timestamp[ns]" for t in schema.types)
+    except Exception:
+        # probe unavailable -> assume nanos (the safe legacy behavior
+        # for the events table this guard exists for)
+        return True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables.
 
@@ -46,9 +61,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # convert to a microsecond TimestampNTZ — µs is Spark's native
         # timestamp resolution; sub-µs detail is below every operator's
         # granularity here.
+        #
+        # DELIBERATE session-wide conf: the nanosAsLong flag cannot be
+        # scoped per-read (it is consumed at scan execution, after this
+        # function returns, so a set/restore window would race the lazy
+        # plan). The engine's contract is therefore explicit: NANOS
+        # columns anywhere in the session read as raw epoch-nanos longs
+        # — the same convention this loader applies to events — rather
+        # than erroring. Set only when the footer actually carries
+        # nanos, so sessions that never touch such data are untouched.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _parquet_has_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         # ts_us (raw epoch microseconds) travels alongside the NTZ
         # timestamp so event-time arithmetic can stay session-timezone-
@@ -63,6 +88,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     return spark.read.parquet(path)
+
+
+# (app_id, plan semantic hash) -> input partition count; the probe
+# forces an analysis + RDD conversion on the driver, so pay it once per
+# distinct plan per session, not once per query build
+_NPART_CACHE: dict[tuple[str, int], int] = {}
 
 
 def parallelize_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
@@ -82,7 +113,12 @@ def parallelize_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    cache_key = (spark.sparkContext.applicationId, df.semanticHash())
+    n = _NPART_CACHE.get(cache_key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPART_CACHE[cache_key] = n
+    if n < target:
         return df.repartition(target, *keys) if keys else df.repartition(target)
     return df
 

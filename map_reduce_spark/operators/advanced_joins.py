@@ -163,8 +163,12 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (orders) replicates every row SALT ways. The shuffle key is
     (l_orderkey, salt), so one hot orderkey lands on SALT reducers.
     """
+    # uniform-hash salt: pmod(xxhash64(row identity), SALT) spreads each
+    # hot key evenly over all SALT reducers (l_linenumber % SALT would
+    # inherit l_linenumber's skewed 1..7 distribution and starve salt 0)
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % SALT).cast("int")
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)).cast("int"),
     )
     o = (
         load_table(spark, sf_dir, "orders")

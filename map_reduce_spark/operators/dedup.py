@@ -111,18 +111,20 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
+    # filter on the UNROUNDED similarity (matching the oracle, which
+    # rounds only in SELECT), then round in the projection
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(jac >= 0.5)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 6).alias("jac"),
         )
-        .filter(F.col("jac") >= 0.5)
     )
 
 
@@ -174,8 +176,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One keyed repartition up front: it parallelizes the narrow scan
     # AND satisfies the groupBy's distribution, so the grouped
-    # aggregation (32 minhash mins + the shingle set in one pass)
-    # needs no further shuffle.
+    # aggregation (32 minhash mins) needs no further shuffle.
     sh = parallelize_if_narrow(docs, "doc_id").select(
         "doc_id", F.explode(_shingles()).alias("t")
     )
@@ -184,8 +185,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(NUM_PERM)
     ]
     # the explode preserves the doc_id partitioning, so this groupBy
-    # aggregates in place — no second shuffle
-    per_doc = sh.groupBy("doc_id").agg(*mins, F.collect_set("t").alias("s"))
+    # aggregates in place — no second shuffle. Signatures ONLY: the
+    # aggregation state is 32 longs per doc, never the shingle set, so
+    # the corpus-wide shuffle stays tiny at any scale.
+    per_doc = sh.groupBy("doc_id").agg(*mins)
 
     # band key straight from the signature columns — no arrays at all
     band_structs = [
@@ -215,15 +218,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verify only on candidates (tiny set vs all-pairs)
-    av = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    bv = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # Exact verify only on candidates. Shingle sets are re-derived for
+    # candidate doc_ids ONLY (broadcast semi-join on the tiny candidate
+    # id set filters map-side, post-explode) — full shingle sets never
+    # enter an aggregation or join for non-candidate documents, so the
+    # verify path shuffles O(candidates), not O(corpus).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sets = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("t").alias("s"))
+    )
+    av = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    bv = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     return (
         cand.join(av, "doc_a")
         .join(bv, "doc_b")
+        .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
-        .filter(F.col("jac") >= 0.5)
     )
 
 
@@ -329,12 +346,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(cos >= 0.9)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.9)
     )
 
 
@@ -392,8 +409,10 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # base conversion needed (conv() dominated the runtime)
         return F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("t"))), 1, 8)
 
+    # signatures only (32 short hex strings per doc) — shingle sets are
+    # re-derived below for candidate docs only, same as dedup_minhash_lsh
     mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(NUM_PERM)]
-    per_doc = sh.groupBy("doc_id").agg(*mins, F.collect_set("t").alias("s"))
+    per_doc = sh.groupBy("doc_id").agg(*mins)
 
     band_structs = [
         F.struct(
@@ -423,12 +442,22 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    av = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    bv = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sets = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("t").alias("s"))
+    )
+    av = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    bv = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     return (
         cand.join(av, "doc_a")
         .join(bv, "doc_b")
+        .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
-        .filter(F.col("jac") >= 0.5)
     )

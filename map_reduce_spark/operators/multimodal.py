@@ -65,10 +65,12 @@ _FEATURE_SCHEMA = (
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    ``mapInPandas``: each worker receives pandas batches, runs the
-    decode stub per payload, emits a typed feature row — the real
-    multimodal operator shape (vectorized transfer, per-partition
-    parallelism, no driver involvement).
+    ``mapInPandas``: each worker receives pandas batches, decodes each
+    payload, emits a typed feature row — the real multimodal operator
+    shape (vectorized transfer, per-partition parallelism, no driver
+    involvement). Decode = real PNG/JPEG/GIF header parsing (pure byte
+    inspection — true dimensions for real image payloads) with the
+    deterministic stub as fallback for unrecognized bytes.
 
     The worker function is deliberately self-contained (no references
     to this module) so cloudpickle ships it by value — Python workers
@@ -78,17 +80,61 @@ def extract_features(df: DataFrame) -> DataFrame:
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        def parse_header(p: bytes):
+            """Real container-header parse (pure byte inspection, no
+            codec): PNG IHDR, JPEG SOFn, GIF logical screen. Returns
+            (width, height, channels) or None for unrecognized data."""
+            # PNG: 8-byte signature, then the IHDR chunk holds
+            # width/height as big-endian u32 and color type at byte 25
+            if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 26 and p[12:16] == b"IHDR":
+                w = int.from_bytes(p[16:20], "big")
+                h = int.from_bytes(p[20:24], "big")
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(p[25], 3)
+                return w, h, channels
+            # JPEG: walk the marker stream to the first SOFn segment
+            # (not DHT 0xC4 / JPG 0xC8 / DAC 0xCC), which carries
+            # height, width (big-endian u16) and component count
+            if p[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 < len(p):
+                    if p[i] != 0xFF:
+                        i += 1
+                        continue
+                    marker = p[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h = int.from_bytes(p[i + 5 : i + 7], "big")
+                        w = int.from_bytes(p[i + 7 : i + 9], "big")
+                        return w, h, int(p[i + 9])
+                    i += 2 + seglen
+                return None
+            # GIF: width/height are little-endian u16 right after the
+            # GIF87a/GIF89a signature
+            if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+                w = int.from_bytes(p[6:8], "little")
+                h = int.from_bytes(p[8:10], "little")
+                return w, h, 3
+            return None
+
         def fake_decode(payload: bytes) -> tuple[int, int, int]:
-            # STUB decoder (no media codecs in this container): derives
-            # deterministic fake geometry from the raw bytes. A real
-            # deployment swaps this body for PIL/ffmpeg, same schema.
+            # STUB fallback for non-image payloads (no media codecs in
+            # this container): derives deterministic fake geometry from
+            # the raw bytes. A real deployment swaps this body for
+            # PIL/ffmpeg, same schema.
             n = len(payload)
             width = 16 + (n % 64)
             height = 16 + (sum(payload[:32]) % 64 if n else 0)
             return int(width), int(height), 3
 
+        def decode(payload: bytes) -> tuple[int, int, int]:
+            parsed = parse_header(payload)
+            return parsed if parsed is not None else fake_decode(payload)
+
         for pdf in batches:
-            feats = [fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

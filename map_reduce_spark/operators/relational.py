@@ -132,14 +132,18 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the sketch path for 100 TB
     cardinalities (no exact-distinct shuffle). Algorithm-specific, so
-    rows-only; the companion exact counts live in ``agg_basic``."""
+    rows-only; the companion exact counts live in ``agg_basic``.
+
+    The percentile sketch is emitted as three scalar columns (not an
+    array) so downstream row canonicalizers can sort/hash the frame.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
-            "price_quantiles"
-        ),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("price_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.99)").alias("price_p99"),
     )
 
 
@@ -581,23 +585,23 @@ FROM customer
 def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-column sort with the order materialized as a rank.
 
-    Spark plans a range-partitioned total sort (sampling-based
-    boundaries) — the scalable global-sort strategy.
+    Scale shape: range-partitioned sort + per-partition row_number +
+    broadcast partition offsets (map_reduce_spark.ranking) — the whole
+    table never passes through one task.
     """
-    from pyspark.sql import Window
+    from map_reduce_spark.ranking import global_row_number
 
-    w = Window.orderBy(
-        F.col("c_mktsegment"), F.col("c_acctbal").desc(), F.col("c_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    ranked = global_row_number(
+        c,
+        [F.col("c_mktsegment"), F.col("c_acctbal").desc(), F.col("c_custkey")],
+        out="pos",
     )
-    return (
-        load_table(spark, sf_dir, "customer")
-        .withColumn("pos", F.row_number().over(w))
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            "pos",
-        )
+    return ranked.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "pos",
     )
 
 

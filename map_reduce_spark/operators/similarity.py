@@ -104,29 +104,56 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
-@register("ann_lsh_topk", oracle=None)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 for vec_id=0: search only the query's LSH
-    bucket (sign-random-projection, 8 planes -> 256 buckets).
+def _hamming_probes(center, radius: int, n_planes: int = N_PLANES):
+    """All bucket ids within Hamming distance ``radius`` of ``center``
+    (a Column), as a flat list of Column expressions."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return [center.bitwiseXOR(F.lit(m)) for m in masks]
+
+
+def ann_lsh_topk_frame(
+    e: DataFrame, query_id: int = 0, k: int = 10, probe_radius: int = 1
+) -> DataFrame:
+    """Approximate top-k neighbors of ``query_id`` over an embeddings
+    frame: search the query's LSH bucket plus every bucket within
+    ``probe_radius`` bit flips (sign-random-projection, 8 planes ->
+    256 buckets; radius 1 = 9 probes ~ 3.5% of the corpus).
+
+    Multi-probe rationale: a genuinely-near neighbor (small angle)
+    agrees with the query on most plane signs, so its bucket differs in
+    few bits; probing the Hamming ball recovers the near misses. This
+    prunes the scan only for *near* neighbors — vectors at cos ~0.3
+    (angle ~70 deg) flip each of the 8 signs with p ~0.4 and land in
+    uniformly-random buckets, which no bucketed method can recall
+    without scanning most of the corpus. The driver's testdata has NO
+    near pairs (best-neighbor cosine p90 ~0.43 at sf0.01), so recall is
+    asserted on planted near-duplicates in tests/test_llm_ops.py
+    (recall@10 >= 0.8), and the registered query stays rows-only.
 
     At scale the bucket column becomes a partition key (write
-    partitioned-by-bucket => partition pruning turns the scan into
-    ~N/256 rows). Rows-only: bucketing is engine-defined;
-    tests/test_similarity.py measures recall vs the exact top-k.
+    partitioned-by-bucket => partition pruning turns the scan into the
+    probed fraction).
     """
-    e = load_table(spark, sf_dir, "embeddings")
     planes = _planes()
     b = e.select(
         "vec_id",
         "embedding",
         lsh_bucket_expr(F.col("embedding"), planes).alias("bucket"),
     )
-    qb = b.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    probes = F.array(*_hamming_probes(F.col("qbucket"), probe_radius))
+    qb = (
+        b.filter(F.col("vec_id") == query_id)
+        .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+        .select("qvec", F.explode(probes).alias("probe"))
     )
     nv = b.join(
-        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
-    ).filter(F.col("vec_id") != 0)
+        F.broadcast(qb), F.col("bucket") == F.col("probe")
+    ).filter(F.col("vec_id") != query_id)
     iq = _ivec(F.col("qvec"))
     iv = _ivec(F.col("embedding"))
     cos = _idot(iv, iq).cast("double") / (
@@ -135,8 +162,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nv.select("vec_id", "bucket", F.round(cos, 6).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(k)
     )
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered wrapper: multi-probe ANN top-10 for vec_id=0 over the
+    embeddings table (see ``ann_lsh_topk_frame`` for the semantics and
+    the recall discussion)."""
+    return ann_lsh_topk_frame(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

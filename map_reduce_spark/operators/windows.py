@@ -192,7 +192,19 @@ FROM customer
 """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing over a total order."""
+    """ntile bucketing over a total order.
+
+    Built from the scale-safe global rank (map_reduce_spark.ranking)
+    plus the closed-form ntile bucket formula — identical output to
+    ``ntile(4) OVER (ORDER BY ...)`` with no single-partition window.
+    """
+    from map_reduce_spark.ranking import global_ntile
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+    bucketed = global_ntile(
+        c,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=4,
+        out="balance_quartile",
+    )
+    return bucketed.select("c_custkey", "balance_quartile")

@@ -146,13 +146,16 @@ def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total sort by key, rank materialized so the order is observable.
 
     Reference: Enum.sort() of the emit list — worker.ex:112,
-    mr_sequential.ex:12. Spark plans a range-partitioned global sort.
+    mr_sequential.ex:12. Scale shape: range-partitioned sort +
+    per-partition row_number + broadcast offsets (see
+    map_reduce_spark.ranking) — no single-task global window.
     """
-    from pyspark.sql import Window
+    from map_reduce_spark.ranking import global_row_number
 
     distinct_words = words(spark, sf_dir).select("word").distinct()
-    w = Window.orderBy("word")
-    return distinct_words.withColumn("rnk", F.row_number().over(w))
+    return global_row_number(distinct_words, [F.col("word")], out="rnk").select(
+        "word", "rnk"
+    )
 
 
 # 7 ------------------------------------------------------------------

@@ -60,6 +60,87 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Catalog order is a verification budget: the round driver hash-checks
+# the FIRST 50 entries of queries() against their DuckDB oracles
+# (CORRECTNESS_r01 stopped at exactly the first 50 registrations, so
+# the whole LLM family went driver-unverified in round 1). The priority
+# window below therefore front-loads:
+#   - every query with no driver row yet (the entire LLM-pipeline
+#     family: dedup/similarity/text/multimodal; streaming; as-of joins;
+#     pandas UDFs/UDTF; pivot/unpivot; batch event windows; SCD;
+#     subqueries; outer/salted joins; percentiles),
+#   - every query whose implementation changed this round and needs
+#     re-verification (sort_by_key, sort_multi_col, window_ntile —
+#     scale-safe global-rank rewrite; agg_approx_distinct — scalar
+#     quantile columns),
+#   - three anchors (mr_pipeline flagship, exact-dedup pair) so the
+#     reference pipeline and exact dedup stay continuously verified.
+# Everything else is unchanged since its green CORRECTNESS_r01 row and
+# follows in registration order.
+_PRIORITY: tuple[str, ...] = (
+    # changed this round — needs fresh driver rows
+    "sort_by_key",
+    "sort_multi_col",
+    "window_ntile",
+    "agg_approx_distinct",
+    # anchors
+    "mr_pipeline",
+    "dedup_exact",
+    "dedup_exact_survivors",
+    # LLM family: dedup / similarity
+    "ngram_jaccard_dupes",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_portable",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "ivf_assign",
+    "embedding_centroids",
+    # LLM family: text analysis
+    "lang_id",
+    "token_count",
+    "text_quality",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "pack_sequences",
+    "text_stats_by_source",
+    # LLM family: multimodal
+    "binary_metadata",
+    "multimodal_features",
+    "multimodal_pipeline",
+    # streaming
+    "streaming_word_count",
+    "streaming_tumbling_watermark",
+    "streaming_sliding_window",
+    "streaming_dedup_exact",
+    "streaming_session_window",
+    # batch event windows + pivot
+    "window_tumbling",
+    "window_sliding",
+    "session_window",
+    "pivot_event_counts",
+    "unpivot_stack",
+    # joins beyond the r01-verified set
+    "asof_join",
+    "asof_join_cogroup",
+    "join_salted",
+    "join_right",
+    "join_full_outer",
+    # UDF / UDTF surface
+    "python_udtf",
+    "pandas_scalar_norm",
+    "pandas_zscore_by_label",
+    "pandas_grouped_agg",
+    # remaining previously-unverified relational coverage
+    "percentiles_exact",
+    "scd2_merge",
+    "map_funcs",
+    "scalar_subquery",
+    "q3_top_revenue_orders",
+)
+
+
 def _load() -> None:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
@@ -67,7 +148,9 @@ def _load() -> None:
 
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    prioritized = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    rest = {n: q for n, q in _REGISTRY.items() if n not in prioritized}
+    return {**prioritized, **rest}
 
 
 def queries() -> dict[str, QueryFn]:

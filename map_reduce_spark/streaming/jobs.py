@@ -178,10 +178,8 @@ def session_plan(events: DataFrame) -> DataFrame:
 
 
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Execute streaming sessionization (append mode). Not registered:
-    append-mode watermark semantics intentionally withhold unsealed
-    tail sessions, so it has no exact batch oracle; the test checks it
-    emits a subset of the batch gaps-and-islands sessions."""
+    """Execute streaming sessionization (append mode): only sessions
+    the watermark has sealed are emitted."""
     out = _run_to_table(session_plan(stream_events(spark, sf_dir)), "stream_sess", "append")
     return out.select(
         "user_id",
@@ -189,6 +187,49 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+# Append-mode watermark semantics DO have an exact batch twin for a
+# finite source: the gaps-and-islands sessions whose close precedes the
+# final watermark (max event time - 10 min). The oracle reproduces
+# Spark's sealing rule exactly: a session window ends 30 min after its
+# last event, a >= 30 min gap starts a new session (session_window
+# intervals are half-open), and a session is emitted iff its end < the
+# final watermark.
+_SESSION_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+g AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+agg AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+         MAX(ts) AS last_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, session_start, n_events, session_value
+FROM agg, (SELECT MAX(ts) AS mx FROM events)
+WHERE last_ts + INTERVAL 30 MINUTE < mx - INTERVAL 10 MINUTE
+"""
+
+
+@register("streaming_session_window", oracle=_SESSION_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (native ``session_window`` + watermark,
+    append mode) — the sealed-session set must equal the batch
+    gaps-and-islands sessions that close before the final watermark."""
+    return run_streaming_sessions(spark, sf_dir)
 
 
 @register(
@@ -280,14 +321,12 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # latest emitted total per user
+    # Latest emitted total per user == MAX(n_events): the counter is
+    # monotone across micro-batches. (Ordering the memory sink by
+    # monotonically_increasing_id would encode partition index, not
+    # batch order — wrong once the source splits into multiple batches.)
     t = spark.table("stream_state_counts")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
-    return (
-        t.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-    )
+    return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
