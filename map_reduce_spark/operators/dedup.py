@@ -218,18 +218,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # Materialization barrier: the candidate-pair set is tiny by
+    # construction (band collisions only) and is consumed three times
+    # below (output rows, doc_a ids, doc_b ids). Persisting it runs the
+    # corpus explode + signature pipeline ONCE; without the barrier
+    # Spark re-executes that whole subtree per consumer (~4× the work).
+    # At cluster scale this is the standard two-stage LSH shape: a
+    # checkpoint of candidate pairs between candidate generation and
+    # verify.
+    cand = cand.persist()
+
     # Exact verify only on candidates. Shingle sets are re-derived for
-    # candidate doc_ids ONLY (broadcast semi-join on the tiny candidate
-    # id set filters map-side, post-explode) — full shingle sets never
-    # enter an aggregation or join for non-candidate documents, so the
-    # verify path shuffles O(candidates), not O(corpus).
+    # candidate doc_ids ONLY, straight from the documents table: the
+    # broadcast semi-join prunes BEFORE the explode, so shingle sets
+    # are never built for non-candidate documents and the verify path
+    # shuffles O(candidates), not O(corpus).
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     cand_sets = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", F.explode(_shingles()).alias("t"))
         .groupBy("doc_id")
         .agg(F.collect_set("t").alias("s"))
     )
@@ -442,13 +453,17 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # same two-stage shape as dedup_minhash_lsh: persist the tiny
+    # candidate set (stage barrier), re-shingle candidates only
+    cand = cand.persist()
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     cand_sets = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", F.explode(_shingles()).alias("t"))
         .groupBy("doc_id")
         .agg(F.collect_set("t").alias("s"))
     )
