@@ -255,6 +255,120 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicate-cluster resolution (connected components) --------------
+
+
+_MAX_CC_ITERS = 25
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative hash-min label propagation.
+
+    ``pairs`` has columns (doc_a, doc_b); the result assigns every
+    vertex its component id = the minimum doc_id reachable from it,
+    with ``is_canonical`` marking the survivor each cluster keeps.
+
+    Scale shape: per round, one equi-join (edges x labels) + one
+    groupBy-min — all shuffles on the vertex id, converging in
+    diameter(G) rounds. Dup clusters are shallow (stars/chains of a
+    few docs), so rounds stay single-digit; an adversarial graph would
+    call for the large-star/small-star variant (Kiveris et al.), same
+    primitive ops. Each round is ``localCheckpoint``-ed: iterative
+    algorithms must truncate lineage or the plan grows linearly and
+    re-executes from the source every action. The per-round
+    convergence ``count()`` is the documented exception to the
+    no-driver-actions rule — it reads one scalar, never rows.
+    """
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(_MAX_CC_ITERS):
+        msgs = (
+            edges.join(
+                labels.select(
+                    F.col("v").alias("src"), F.col("lbl").alias("src_lbl")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("v"), F.col("src_lbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.select("v", F.col("lbl").alias("new_lbl"))
+            .join(labels, "v")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {_MAX_CC_ITERS} rounds"
+        )
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("component"),
+        (F.col("v") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, source, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, w) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w
+)
+SELECT v AS doc_id, MIN(w) AS component,
+       (v = MIN(w)) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution over the exact n-gram Jaccard
+    near-dup pairs: each document in any >= 0.5-similarity pair gets
+    its cluster id (min reachable doc_id) and a survivor flag.
+
+    The missing last step of a real dedup pipeline — pair lists don't
+    dedup a corpus, transitive clusters do (A~B, B~C must drop two of
+    three docs even though A~C may sit below threshold). The oracle
+    recomputes the same closure with a recursive CTE.
+    """
+    return connected_components(
+        ngram_jaccard_dupes(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
 # --- SimHash ----------------------------------------------------------
 
 

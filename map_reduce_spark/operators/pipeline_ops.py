@@ -1,0 +1,321 @@
+"""Training-data pipeline operators — splits, sampling, scrubbing,
+normalization, quantization, skew-safe aggregation.
+
+Not in the reference (its only job is word count, SURVEY §0); these are
+the remaining first-class operations a 100 TB pretraining-data pipeline
+runs between raw scans and training batches:
+
+- deterministic hash splits (train/val/test must be stable across
+  re-runs and machines — never ``rand()``);
+- stratified per-source sampling (domain mixing) with the same
+  portable-hash trick;
+- PII scrubbing (email/phone/IP redaction) as pure JVM regex;
+- text normalization (the canonicalization step before fingerprinting);
+- int8 embedding quantization (4x memory cut for ANN serving);
+- two-phase salted aggregation (the skew-safe shape for hot keys).
+
+Scale notes: every operator here is a per-row projection or a
+partial-agg'd groupBy — no joins except the salted demo, whose entire
+point is that its shuffle keys are (key, salt). All expressions are
+built-ins (JVM-side, codegen'd); every query has a full DuckDB oracle.
+
+Cross-engine determinism: hash buckets come from md5 hex (identical in
+both engines), never engine-specific hashes; quantization math is pure
+IEEE-double ops (cast-double, abs, max, /, floor) that both engines
+evaluate bit-identically, and ties round via ``floor(x + 0.5)`` so no
+engine-specific round-half mode is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+# --- deterministic hash split ----------------------------------------
+
+
+def _hash_bucket(col: Column, seed: str, mod: int = 100) -> Column:
+    """Portable 0..mod-1 bucket: first 8 md5 hex chars of seed:key,
+    read as an integer. Stable across engines, machines, and re-runs —
+    the property ``rand()``-based splits lack."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod).cast("int")
+
+
+def _sql_bucket(expr: str, seed: str, mod: int = 100) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat('{seed}:', "
+        f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT) % {mod} AS INT)"
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT doc_id, source,
+       {_sql_bucket('doc_id', 'split')} AS bucket,
+       CASE WHEN {_sql_bucket('doc_id', 'split')} < 80 THEN 'train'
+            WHEN {_sql_bucket('doc_id', 'split')} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by deterministic content-key
+    hash. Embarrassingly parallel, no shuffle; the split is a pure
+    function of doc_id, so adding data never reshuffles old rows
+    between splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), "split")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "source", b.alias("bucket"), split.alias("split")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 20 ELSE 60 END
+         AS rate_pct
+FROM documents
+WHERE {_sql_bucket('doc_id', 'samp')}
+      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 20 ELSE 60 END
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling (domain mixing): even-numbered
+    sources keep 20%, odd keep 60%, selected by a deterministic hash
+    bucket — reproducible across runs, engines, and cluster sizes,
+    unlike ``df.sampleBy`` (seed- and partitioning-dependent).
+
+    The filter is a scan-level predicate: at 100 TB the sample never
+    shuffles, and with source-partitioned storage the per-source rates
+    prune at the file level."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 8).cast("int") % 2 == 0, F.lit(20)
+    ).otherwise(F.lit(60))
+    return (
+        docs.withColumn("rate_pct", rate)
+        .filter(_hash_bucket(F.col("doc_id"), "samp") < F.col("rate_pct"))
+        .select("doc_id", "source", "rate_pct")
+    )
+
+
+# --- PII scrubbing ----------------------------------------------------
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+# The synthetic corpus carries no PII, so both engines inject
+# deterministic markers first — the redaction is then exercised on
+# every 5th/7th/11th document and verified by md5 of the scrubbed text.
+_AUG_SQL = """concat(text,
+  CASE WHEN doc_id % 7 = 0
+       THEN concat(' reach me at user', CAST(doc_id AS VARCHAR), '@example.com')
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-0142' ELSE '' END,
+  CASE WHEN doc_id % 11 = 0
+       THEN concat(' host 10.0.', CAST(doc_id % 200 AS VARCHAR), '.1')
+       ELSE '' END)"""
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+scrub AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{_EMAIL}', '<EMAIL>', 'g'),
+             '{_PHONE}', '<PHONE>', 'g'),
+             '{_IP}', '<IP>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE}')) AS n_phones,
+       len(regexp_extract_all(t, '{_IP}')) AS n_ips,
+       length(clean) AS clean_len,
+       md5(clean) AS clean_md5
+FROM scrub
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails, phone numbers, and IPv4 addresses are
+    replaced by typed placeholders; per-document match counts and the
+    md5 of the scrubbed text prove byte-exact redaction. Pure JVM
+    regex per row — saturates scan bandwidth, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 415-555-0142")).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(""),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+        ),
+        _IP,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_IP), F.lit(0))).alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# --- text normalization ----------------------------------------------
+
+
+@register(
+    "text_normalize",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, length(text) AS original_len,
+         trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, original_len, length(norm) AS norm_len, md5(norm) AS norm_md5
+FROM n
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before fingerprinting: lowercase, strip
+    non-printable/non-ASCII, collapse runs of spaces, trim. The md5 of
+    the normalized text is the cross-engine witness that both engines
+    produced identical bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^ -~]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("original_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+# --- int8 embedding quantization -------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       len(list_filter(qv, x -> abs(x) >= 127)) AS n_sat
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x| / 127) —
+    the 4x memory cut an ANN serving tier takes before indexing.
+
+    The quantized array itself stays internal (row canonicalizers
+    can't hash arrays — the agg_approx_distinct lesson); the emitted
+    witnesses (sum, min, max, saturation count) pin every element
+    exactly. Math is IEEE-double only, ties via floor(x + 0.5), so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    scale = F.greatest(mx, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.size(F.filter(q, lambda x: F.abs(x) >= 127)).alias("n_sat"),
+    )
+
+
+# --- two-phase salted aggregation (skew-safe shape) -------------------
+
+_AGG_SALT = 16
+
+
+@register(
+    "skew_agg_twophase",
+    oracle="""
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def skew_agg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation: phase 1 groups on
+    (key, salt) so one hot key spreads over 16 reducers; phase 2 merges
+    the 16 partials per key — the shuffle carrying full rows is keyed
+    by (key, salt), and only tiny partials move on the bare key.
+
+    Spark's hash aggregate already does map-side partials; the salt
+    adds the REDUCER-side spreading partials can't: when one key's
+    partials alone overwhelm a task (true hot-key skew at 100 TB),
+    phase-2 input per key is bounded by the salt count, not the data.
+    Decomposable aggregates (sum, count -> avg) re-compose exactly;
+    DECIMAL partials keep the re-composition order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_AGG_SALT))
+    )
+    partial = salted.groupBy("l_suppkey", "salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("s").cast("double").alias("total_qty"),
+        F.sum("c").alias("n_items"),
+        (F.sum("s").cast("double") / F.sum("c")).alias("avg_qty"),
+    )
