@@ -164,6 +164,32 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """``binaryFile`` source: one row per file with (path,
+    modificationTime, length, content) — the ingestion path for
+    multimodal corpora (images/audio/video as opaque bytes + typed
+    metadata, SURVEY §2.2 multimodal row). ``glob`` filters at listing
+    time (``pathGlobFilter``), so unmatched files are never opened;
+    the scan moves bytes, it never decodes."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark; columnar with predicate pushdown
+    like parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (gated): requires the vendor driver jar on the
     classpath; raises a clear error when absent (this image ships no

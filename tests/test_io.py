@@ -121,3 +121,38 @@ def test_whole_text_files(spark, tmp_path):
     df = mio.whole_text_files(spark, str(d))
     got = {r.filename.split("/")[-1]: r.content for r in df.collect()}
     assert got == {"a.txt": "alpha beta", "b.txt": "gamma"}
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile source -> extract_features: real files on disk become
+    (doc_id, payload) rows and the header parser returns true
+    dimensions — the end-to-end multimodal ingestion path."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_spark.operators.multimodal import extract_features
+
+    d = tmp_path / "media"
+    d.mkdir()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (320).to_bytes(4, "big") + (240).to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])  # RGBA
+        + b"\x00\x00\x00\x00"
+    )
+    (d / "img1.png").write_bytes(png)
+    (d / "skip.txt").write_text("not media")
+    df = mio.read_binary_files(spark, str(d), glob="*.png")
+    assert df.count() == 1  # pathGlobFilter pruned the .txt at listing
+    rows = extract_features(
+        df.select(F.lit(1).cast("long").alias("doc_id"), F.col("content").alias("payload"))
+    ).collect()
+    assert (rows[0].width, rows[0].height, rows[0].channels) == (320, 240, 4)
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation.orc")
+    nation = mio.load_table(spark, sf_dir, "nation")
+    mio.write_orc(nation, out)
+    back = mio.read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

@@ -87,3 +87,32 @@ def test_minhash_verify_joins_only_candidates(spark, sf_dir):
         # each collect_set aggregate must sit above a LeftSemi join
         for b in agg_blocks:
             assert "LeftSemi" in b, f"{name}: collect_set not gated by semi-join"
+
+
+def test_pipeline_projections_do_not_shuffle(spark, sf_dir):
+    """Splits, sampling, scrubbing, normalization, quantization are
+    per-row projections/filters — their physical plans must contain NO
+    exchange at all (scan-bandwidth-bound at any scale)."""
+    for name in (
+        "split_train_val_test",
+        "stratified_sample",
+        "pii_scrub",
+        "text_normalize",
+        "embedding_quantize",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_skew_agg_shuffles_rows_on_salted_key_only(spark, sf_dir):
+    """Two-phase salted aggregation: the full-row shuffle is keyed by
+    (l_suppkey, salt); the bare-key shuffle moves only partials. Both
+    phases keep partial_* aggregates (map-side combine)."""
+    plan = plan_of(spark, sf_dir, "skew_agg_twophase")
+    parts = plan.split("Exchange hashpartitioning")
+    assert len(parts) == 3  # exactly two shuffles
+    # plan text is top-down: parts[1] is the final bare-key exchange,
+    # parts[2] the phase-1 row shuffle keyed by (l_suppkey, salt)
+    assert "l_suppkey" in parts[1][:120] and "salt" not in parts[1][:120]
+    assert "l_suppkey" in parts[2][:120] and "salt" in parts[2][:120]
+    assert "partial" in plan
