@@ -180,3 +180,68 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@register(
+    "gap_fill_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx FROM hourly GROUP BY 1),
+spine AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS hb FROM bounds),
+j AS (
+  SELECT s.user_id, s.hb, COALESCE(h.n, 0) AS n, h.total
+  FROM spine s LEFT JOIN hourly h USING (user_id, hb)
+)
+SELECT user_id, hb, n, (n = 0) AS is_gap,
+       last_value(total IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY hb ROWS UNBOUNDED PRECEDING)
+         AS filled_total
+FROM j
+""",
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate each user's complete hourly
+    spine (min..max observed hour), zero-fill event counts, and
+    forward-fill the hourly total into gap hours — the densification
+    step feature pipelines and downsampled dashboards need.
+
+    Hour buckets are epoch-hour integers (``ts_us div 3600e6``), so the
+    result is independent of session timezone and timestamp precision.
+
+    Scale shape: one partial-agg'd groupBy to hourly, a tiny per-user
+    bounds aggregate, a narrow ``sequence``+``explode`` spine (rows =
+    user-hours, the OUTPUT size — no blowup beyond it), one shuffled
+    left join on (user_id, hb), and a per-user window for the forward
+    fill. Nothing quadratic; state per user bounded by its hour range.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long")
+    hourly = ev.groupBy("user_id", hb.alias("hb")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hb").alias("mn"), F.max("hb").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hb")
+    )
+    j = spine.join(hourly, ["user_id", "hb"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.coalesce("n", F.lit(0)).alias("n")
+    return j.select(
+        "user_id",
+        "hb",
+        n,
+        (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
+        F.last("total", ignorenulls=True).over(w).alias("filled_total"),
+    )

@@ -4,14 +4,19 @@ case the LLM-pipeline operators exist for.
     raw documents
       → quality gate (text_analysis.text_quality verdict)
       → exact dedup (lowest doc_id per content fingerprint survives)
-      → near-dup removal (MinHash-LSH pairs; higher doc_id dropped)
+      → near-dup removal (MinHash-LSH pairs → connected components;
+        only each duplicate CLUSTER's canonical member survives —
+        transitive chains A~B~C collapse to one doc even when A~C
+        itself sits below threshold)
       → annotation (predicted language, token counts)
+      → deterministic train/val/test assignment (stable hash split)
       → parquet, partitioned by predicted language
 
 Scale shape: two narrow projections, one fingerprint groupBy, the LSH
-candidate join (no pairwise blowup), one broadcast anti-join against
-the drop list, and a partitioned write — nothing quadratic, nothing
-driver-side.
+candidate join (no pairwise blowup), label propagation over the tiny
+dup-pair graph, one broadcast anti-join against the drop list, and a
+partitioned write — nothing quadratic, nothing driver-side except the
+component loop's per-round convergence scalar.
 """
 
 from __future__ import annotations
@@ -20,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
-from map_reduce_spark.operators.dedup import dedup_exact, dedup_minhash_lsh
+from map_reduce_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    dedup_minhash_lsh,
+)
+from map_reduce_spark.operators.pipeline_ops import _hash_bucket
 from map_reduce_spark.operators.text_analysis import lang_id, text_quality, token_count
 
 
@@ -44,11 +54,13 @@ def prepare_training_data(
         F.col("keep_id").alias("doc_id")
     )
 
-    # 3. near-dup removal: for every verified LSH pair, drop the higher id
+    # 3. near-dup removal: resolve verified LSH pairs into transitive
+    # clusters; everything but each cluster's canonical (min-id) member
+    # is dropped
     near_drop = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        connected_components(dedup_minhash_lsh(spark, sf_dir))
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
     )
 
     survivors = (
@@ -57,14 +69,24 @@ def prepare_training_data(
         .join(F.broadcast(near_drop), "doc_id", "left_anti")
     )
 
-    # 4. annotate
+    # 4. annotate + stable split assignment
+    b = _hash_bucket(F.col("doc_id"), "split")
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     annotated = (
         survivors.join(lang_id(spark, sf_dir).select("doc_id", "pred_lang"), "doc_id")
         .join(
             token_count(spark, sf_dir).select("doc_id", "n_tokens", "n_chars_actual"),
             "doc_id",
         )
-        .select("doc_id", "text", "source", "pred_lang", "n_tokens", "n_chars_actual")
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            "pred_lang",
+            "n_tokens",
+            "n_chars_actual",
+            split.alias("split"),
+        )
     )
 
     if out_dir is not None:

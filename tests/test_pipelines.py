@@ -39,3 +39,17 @@ def test_prepare_training_data(spark, sf_dir, tmp_path):
     # deterministic across runs
     again = prepare_training_data(spark, sf_dir)
     assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}
+
+
+def test_prepare_training_data_split_column(spark, sf_dir):
+    from map_reduce_spark.pipelines import prepare_training_data
+
+    rows = prepare_training_data(spark, sf_dir).collect()
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # split agrees with the registered split operator on shared docs
+    from map_reduce_spark.operators.pipeline_ops import split_train_val_test
+
+    expected = {
+        r.doc_id: r.split for r in split_train_val_test(spark, sf_dir).collect()
+    }
+    assert all(expected[r.doc_id] == r.split for r in rows)
