@@ -236,3 +236,22 @@ def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",") -> None:
     df.write.mode(mode).option("header", "true").option("sep", sep).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int, sort: bool = True
+) -> None:
+    """Persist ``df`` as a managed parquet table bucketed (and
+    optionally sorted) by ``key``.
+
+    Bucketing is the at-rest co-location strategy for 100 TB fact-fact
+    joins: two tables bucketed by the same key into the same bucket
+    count join with NO exchange on either side (asserted in
+    tests/test_bucketing.py) — the shuffle is paid once at write time,
+    then every downstream join/aggregation on that key is
+    shuffle-free. ``sortBy`` additionally lets sort-merge join skip
+    its per-partition sort."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)

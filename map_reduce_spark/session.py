@@ -52,6 +52,12 @@ def get_spark(app_name: str = "map_reduce_spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # managed-table location for bucketed tables (kept out of the
+        # repo; on a cluster this is the metastore-governed warehouse)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
