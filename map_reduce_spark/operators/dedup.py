@@ -482,8 +482,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- portable-hash MinHash-LSH (fully oracle-verified variant) --------
 
-_PORTABLE_LSH_ORACLE = f"""
-WITH sh AS (
+# CTE block ending in `pairs` (the verified near-dup pairs) — shared by
+# the standalone portable-LSH oracle and the end-to-end pipeline oracle
+# (map_reduce_spark.pipelines), so both verify the identical band math.
+PORTABLE_PAIRS_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLE_SQL}) AS t
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
@@ -506,13 +508,19 @@ cand AS (
 sets AS (
   SELECT doc_id, {_SHINGLE_SQL} AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-)
-SELECT doc_a, doc_b,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
-FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id
-WHERE len(list_intersect(a.s, b.s)) * 1.0
-      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(a.s, b.s)) * 1.0
+               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+)"""
+
+_PORTABLE_LSH_ORACLE = f"""
+WITH {PORTABLE_PAIRS_CTES}
+SELECT doc_a, doc_b, jac FROM pairs
 """
 
 

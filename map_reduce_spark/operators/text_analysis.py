@@ -34,11 +34,9 @@ def _sql_hits(lang: str) -> str:
     return f"len(list_intersect(string_split(lower(text), ' '), [{words}]))"
 
 
-@register(
-    "lang_id",
-    oracle=f"""
-SELECT doc_id, lang,
-       CASE
+# SQL form of the argmax-with-fixed-tie-order prediction; shared with
+# the end-to-end pipeline oracle (map_reduce_spark.pipelines)
+PRED_LANG_SQL = f"""CASE
          WHEN {_sql_hits('en')} >= {_sql_hits('es')}
           AND {_sql_hits('en')} >= {_sql_hits('de')}
           AND {_sql_hits('en')} >= {_sql_hits('fr')} THEN 'en'
@@ -46,7 +44,13 @@ SELECT doc_id, lang,
           AND {_sql_hits('es')} >= {_sql_hits('fr')} THEN 'es'
          WHEN {_sql_hits('de')} >= {_sql_hits('fr')} THEN 'de'
          ELSE 'fr'
-       END AS pred_lang
+       END"""
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+SELECT doc_id, lang, {PRED_LANG_SQL} AS pred_lang
 FROM documents
 """,
 )

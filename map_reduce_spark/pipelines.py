@@ -26,20 +26,38 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
 from map_reduce_spark.operators.dedup import (
+    PORTABLE_PAIRS_CTES,
     connected_components,
     dedup_exact,
     dedup_minhash_lsh,
+    dedup_minhash_lsh_portable,
 )
-from map_reduce_spark.operators.pipeline_ops import _hash_bucket
-from map_reduce_spark.operators.text_analysis import lang_id, text_quality, token_count
+from map_reduce_spark.operators.pipeline_ops import _hash_bucket, _sql_bucket
+from map_reduce_spark.operators.text_analysis import (
+    PRED_LANG_SQL,
+    lang_id,
+    text_quality,
+    token_count,
+)
+from map_reduce_spark.registry import register
 
 
 def prepare_training_data(
-    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    lsh_fn=None,
 ) -> DataFrame:
     """Run the full preparation chain; optionally write the result
     partitioned by predicted language. Returns the prepared frame
-    (doc_id, text, source, pred_lang, n_tokens, n_chars_actual)."""
+    (doc_id, text, source, pred_lang, n_tokens, n_chars_actual, split).
+
+    ``lsh_fn`` selects the near-dup pair generator: the default is the
+    fast engine-hash variant (``dedup_minhash_lsh``); the registered
+    oracle twin passes the portable-hash variant so the WHOLE composed
+    pipeline is reproduced by DuckDB."""
+    if lsh_fn is None:
+        lsh_fn = dedup_minhash_lsh
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. quality gate
@@ -58,7 +76,7 @@ def prepare_training_data(
     # clusters; everything but each cluster's canonical (min-id) member
     # is dropped
     near_drop = (
-        connected_components(dedup_minhash_lsh(spark, sf_dir))
+        connected_components(lsh_fn(spark, sf_dir))
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )
@@ -92,3 +110,48 @@ def prepare_training_data(
     if out_dir is not None:
         annotated.write.mode("overwrite").partitionBy("pred_lang").parquet(out_dir)
     return annotated
+
+
+# End-to-end oracle: the ENTIRE composed pipeline — portable-LSH band
+# math, exact-Jaccard verify, transitive component closure, quality
+# gate, exact dedup, language prediction, token counts, hash split —
+# reproduced in one DuckDB statement from shared SQL fragments, so the
+# Spark chain and the oracle can only agree by computing the same thing
+# end to end.
+_PREP_ORACLE = f"""
+WITH RECURSIVE {PORTABLE_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, w) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w
+),
+near_drop AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v != MIN(w)
+),
+exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT doc_id, text, source,
+       {PRED_LANG_SQL} AS pred_lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       CASE WHEN {_sql_bucket('doc_id', 'split')} < 80 THEN 'train'
+            WHEN {_sql_bucket('doc_id', 'split')} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+WHERE length(text) >= 200
+  AND len(string_split(text, ' ')) >= 30
+  AND doc_id IN (SELECT doc_id FROM exact_keep)
+  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""
+
+
+@register("prepare_training_data", oracle=_PREP_ORACLE)
+def prepare_training_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline as a registered, fully-oracled query
+    (portable-LSH variant so every stage is DuckDB-reproducible)."""
+    return prepare_training_data(spark, sf_dir, lsh_fn=dedup_minhash_lsh_portable)
