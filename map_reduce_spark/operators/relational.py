@@ -680,3 +680,116 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return c.unionByName(s)
+
+
+# --- classic TPC-H query shapes over the SQL entry point --------------
+# These three run as literal SQL (spark.sql over registered views) so
+# the engine's subquery machinery — EXISTS, IN + HAVING, outer join
+# with compound ON — is exercised through the parser/analyzer, not just
+# the DataFrame API. Catalyst rewrites EXISTS/IN to semi joins; the
+# date filter pushes to the orders scan. (TPC-H Q4/Q13/Q18 shapes,
+# adapted to the driver tables' columns.)
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS subquery, planned as a left-semi
+    join with the date filter pushed to the orders scan."""
+    from map_reduce_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer join with a compound ON predicate (the filter
+    belongs to the JOIN, not a WHERE — moving it would change nulls),
+    then a distribution over the per-customer counts (two shuffles:
+    custkey, then count)."""
+    from map_reduce_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+          GROUP BY c_custkey
+        ) t
+        GROUP BY c_count
+        """
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN + GROUP BY + HAVING subquery (an aggregated semi
+    join) feeding a three-way join and final rollup. Exact DECIMAL
+    sums keep the HAVING threshold and output bit-identical across
+    engines."""
+    from map_reduce_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
