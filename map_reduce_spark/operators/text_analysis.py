@@ -263,3 +263,65 @@ def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "tokenize_to_ids",
+    oracle="""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok
+  FROM base, UNNEST([{'pos': i, 'tok': w[i]} FOR i IN range(1, len(w)+1)]) AS u(s)
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS token_id
+  FROM counts QUALIFY token_id <= 1000
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(COALESCE(v.token_id, 0) * t.pos) AS BIGINT) AS ids_checksum
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+""",
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application — the tokenization-to-ids step of a
+    training pipeline: build the top-1000 vocabulary (count desc, token
+    asc — deterministic), broadcast it, and map every positional token
+    to its id (OOV -> 0 in the checksum, counted separately).
+
+    The id sequence itself stays internal (arrays don't hash in row
+    canonicalizers); the position-weighted checksum pins every (pos,
+    id) pair exactly, so a single transposition changes the output.
+
+    Scale shape: the vocab is derived with the scale-safe global rank
+    (no single-partition window), is tiny by construction, and is
+    BROADCAST to the token stream — the corpus-wide explode never
+    shuffles for the lookup; the only row shuffle is the final groupBy
+    doc_id, which the posexplode preserves from the upstream
+    repartition.
+    """
+    from map_reduce_spark.io import parallelize_if_narrow
+    from map_reduce_spark.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize_if_narrow(docs, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vocab = global_row_number(
+        counts, [F.col("cnt").desc(), F.col("tok")], out="token_id"
+    ).filter(F.col("token_id") <= 1000)
+    joined = toks.join(F.broadcast(vocab.select("tok", "token_id")), "tok", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("token_id").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov"),
+        F.sum(F.coalesce("token_id", F.lit(0)) * (F.col("pos") + 1))
+        .cast("long")
+        .alias("ids_checksum"),
+    )

@@ -349,3 +349,16 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> in
     )
     q.awaitTermination()
     return len(seen)
+
+
+@register(
+    "streaming_stateful_counts",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``
+    running per-user counters in the state store): with NoTimeout and a
+    finite AvailableNow source, each user's final emitted total must
+    equal the batch COUNT(*) — which is exactly what the oracle checks,
+    making the custom-state path hash-verifiable, not just smoke-run."""
+    return run_stateful_user_counts(spark, sf_dir)
