@@ -77,3 +77,48 @@ def test_pii_scrub_redacts_injected_markers(spark, sf_dir):
         | ((F.col("doc_id") % 11 == 0) & (F.col("n_ips") < 1))
     ).count()
     assert bad == 0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check on random graphs: label propagation must agree
+    with a plain union-find on every component assignment."""
+    import random
+
+    def union_find_components(edges, verts):
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # path-compress fully, then map every vertex to its component min
+        comp = {}
+        for v in verts:
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(1, 2 * n))
+            }
+        )
+        verts = sorted({v for e in edges for v in e})
+        from map_reduce_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], schema="doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.component for r in connected_components(pairs).collect()
+        }
+        assert got == union_find_components(edges, verts), (trial, edges)
