@@ -1,0 +1,390 @@
+"""Corpus-quality operators for LLM training-data curation.
+
+Beyond dedup/similarity (dedup.py, similarity.py) and per-doc stats
+(text_analysis.py), a production data pipeline needs:
+
+- benchmark CONTAMINATION detection (does a training doc share long
+  n-grams with an evaluation set? — the GPT-3/PaLM 13-gram method,
+  sized down to 8-grams for this corpus),
+- REPETITION filtering (Gopher rules: duplicate-n-gram fraction and
+  most-frequent-bigram dominance),
+- lexical RANKING (BM25 over an inverted index — retrieval-style
+  quality scoring and search over the corpus),
+- an INVERTED INDEX as first-class posting rows.
+
+All operators are pure DataFrame ops (no Python row path) with DuckDB
+oracles. Tokenization follows the corpus convention used across the
+engine: whitespace `split(text, ' ')` (documents are synthetic
+space-separated words, see TESTDATA.md).
+
+Reference parity: the reference engine's only text analytics is word
+count (`/root/reference/lib/word_count.ex:1-14`); this family extends
+the same tokenize→aggregate dataflow to curation-grade operators per
+the build brief.
+
+Scale posture (100 TB):
+- n-gram explodes are doc-local (keys carry doc_id), so every groupBy
+  here partial-aggregates map-side and shuffles only (gram, count)
+  pairs — never document text;
+- the benchmark side of contamination is tiny by construction (an eval
+  suite), broadcast to every executor; the corpus side streams through
+  one narrow explode + hash join, no corpus-wide shuffle;
+- BM25's document-frequency and avgdl relations reduce to tiny
+  aggregates (vocab-sized / 1 row) and broadcast back; the only big
+  shuffle is tf per (doc, term), already restricted to query terms;
+- the inverted index is the materialization a real system would bucket
+  by term — emitted as posting ROWS (term, doc, tf, first_pos), the
+  layout that bucketed/partitioned parquet wants, not driver-side
+  arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table, parallelize_if_narrow
+from map_reduce_spark.registry import register
+
+
+def _grams(n: int, col: str = "text"):
+    """Non-distinct word n-grams (order preserved), Spark side.
+
+    Mirrors dedup._shingles but keeps duplicates — repetition metrics
+    need multiplicity. Short docs (< n tokens) yield one truncated
+    gram, same as the oracle's `range(1, greatest(len-n+1, 1)+1)`.
+    """
+    words = F.split(F.col(col), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def _grams_sql(n: int) -> str:
+    """The identical n-gram list in DuckDB SQL (1-based inclusive slice)."""
+    return (
+        f"[array_to_string(w[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(w) - {n - 1}, 1) + 1)]"
+    )
+
+
+# --- benchmark contamination (eval-set n-gram overlap) ----------------
+
+BENCH_MOD = 25  # doc_id % 25 == 0 -> the held-out "benchmark suite"
+CONTAM_N = 8  # shared-8-gram threshold (13 in GPT-3; docs here are short)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({_grams_sql(CONTAM_N)})) AS gram FROM t),
+bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % {BENCH_MOD} = 0)
+SELECT g.doc_id, bench.bench_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id <> bench.bench_id AND g.doc_id % {BENCH_MOD} <> 0
+GROUP BY g.doc_id, bench.bench_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: training docs sharing >=1 distinct
+    8-gram with any doc of the (deterministic) benchmark subset.
+
+    Plan: the benchmark gram set is tiny (an eval suite) and is
+    BROADCAST; the corpus side is one narrow explode into a broadcast
+    hash join — no corpus shuffle until the (doc, bench) pair counts,
+    which are candidate-sized. At 100 TB this is the shape that works:
+    eval suites are MBs, the corpus never moves.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(_grams(CONTAM_N))).alias("gram")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
+# --- Gopher-style repetition metrics ----------------------------------
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g5 AS (SELECT doc_id, {_grams_sql(5)} AS g FROM t),
+g2 AS (SELECT doc_id, unnest({_grams_sql(2)}) AS gram FROM t),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+top2 AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n2 FROM cnt GROUP BY doc_id)
+SELECT g5.doc_id,
+       CAST(len(g) AS BIGINT) AS n_5grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_unique_5grams,
+       round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6) AS dup_5gram_frac,
+       round(top_c * 1.0 / n2, 6) AS top_2gram_frac,
+       (1.0 - len(list_distinct(g)) * 1.0 / len(g) <= 0.6
+        AND top_c * 1.0 / n2 <= 0.2) AS keep
+FROM g5 JOIN top2 ON g5.doc_id = top2.doc_id
+""",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-5-gram fraction and
+    most-frequent-bigram dominance, with the keep/drop verdict.
+
+    The keep predicate evaluates on UNROUNDED ratios in both engines
+    (ADVICE r01: filter-then-round asymmetry); the displayed fractions
+    round to 6dp. dup-frac is computed narrowly (array sizes, no
+    shuffle); the bigram mode needs per-(doc, gram) counts — two
+    doc_id-keyed partial-agg shuffles of counts only.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    g5 = docs.select(
+        "doc_id",
+        F.size(_grams(5)).cast("bigint").alias("n_5grams"),
+        F.size(F.array_distinct(_grams(5))).cast("bigint").alias("n_unique_5grams"),
+    )
+    top2 = (
+        docs.select("doc_id", F.explode(_grams(2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n2"))
+    )
+    dup_frac = F.lit(1.0) - F.col("n_unique_5grams") / F.col("n_5grams")
+    top_frac = F.col("top_c") / F.col("n2")
+    return (
+        g5.join(top2, "doc_id")
+        .select(
+            "doc_id",
+            "n_5grams",
+            "n_unique_5grams",
+            F.round(dup_frac, 6).alias("dup_5gram_frac"),
+            F.round(top_frac, 6).alias("top_2gram_frac"),
+            ((dup_frac <= 0.6) & (top_frac <= 0.2)).alias("keep"),
+        )
+    )
+
+
+# --- inverted index + BM25 ranking ------------------------------------
+
+
+@register(
+    "inverted_index",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents)
+SELECT term, doc_id,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM p
+GROUP BY term, doc_id
+""",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index as posting rows: (term, doc_id, tf, first
+    occurrence position, 1-based).
+
+    Posting ROWS, not collected lists — the layout that scales (a real
+    deployment writes this partitioned/bucketed by term; arrays would
+    concentrate hot terms in single rows and defeat the driver's
+    canonicalizer besides). posexplode gives positions without a
+    second pass.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            (F.min("pos") + 1).cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
+SELECT term, c, round(c * 1.0 / n, 6) AS frac
+FROM cnt, tot
+WHERE c * 50 > n
+""",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items mining: every token above 2% corpus support,
+    with exact counts (support threshold as a broadcast scalar).
+
+    The threshold comparison is pure-integer (``c * 50 > n``) — no
+    ratio floats in the predicate. Scale: per-term counts partial-
+    aggregate map-side (vocab-sized shuffle); the total is a 1-row
+    broadcast. This exact plan IS the scale path — a Misra-Gries
+    sketch would only save the one vocab-sized shuffle and lose
+    exactness; vocabulary size, not corpus size, bounds the state.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        cnt.join(F.broadcast(tot))
+        .filter(F.col("c") * 50 > F.col("n"))
+        .select("term", "c", F.round(F.col("c") / F.col("n"), 6).alias("frac"))
+    )
+
+
+@register(
+    "unigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+lp AS (SELECT term, CAST(round(ln(c * 1.0 / n), 9) AS DECIMAL(18,9)) AS logp
+       FROM cnt, tot),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_lp
+  FROM tok JOIN lp USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(avg_lp, 6) AS avg_logprob,
+       CASE WHEN avg_lp >= -3.400 THEN 'high'
+            WHEN avg_lp >= -3.405 THEN 'mid'
+            ELSE 'low' END AS ppl_bucket
+FROM per_doc
+""",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: per-doc average unigram
+    log-probability under the corpus's own unigram distribution, with
+    perplexity-bucket labels — the cheap stand-in for LM-perplexity
+    filtering (no model weights in this container; the Spark plumbing
+    is what a real scorer would use, with logp coming from a model
+    instead of `ln(count/total)`).
+
+    Determinism: per-term logp is ln of one exact ratio, rounded to a
+    9dp DECIMAL grid (absorbs any ulp differences in ln across
+    engines); doc sums are decimal (order-free); the bucket CASE
+    evaluates on the unrounded average identically in both engines.
+    Scale: the unigram table is vocab-sized and broadcast; tokens
+    stream through one narrow explode + broadcast join, then one
+    doc_id-keyed partial-agg shuffle of (count, decimal-sum) pairs.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    lp = (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "term",
+            F.round(F.log(F.col("c") / F.col("n")), 9)
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_lp"),
+        )
+    )
+    bucket = (
+        F.when(F.col("avg_lp") >= -3.400, "high")
+        .when(F.col("avg_lp") >= -3.405, "mid")
+        .otherwise("low")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_lp", 6).alias("avg_logprob"),
+        bucket.alias("ppl_bucket"),
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "query", "window")
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('spark', 'query', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+       WHERE term IN ('spark', 'query', 'window') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({BM25_K1} + 1.0)
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)),
+         9) AS DECIMAL(18,9)) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 15
+""",
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 docs for a fixed term query (Okapi, k1=1.2, b=0.75,
+    the +1 idf variant that keeps scores positive).
+
+    Determinism: each per-term score is one double expression over
+    exact inputs (tf/df/dl are bigints; avgdl is one division), rounded
+    to a 9dp grid and DECIMAL-summed across terms (order-free), then
+    rounded to 6dp. The one engine-dependent primitive is ln(), which
+    both JVMs and DuckDB compute within 1 ulp — absorbed by the grids.
+
+    Plan: df and corpus stats reduce to vocab-sized/1-row relations and
+    broadcast; tf restricts to query terms BEFORE its groupBy, so the
+    only real shuffle carries (doc, term, count) for matching docs.
+    Top-k is TakeOrderedAndProject with doc_id tiebreak.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    hits = toks.filter(F.col("term").isin(*BM25_QUERY))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = hits.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    per_term = F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", per_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )

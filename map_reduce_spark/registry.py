@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.subqueries",
     "map_reduce_spark.operators.tpch",
     "map_reduce_spark.operators.corpus_quality",
+    "map_reduce_spark.operators.functions_extra",
     "map_reduce_spark.operators.pipeline_ops",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",

@@ -282,6 +282,102 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fp")
 
 
+@register(
+    "streaming_static_join",
+    oracle="""
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a batch
+    dimension (customer segment), then incrementally aggregated.
+
+    The static side is planned as a broadcast hash join against every
+    micro-batch — the standard dimension-enrichment topology (stream
+    from Kafka, dims from a warehouse snapshot). Complete-mode totals
+    must equal the batch join+aggregate, which the oracle checks.
+    """
+    from map_reduce_spark.io import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plan = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    return _run_to_table(plan, "stream_static_join", "complete")
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT)
+         AS gap_s
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    click→purchase attribution within 10 minutes, per user.
+
+    Both sides carry watermarks and the join carries the time-range
+    constraint, so the state store can evict rows once the watermark
+    passes — the bounded-state topology for funnels/attribution at
+    scale. With AvailableNow over a finite source every qualifying pair
+    is emitted, so the result equals the batch self-join (the oracle).
+    gap_s subtracts truncated epoch seconds (unix_timestamp), TZ-free.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out = _run_to_table(joined, "stream_stream_join", "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "gap_s"
+        ),
+    )
+
+
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a running per-user event counter held in the state store.

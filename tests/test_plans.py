@@ -116,3 +116,47 @@ def test_skew_agg_shuffles_rows_on_salted_key_only(spark, sf_dir):
     assert "l_suppkey" in parts[1][:120] and "salt" not in parts[1][:120]
     assert "l_suppkey" in parts[2][:120] and "salt" in parts[2][:120]
     assert "partial" in plan
+
+
+def test_tpch_scalar_thresholds_are_broadcast(spark, sf_dir):
+    """Q11/Q15/Q22: the 1-row scalar threshold joins must be broadcast,
+    never a shuffle of the big side against a single-row relation."""
+    for name in ("q11_important_stock", "q15_top_supplier", "q22_idle_customers"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_extracts_equi_join_key(spark, sf_dir):
+    """The OR-of-ANDs predicate must not force a nested-loop join: the
+    common p_partkey = l_partkey conjunct becomes the hash-join key."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_join")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_self_joins_are_semi_and_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_contamination_benchmark_is_broadcast(spark, sf_dir):
+    """The eval-suite gram set must broadcast; the corpus side must not
+    shuffle before the join."""
+    plan = plan_of(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bm25_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # df + corpus stats sides
+
+
+def test_unigram_model_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "unigram_logprob")
+    assert "BroadcastHashJoin" in plan  # vocab-sized logp table
