@@ -1,0 +1,73 @@
+"""Checkpoint recovery: a restarted stream must resume from its
+checkpoint — no reprocessing of already-committed source files, and a
+final result identical to the batch answer over everything seen.
+
+This is the streaming half of the fault-tolerance parity story
+(tests/test_fault_tolerance.py covers task retry): the reference
+re-executes a dead worker's whole backlog (master.ex:89-101) and can
+double-write (worker.ex:124,147); Structured Streaming's checkpoint
+commits source offsets per micro-batch, so a restart is exactly-once
+with respect to the file source.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_spark.streaming.jobs import DOCS_SCHEMA, streaming_word_count_plan
+
+
+def _run_available_now(spark, src_dir: str, chk_dir: str, name: str):
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        streaming_word_count_plan(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows_in = sum(p["numInputRows"] for p in (q.recentProgress or []))
+    return spark.table(name), rows_in
+
+
+
+def test_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_total = docs.count()
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+
+    # phase 1: only the first slice exists; stream runs to completion
+    first.coalesce(1).write.mode("append").parquet(src)
+    out1, rows1 = _run_available_now(spark, src, chk, "recov_phase1")
+    assert rows1 == first.count()
+
+    # phase 2: more files arrive; the SAME checkpoint resumes — it must
+    # read ONLY the new files (offsets for phase 1 are committed)...
+    rest.coalesce(2).write.mode("append").parquet(src)
+    out2, rows2 = _run_available_now(spark, src, chk, "recov_phase2")
+    assert rows2 == rest.count(), "restart reprocessed committed files"
+
+    # ...and the state restored from the checkpoint makes the final
+    # complete-mode counts equal the batch answer over ALL rows.
+    expect = (
+        docs.select(F.explode(F.split("text", "[^a-zA-Z]")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.upper("token").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    got = {r["word"]: r["cnt"] for r in out2.collect()}
+    want = {r["word"]: r["cnt"] for r in expect.collect()}
+    assert got == want
+    assert rows1 + rows2 == n_total
