@@ -388,3 +388,64 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+# --- vocabulary coverage curve ----------------------------------------
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+WITH f AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+top AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rank
+  FROM f QUALIFY rank <= 500
+)
+SELECT rank, term, freq,
+       CAST(SUM(freq) OVER (ORDER BY rank) AS BIGINT) AS cum_freq,
+       ROUND(CAST(SUM(freq) OVER (ORDER BY rank) AS DOUBLE) / total, 6)
+         AS cum_share
+FROM top CROSS JOIN tot
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-building coverage curve: the top-500 terms by corpus
+    frequency (term-asc tiebreak) with cumulative token coverage — the
+    what-vocab-size-covers-X% analysis run before fixing a tokenizer's
+    vocabulary.
+
+    Scale shape: the corpus pass is one partial-agg'd groupBy(term);
+    the top-k is TakeOrderedAndProject. The trailing rank/cumsum window
+    runs over a BOUNDED set (K = 500 rows post-limit), so its single-
+    partition exchange moves 500 rows regardless of corpus size — the
+    documented exception to NOTES rule 13's unbounded-window ban.
+    Integer cumsum; the share ratio is one division, rounded only in
+    the projection.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = freq.agg(F.sum("freq").cast("long").alias("total"))
+    top = freq.orderBy(F.col("freq").desc(), "term").limit(500)
+    from pyspark.sql import Window
+
+    order = [F.col("freq").desc(), F.col("term")]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        "term",
+        "freq",
+        F.sum("freq").over(w_cum).cast("long").alias("cum_freq"),
+        F.round(
+            F.sum("freq").over(w_cum).cast("double") / F.col("total"), 6
+        ).alias("cum_share"),
+    )

@@ -319,3 +319,74 @@ def skew_agg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_items"),
         (F.sum("s").cast("double") / F.sum("c")).alias("avg_qty"),
     )
+
+
+# --- temperature-weighted source mixing -------------------------------
+
+
+@register(
+    "mix_temperature",
+    oracle=f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS wt FROM c),
+sel AS (
+  SELECT d.source
+  FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+  WHERE CAST({_sql_bucket('d.doc_id', 'mix', 1_000_000)} AS BIGINT) * t.wt * c.n_docs
+        < ((t.n * 2) // 5) * c.w * 1000000
+)
+SELECT c.source, c.n_docs, c.w, COALESCE(s.k, 0) AS n_selected
+FROM c LEFT JOIN (SELECT source, COUNT(*) AS k FROM sel GROUP BY source) s
+  ON c.source = s.source
+""",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (alpha = 0.5): sample sources
+    proportionally to sqrt(count) — up-weighting small domains, the
+    standard multilingual/multi-domain rebalancing — targeting 40% of
+    the corpus overall, selected by deterministic md5 bucket.
+
+    The entire accept test is INTEGER math (``bucket * W * c_s <
+    T * w_s * 1e6``): weights are floor(sqrt(c)*1000) BIGINTs (sqrt is
+    IEEE-correctly-rounded in both engines, unlike pow, which is why
+    the temperature is the sqrt point), so no float summation or
+    engine-specific rounding exists anywhere. int64 headroom covers
+    corpora to ~1e8 docs/source; DECIMAL(38,0) is the documented
+    escalation (NOTES rule 2).
+
+    Scale shape: one tiny per-source aggregate broadcast back, then a
+    pure scan-level filter — the sample itself never shuffles (same
+    posture as ``stratified_sample``).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long")
+        )
+    )
+    t = c.agg(
+        F.sum("n_docs").cast("long").alias("n"), F.sum("w").cast("long").alias("wt")
+    )
+    b = _hash_bucket(F.col("doc_id"), "mix", 1_000_000).cast("long")
+    sel = (
+        docs.join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .filter(b * F.col("wt") * F.col("n_docs") < F.expr("((n * 2) div 5) * w * 1000000"))
+        .groupBy("source")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        c.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "w",
+            F.coalesce("k", F.lit(0)).alias("n_selected"),
+        )
+    )

@@ -40,6 +40,8 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.corpus_quality",
     "map_reduce_spark.operators.functions_extra",
     "map_reduce_spark.operators.pipeline_ops",
+    "map_reduce_spark.operators.analytics",
+    "map_reduce_spark.operators.graph",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",
 )
