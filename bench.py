@@ -22,7 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: the flagship pipeline + one representative per operator
 # family (agg, star join, fact join, window, sessionization, dedup
-# exact+fuzzy, similarity, text analysis)
+# exact+fuzzy, similarity, text analysis, event analytics, graph)
 HEADLINE = [
     "mr_pipeline",
     "q1_pricing_summary",
@@ -38,6 +38,8 @@ HEADLINE = [
     "asof_join",
     "text_quality",
     "pivot_event_counts",
+    "funnel_analysis",
+    "textrank_keywords",
 ]
 
 

@@ -190,6 +190,19 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=No
     writer.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str, schema=None) -> DataFrame:
+    """XML source (built into Spark 4): one row per ``row_tag``
+    element, schema inferred or supplied."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (gated): requires the vendor driver jar on the
     classpath; raises a clear error when absent (this image ships no

@@ -1,0 +1,232 @@
+"""Modern Spark-4 SQL surface: recursive CTEs, the VARIANT
+semi-structured type, LATERAL correlated subqueries, and SQL-defined
+functions.
+
+The reference has no SQL entry point at all (SURVEY §0 — its API is a
+mapper/reducer pair); ``sql_api_q6`` established the spark.sql path,
+and this module covers the Spark-4-era SQL features a user migrating a
+modern warehouse workload expects to keep:
+
+- ``recursive_cte`` — WITH RECURSIVE month-spine generation +
+  left-join densification (the classic calendar fill without a
+  sequence() builtin in pure SQL);
+- ``variant_funcs`` — parse_json -> VARIANT -> typed variant_get
+  extraction, aggregated. VARIANT is Spark 4's shredding-friendly
+  semi-structured type: unlike get_json_object (string re-parse per
+  access), the parse happens once and typed access is O(field);
+- ``lateral_topn`` — per-nation top-3 customers via LATERAL
+  (correlated subquery with ORDER BY ... LIMIT), the SQL-standard
+  form of the per-group top-k;
+- ``sql_udf_funcs`` — CREATE TEMPORARY FUNCTION (SQL-defined scalar
+  functions). These inline into Catalyst and stay inside whole-stage
+  codegen — the fast path for user abstraction, vs. Python UDFs which
+  cross the interpreter boundary.
+
+Scale notes: recursion materializes only the spine (rows = distinct
+months — metadata-sized); each iteration is one tiny union step, and
+the join back to the fact aggregate is broadcastable. The LATERAL
+top-k decorrelates over a 25-row outer (broadcast NL join locally);
+at fact-table scale the same semantics should be written as the
+window row_number top-k (``window_row_number_topk``) — documented
+trade, same results. VARIANT extraction and SQL UDFs are pure per-row
+projections: embarrassingly parallel, zero shuffle beyond the final
+aggregate.
+
+Cross-engine determinism: month keys are yyyyMM integers derived by
+calendar formatting (NTZ timestamps — no session-TZ hop, NOTES rule
+6), money sums go through DECIMAL (NOTES rule 1), extracted VARIANT
+fields are integer-typed end to end, and the UDF arithmetic is
+rounded onto the decimal grid before summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.registry import register
+
+
+@register(
+    "recursive_cte",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT CAST(strftime(MIN(o_orderdate), '%Y%m') AS INT) AS mn,
+         CAST(strftime(MAX(o_orderdate), '%Y%m') AS INT) AS mx
+  FROM orders
+),
+months(m) AS (
+  SELECT mn FROM bounds
+  UNION ALL
+  SELECT CASE WHEN m % 100 = 12 THEN m + 89 ELSE m + 1 END
+  FROM months, bounds WHERE m < mx
+),
+rev AS (
+  SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month, COALESCE(rev.n_orders, 0) AS n_orders, rev.revenue
+FROM months LEFT JOIN rev ON months.m = rev.m
+""",
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine over the orders date range,
+    left-joined to monthly revenue (gap months appear with 0 orders).
+
+    The recursion generates one row per calendar month between the
+    min and max order date — a spine whose size is data-INDEPENDENT
+    (months, not rows), so the iterative union is metadata-cheap at
+    any corpus size; the revenue aggregate partial-aggs before its
+    single low-cardinality shuffle, and the spine join broadcasts.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_format(MIN(o_orderdate), 'yyyyMM') AS INT) AS mn,
+                 CAST(date_format(MAX(o_orderdate), 'yyyyMM') AS INT) AS mx
+          FROM rc_orders
+        ),
+        months(m) AS (
+          SELECT mn FROM bounds
+          UNION ALL
+          SELECT CASE WHEN m % 100 = 12 THEN m + 89 ELSE m + 1 END
+          FROM months, bounds WHERE m < mx
+        ),
+        rev AS (
+          SELECT CAST(date_format(o_orderdate, 'yyyyMM') AS INT) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM rc_orders GROUP BY 1
+        )
+        SELECT months.m AS month, COALESCE(rev.n_orders, 0) AS n_orders, rev.revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )
+
+
+@register(
+    "variant_funcs",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""",
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion: parse the events ``props`` JSON once into a
+    VARIANT and aggregate a typed ``variant_get`` field extraction.
+
+    One parse per row (vs. get_json_object's parse-per-access), typed
+    access pushed into codegen; pure projection + one partial-agg'd
+    groupBy — the semi-structured scan profile at any scale. VARIANT
+    is also the column type the engine would persist for open-schema
+    payloads (parquet shredding-ready in Spark 4).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("var_events")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_type,
+                 variant_get(parse_json(props), '$.k', 'bigint') AS k
+          FROM var_events
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(k) AS k_present,
+               SUM(k) AS k_sum,
+               MIN(k) AS k_min,
+               MAX(k) AS k_max
+        FROM v GROUP BY event_type
+        """
+    )
+
+
+@register(
+    "lateral_topn",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t
+""",
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers by account balance via a LATERAL
+    correlated subquery (ORDER BY ... LIMIT inside the lateral) — the
+    SQL-standard per-group top-k form.
+
+    The outer side here is dimension-sized (25 nations), so the
+    correlated plan is broadcast-cheap. When the outer is a fact
+    table, write the same semantics as the window top-k
+    (``window_row_number_topk``) — the decorrelated one-shuffle plan;
+    both forms are part of the engine's surface.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+@register(
+    "sql_udf_funcs",
+    oracle="""
+SELECT CASE WHEN l_extendedprice < 10000 THEN 'low'
+            WHEN l_extendedprice < 40000 THEN 'mid'
+            ELSE 'high' END AS band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS net_revenue
+FROM lineitem GROUP BY 1
+""",
+)
+def sql_udf_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (CREATE TEMPORARY FUNCTION ...
+    RETURN expr) composed in a query: a net-price computation and a
+    price-band classifier.
+
+    SQL UDFs inline into the Catalyst plan — they stay inside
+    whole-stage codegen (verify: the plan shows plain arithmetic, no
+    BatchEvalPython), so user-named abstractions cost nothing at
+    100 TB, unlike interpreter-crossing Python UDFs. The oracle
+    inlines the same expressions by hand.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 10000 THEN 'low' "
+        "WHEN p < 40000 THEN 'mid' ELSE 'high' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("udf_lineitem")
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(net_price(l_extendedprice, l_discount), 4)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS net_revenue
+        FROM udf_lineitem GROUP BY 1
+        """
+    )

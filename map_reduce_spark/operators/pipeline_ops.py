@@ -390,3 +390,68 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("k", F.lit(0)).alias("n_selected"),
         )
     )
+
+
+# --- z-order layout (multi-dimensional clustering) --------------------
+
+_ZBITS = 10
+
+
+def _z_spark(x: str, y: str) -> str:
+    """Bit-interleave two _ZBITS-wide ints (Morton code), Spark SQL."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_duck(x: str, y: str) -> str:
+    """Same Morton interleave in DuckDB's operator syntax."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+SELECT event_id,
+       CAST(user_id % 1024 AS BIGINT) AS x,
+       CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT) AS y,
+       CAST({_z_duck('CAST(user_id % 1024 AS BIGINT)',
+                     'CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT)')}
+            AS BIGINT) AS zval,
+       CAST({_z_duck('CAST(user_id % 1024 AS BIGINT)',
+                     'CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT)')}
+            AS BIGINT) // 4096 AS file_group
+FROM events
+""",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, hour): the
+    multi-dimensional data-layout transform behind Delta/Iceberg's
+    OPTIMIZE ZORDER — rows close in BOTH dimensions land in the same
+    file group, so a scan filtered on either dimension prunes most
+    groups (a linear sort can only serve one dimension).
+
+    Pure integer bit arithmetic (shift/and/add — bit-identical in both
+    engines), zero shuffle for the key computation itself; the layout
+    step at rest is ``repartitionByRange(zval)`` + write, paying one
+    range shuffle at ingest to make every later 2-D-filtered scan
+    prune. Emitted here as (zval, file_group) so the clustering is
+    hash-verifiable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = "CAST(user_id % 1024 AS BIGINT)"
+    y = "CAST((ts_us div 3600000000) % 1024 AS BIGINT)"
+    z = _z_spark(x, y)
+    return ev.select(
+        "event_id",
+        F.expr(x).alias("x"),
+        F.expr(y).alias("y"),
+        F.expr(z).cast("long").alias("zval"),
+        F.expr(f"CAST({z} AS BIGINT) div 4096").alias("file_group"),
+    )

@@ -458,3 +458,111 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch COUNT(*) — which is exactly what the oracle checks,
     making the custom-state path hash-verifiable, not just smoke-run."""
     return run_stateful_user_counts(spark, sf_dir)
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas' driver worker speaks protobuf to the
+    JVM state server (pyspark/sql/streaming/proto/StateMessage_pb2);
+    without the ``protobuf`` package the runner crashes at init. Gate
+    exactly like the jar-less JDBC/Delta sources (io.py)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on the NEW Spark-4 API
+    (``transformWithStateInPandas``): a ``StatefulProcessor`` holding
+    TWO value states per user — running event count and running value
+    total in integer cents.
+
+    vs. ``applyInPandasWithState`` (the previous-generation API, kept
+    in ``run_stateful_user_counts``): the processor object gets an
+    explicit handle with named, independently-typed state variables
+    (value/list/map state), timers, and TTL — the composition surface
+    for real custom operators. State shards by group key across the
+    cluster and survives restarts via the checkpoint, exactly like the
+    old API. Cents are exact integers so the emitted totals are
+    hash-comparable (NOTES rule 1: never a raw float aggregate).
+    """
+    if not _tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark state-server protocol); not installed in this image"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    events = stream_events(spark, sf_dir).select("user_id", "value")
+
+    class UserStats(StatefulProcessor):
+        # self-contained: worker-side imports only (NOTES rule 6)
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+            self._cents = handle.getValueState("cents", "cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            cents = self._cents.get()[0] if self._cents.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._n.update((n,))
+            self._cents.update((cents,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id long, n_events long, value_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_user_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # both counters are monotone across micro-batches, so the final
+    # state is the per-user MAX of each emitted column
+    t = spark.table("tws_user_stats")
+    return t.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_cents").alias("value_cents"),
+    )
+
+
+def streaming_tws_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` stateful processor
+    (two named value states per user) driven to completion on a finite
+    AvailableNow source: final per-user (count, cents-total) must equal
+    the batch aggregate — the new-generation custom-state path is
+    hash-verified, not just smoke-run.
+
+    Registered only when the protobuf dependency for pyspark's state-
+    server protocol is importable (capability gate, like JDBC/Delta);
+    ``applyInPandasWithState`` (streaming_stateful_counts) covers the
+    custom-state category unconditionally."""
+    return run_tws_user_stats(spark, sf_dir)
+
+
+if _tws_available():
+    streaming_tws_stats = register(
+        "streaming_tws_stats",
+        oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+""",
+    )(streaming_tws_stats)

@@ -156,3 +156,11 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     mio.write_orc(nation, out)
     back = mio.read_orc(spark, out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation.xml")
+    nation = mio.load_table(spark, sf_dir, "nation")
+    mio.write_xml(nation, out, row_tag="nation")
+    back = mio.read_xml(spark, out, row_tag="nation").select(*nation.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

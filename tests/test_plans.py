@@ -160,3 +160,53 @@ def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
 def test_unigram_model_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "unigram_logprob")
     assert "BroadcastHashJoin" in plan  # vocab-sized logp table
+
+
+def test_histogram_is_single_pass_partial_agg(spark, sf_dir):
+    """value_histogram: one scan, map-side partials, exactly one
+    exchange on the bucket key — the column-profile shape."""
+    plan = plan_of(spark, sf_dir, "value_histogram")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan
+
+
+def test_anomaly_mad_broadcasts_per_type_stats(spark, sf_dir):
+    """The median/MAD relations are one row per event type — they must
+    broadcast back to the scan, never shuffle the fact side."""
+    plan = plan_of(spark, sf_dir, "anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_funnel_stages_share_the_user_partitioning(spark, sf_dir):
+    """Every funnel exchange is keyed on user_id — co-partitioned end
+    to end; no cartesian or nested-loop anywhere."""
+    plan = plan_of(spark, sf_dir, "funnel_analysis")
+    assert "CartesianProduct" not in plan
+    for part in plan.split("Exchange hashpartitioning")[1:]:
+        assert "user_id" in part[:120]
+
+
+def test_textrank_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "textrank_keywords")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_udfs_stay_in_codegen(spark, sf_dir):
+    """SQL-defined functions must inline into the plan — no Python
+    evaluation node may appear."""
+    plan = plan_of(spark, sf_dir, "sql_udf_funcs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the function bodies appear as plain inlined expressions...
+    assert "CASE WHEN" in plan and "partial_sum" in plan
+    # ...and the scan reads only the two referenced columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_mix_temperature_sample_filter_at_scan(spark, sf_dir):
+    """The accept test is a scan-level filter after two broadcast
+    joins of metadata-sized aggregates — the corpus never shuffles."""
+    plan = plan_of(spark, sf_dir, "mix_temperature")
+    # corpus side: only the tiny per-source aggregates may shuffle
+    for part in plan.split("Exchange hashpartitioning")[1:]:
+        assert "source" in part[:120]

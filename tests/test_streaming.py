@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -80,3 +81,16 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert n >= 1
     out = spark.read.parquet(str(tmp_path / "batch=0"))
     assert out.count() > 0 and set(out.columns) == {"word", "cnt"}
+
+
+def test_tws_gate_matches_capability(spark, sf_dir):
+    """transformWithStateInPandas registers only when its protobuf
+    dependency exists; either way the capability is handled cleanly."""
+    from map_reduce_spark.registry import all_queries
+    from map_reduce_spark.streaming import jobs
+
+    registered = "streaming_tws_stats" in all_queries()
+    assert registered == jobs._tws_available()
+    if not jobs._tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            jobs.run_tws_user_stats(spark, str(sf_dir))
