@@ -203,6 +203,18 @@ def write_xml(df: DataFrame, path: str, row_tag: str, mode: str = "overwrite") -
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source (gated): Avro is an external data source module —
+    requires the spark-avro jar, which this image does not ship."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        raise NotImplementedError(
+            "avro requires the spark-avro jar on the classpath "
+            "(external module since Spark 2.4); not shipped in this image"
+        ) from e
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (gated): requires the vendor driver jar on the
     classpath; raises a clear error when absent (this image ships no

@@ -308,3 +308,110 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly rollup folded
+    incrementally over three disjoint event batches (split by
+    event_id % 3 — standing in for three arrival days) through the
+    MERGE upsert in ``map_reduce_spark.incremental``.
+
+    The oracle is the one-shot aggregate over everything: the fold
+    must be exactly associative — guaranteed because every measure is
+    a decomposable exact integer (count, cents). Each fold shuffles
+    only that batch's partial rollup; state at rest stays keyed by
+    the group key (bucketed on a cluster -> shuffle-free merges).
+    """
+    from map_reduce_spark.incremental import merge_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    state = None
+    for i in range(3):
+        state = merge_rollup(state, ev.filter(F.col("event_id") % 3 == i))
+    return state
+
+
+# ANALYZE-style column statistics: (column, type-tagged min/max,
+# nulls, exact distinct). One pass over the table: a single wide
+# aggregate row, unpivoted to one output row per column.
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_num,
+       CAST(MAX({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+        for c in _PROFILE_NUM
+    ] + [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str
+FROM orders"""
+        for c in _PROFILE_STR
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: per-column row/null/exact-distinct
+    counts and min/max, one output row per column.
+
+    SINGLE pass over the table: all measures computed in one wide
+    aggregate (Spark plans the multi-column COUNT DISTINCT via one
+    Expand — cost ~ columns x rows map-side, still one scan + one
+    shuffle of partials), then unpivoted driver-free with ``stack``.
+    At 100 TB the same shape runs with approx_count_distinct instead
+    of exact distinct — swap documented, exact kept here so the oracle
+    can hash-match.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.min(c).cast("double").alias(f"{c}__minn"),
+            F.max(c).cast("double").alias(f"{c}__maxn"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [F.min(c).alias(f"{c}__mins"), F.max(c).alias(f"{c}__maxs")]
+    wide = o.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            f"'{c}', {c}__rows, {c}__nulls, {c}__dist, "
+            f"{c}__minn, {c}__maxn, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            f"'{c}', {c}__rows, {c}__nulls, {c}__dist, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {c}__mins, {c}__maxs"
+        )
+    stack = (
+        f"stack({len(rows)}, "
+        + ", ".join(rows)
+        + ") AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return wide.select(F.expr(stack))

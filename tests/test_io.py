@@ -81,6 +81,8 @@ def test_gated_connectors_raise_cleanly(spark):
         mio.read_jdbc(spark, "jdbc:postgresql://nowhere/db", "t")
     with pytest.raises(NotImplementedError, match="Delta"):
         mio.read_delta(spark, "/tmp/no-such-delta")
+    with pytest.raises(NotImplementedError, match="avro"):
+        mio.read_avro(spark, "/tmp/no-such-avro")
 
 
 def test_salted_join_equals_plain_on_skewed_data(spark):

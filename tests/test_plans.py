@@ -210,3 +210,23 @@ def test_mix_temperature_sample_filter_at_scan(spark, sf_dir):
     # corpus side: only the tiny per-source aggregates may shuffle
     for part in plan.split("Exchange hashpartitioning")[1:]:
         assert "source" in part[:120]
+
+
+def test_table_profile_is_single_scan(spark, sf_dir):
+    """All per-column statistics come from ONE pass: exactly one
+    FileScan; the multi-column exact distinct appears as Expand."""
+    plan = plan_of(spark, sf_dir, "table_profile")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_incremental_merge_moves_partials_not_events(spark, sf_dir):
+    """Every fold partial-aggregates the batch BEFORE the full-outer
+    merge: each exchange carries rollup rows keyed by the group key."""
+    plan = plan_of(spark, sf_dir, "incremental_rollup")
+    assert "FullOuter" in plan
+    assert "partial" in plan
+    for part in plan.split("Exchange hashpartitioning")[1:]:
+        # the hour key may appear under its derived-expression alias
+        assert "event_type" in part[:150], part[:150]
+        assert "hb" in part[:150] or "_groupingexpression" in part[:150]

@@ -94,3 +94,49 @@ def test_tws_gate_matches_capability(spark, sf_dir):
     if not jobs._tws_available():
         with pytest.raises(NotImplementedError, match="protobuf"):
             jobs.run_tws_user_stats(spark, str(sf_dir))
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """Production state-store posture: the same watermarked streaming
+    aggregation runs on the RocksDB provider (state off-heap + spill,
+    the 100 TB configuration) and matches the batch answer."""
+    from map_reduce_spark.streaming.jobs import stream_documents, streaming_word_count_plan
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_documents(spark, str(sf_dir))
+        q = (
+            streaming_word_count_plan(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_wc")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["word"], r["cnt"]) for r in spark.table("rocksdb_wc").collect()
+        }
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        want = {
+            (r["word"], r["cnt"])
+            for r in docs.select(
+                F.explode(F.split("text", "[^a-zA-Z]")).alias("t")
+            )
+            .filter(F.col("t") != "")
+            .select(F.upper("t").alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
