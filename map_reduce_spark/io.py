@@ -77,15 +77,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         # ts_us (raw epoch microseconds) travels alongside the NTZ
         # timestamp so event-time arithmetic can stay session-timezone-
-        # independent. The NTZ itself is built with timestampadd from
-        # the epoch — pure calendar arithmetic, no session-TZ hop (a
-        # timestamp_micros -> NTZ cast would shift with the session TZ).
-        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
+        # independent. The file's ts precision varies by driver vintage
+        # (TIMESTAMP(NANOS) read as raw longs vs plain µs timestamps),
+        # so dispatch on the scanned type; every path below is pure
+        # calendar/epoch arithmetic with no session-TZ hop.
+        ts_type = df.schema["ts"].dataType.simpleString()
+        _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        if ts_type == "bigint":  # nanosAsLong: raw epoch nanos
+            return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts",
+                F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH})"),
+            )
+        if ts_type == "timestamp_ntz":  # µs file, NTZ inference on
+            return df.withColumn(
+                "ts_us", F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, ts)")
+            )
+        # TIMESTAMP (LTZ): unix_micros reads its epoch directly (TZ-free);
+        # rebuild the NTZ rendering from the epoch for schema stability.
+        return df.withColumn("ts_us", F.unix_micros("ts")).withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, unix_micros(ts), {_EPOCH})")
         )
     return spark.read.parquet(path)
 

@@ -65,18 +65,43 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream with a proper event-time column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from map_reduce_spark.io import _parquet_has_nanos
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if _parquet_has_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # Watermarks require TIMESTAMP (LTZ), so the stream keeps LTZ
+        # event time; LTZ stores raw epoch micros, so window bucketing
+        # and unix_timestamp() on it are session-timezone-independent.
+        # Only *rendering* wall-clock strings needs the NTZ detour (see
+        # streaming_tumbling_watermark).
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # µs-precision file: borrow the batch reader's scanned schema (file
+    # streaming sources need one declared up front), then normalize ts to
+    # LTZ via its epoch — TZ-free regardless of NTZ/LTZ inference.
+    static_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_RAW)
+        spark.readStream.schema(static_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Watermarks require TIMESTAMP (LTZ), so the stream keeps LTZ event
-    # time; LTZ stores raw epoch micros, so window bucketing and
-    # unix_timestamp() on it are session-timezone-independent. Only
-    # *rendering* wall-clock strings needs the NTZ detour (see
-    # streaming_tumbling_watermark).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType.simpleString()
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return raw  # already TIMESTAMP (LTZ)
 
 
 # --- jobs -------------------------------------------------------------
