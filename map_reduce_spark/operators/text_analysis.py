@@ -325,3 +325,73 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ids_checksum"),
     )
+
+
+# --- document chunking (RAG / context-window prep) --------------------
+
+# word-window chunking: 64-word chunks, 16-word overlap (stride 48) —
+# the standard fixed-window + overlap splitter used for both RAG
+# indexing and long-document training prep
+_CHUNK_W = 64
+_CHUNK_OV = 16
+_CHUNK_STRIDE = _CHUNK_W - _CHUNK_OV
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), n AS (
+  SELECT doc_id, ws,
+         CAST(ceil(greatest(len(ws) - {_CHUNK_OV}, 1) / {_CHUNK_STRIDE}.0)
+              AS BIGINT) AS nch
+  FROM w
+), e AS (
+  SELECT doc_id, ws, unnest(range(0, nch)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_STRIDE} AS start_word,
+       len(ws[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_W}])
+         AS n_words,
+       md5(array_to_string(
+             ws[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_W}],
+             ' ')) AS chunk_md5
+FROM e
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size word windows (64
+    words, stride 48) — the chunking stage of a RAG index build or a
+    long-document training-data pipeline.
+
+    Emits one row per (doc, chunk) with the chunk's word span and an
+    md5 content fingerprint (the downstream join key for chunk-level
+    dedup / embedding without shipping chunk text through the shuffle).
+
+    Scale shape: per-row sequence+explode — narrow, no shuffle at all;
+    chunk count scales with corpus length, and each output row is a
+    fixed ~50 bytes regardless of chunk size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    nch = F.ceil(
+        F.greatest(F.size(ws) - _CHUNK_OV, F.lit(1)) / F.lit(float(_CHUNK_STRIDE))
+    ).cast("long")
+    chunk_words = F.slice(
+        F.col("ws"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_W
+    )
+    return (
+        docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.explode(F.sequence(F.lit(0).cast("long"), nch - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * _CHUNK_STRIDE).alias("start_word"),
+            F.size(chunk_words).cast("long").alias("n_words"),
+            F.md5(F.concat_ws(" ", chunk_words)).alias("chunk_md5"),
+        )
+    )
