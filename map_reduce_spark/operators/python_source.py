@@ -1,0 +1,98 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference engine owns its input format end-to-end (workers read
+task files themselves — worker.ex:96-114). The Spark-native analogue
+of "bring your own source" is the Python DataSource API: a class that
+declares a schema, splits itself into ``InputPartition``s, and yields
+rows per partition — Spark schedules one task per partition, so the
+source scales out exactly like a built-in file format.
+
+The demo source here is a deterministic synthetic table (id, bucket,
+md5 hex) — no I/O, so the partition-parallel plumbing is the whole
+point — and the registered query proves the rows land correctly by
+aggregating them against a DuckDB ``range()`` oracle.
+
+Scale notes: ``partitions()`` returns a fixed fan-out independent of
+row count (each partition generates its slice lazily), the reader is
+an iterator (no row buffering), and everything downstream of the scan
+is ordinary codegen'd aggregation. A production source would carve
+partitions from its remote layout (file ranges, topic offsets) the
+same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+
+_N_ROWS = 10_000
+_N_PARTS = 8
+_N_BUCKETS = 16
+
+
+@register(
+    "python_datasource_scan",
+    oracle=f"""
+SELECT CAST(n % {_N_BUCKETS} AS BIGINT) AS bucket,
+       COUNT(*) AS cnt,
+       CAST(SUM(n) AS BIGINT) AS sum_n,
+       MIN(md5(CAST(n AS VARCHAR))) AS min_h
+FROM (SELECT unnest(range(0, {_N_ROWS})) AS n)
+GROUP BY 1
+""",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a custom Python DataSource and aggregate per bucket.
+
+    The source classes are defined locally so cloudpickle ships them by
+    value — executors never need this module on their import path (the
+    same self-containment rule every worker-side closure here follows).
+    """
+    import hashlib
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_rows, n_parts, n_buckets = _N_ROWS, _N_PARTS, _N_BUCKETS
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            step = (n_rows + n_parts - 1) // n_parts
+            return [
+                _RangePartition(i * step, min((i + 1) * step, n_rows))
+                for i in range(n_parts)
+            ]
+
+        def read(self, partition):
+            for n in range(partition.start, partition.end):
+                h = hashlib.md5(str(n).encode()).hexdigest()
+                yield (n, n % n_buckets, h)
+
+    class SynthDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_range"
+
+        def schema(self):
+            return "n bigint, bucket int, h string"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    spark.dataSource.register(SynthDataSource)
+    df = spark.read.format("synth_range").load()
+    return df.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("sum_n"),
+        F.min("h").alias("min_h"),
+    )

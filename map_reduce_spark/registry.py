@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.analytics",
     "map_reduce_spark.operators.graph",
     "map_reduce_spark.operators.modern_sql",
+    "map_reduce_spark.operators.python_source",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",
 )

@@ -591,3 +591,33 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events GROUP BY user_id
 """,
     )(streaming_tws_stats)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: ``dropDuplicatesWithinWatermark``
+    keeps the first arrival per key and — unlike plain
+    ``dropDuplicates`` — EVICTS key state once the watermark passes it,
+    so state stays proportional to the watermark window instead of the
+    full key cardinality. That eviction bound is what makes streaming
+    dedup viable on an unbounded 100 TB/day key stream.
+
+    Under AvailableNow on a single input file everything lands in one
+    micro-batch (watermark still at -inf), so no state is evicted and
+    the emitted key set equals the batch DISTINCT — which is the
+    oracle. Only key columns are emitted: "first row wins" picks a
+    nondeterministic witness, the surviving KEY SET is deterministic.
+    """
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    out = ev.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    res = _run_to_table(
+        out.select("user_id", "event_type"), "stream_ddw", "append"
+    )
+    return res.select("user_id", "event_type").distinct()
