@@ -290,3 +290,37 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files.
+
+    The small-files problem is the classic failure mode of incremental
+    ingestion (every micro-batch appends a sliver; a year later the
+    table is a million 200 KB files and listing dominates query time).
+    Sizing from the CURRENT on-disk bytes keeps the rewrite a single
+    narrow coalesce — no shuffle — and the overwrite goes through
+    Spark's task-commit protocol, so a failed rewrite never clobbers
+    the source (unlike the reference's append-mode sinks,
+    worker.ex:124,147).
+
+    Returns the file count written.
+    """
+    import glob as _glob
+
+    total_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacted"
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: the rewrite lands fully before the source moves
+    import shutil
+
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return int(n_files)

@@ -115,3 +115,49 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_udaf("c_acctbal"), 4).alias("mean_bal"),
         F.round(sd_udaf("c_acctbal"), 4).alias("sd_bal"),
     )
+
+
+@register(
+    "arrow_map_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_utf8,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+""",
+)
+def arrow_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Arrow batch path — one level below
+    Pandas UDFs (no pandas conversion at all; ``pyarrow.compute``
+    kernels straight on the Arrow RecordBatch). The right tool when the
+    Python-side logic is itself vectorized columnar work, e.g. handing
+    batches to tokenizers/codecs that speak Arrow natively.
+
+    Computes per-doc code-point length and whitespace word count with
+    Arrow kernels; fully DuckDB-oracled since the kernels are exact.
+
+    Scale shape: embarrassingly parallel batch map, Arrow-serialized
+    both ways, no shuffle; batch size is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            words = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.list_value_length(words), pa.int64()),
+                ],
+                ["doc_id", "n_chars_utf8", "n_words"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id long, n_chars_utf8 long, n_words long"
+    )

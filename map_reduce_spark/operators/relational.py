@@ -793,3 +793,33 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
         """
     )
+
+
+@register("agg_hll_sketch_union", oracle=None)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build
+    one sketch per nation, then UNION the sketches into a global
+    distinct-customer estimate — the re-aggregatable rollup pattern for
+    100 TB cardinalities (store per-partition sketch bytes, merge on
+    demand; never re-scan raw keys). Register-maximum union is
+    order-independent, so the estimate is deterministic for a given
+    input set, but the sketch algorithm is engine-specific → rows-only;
+    ``tests/test_sketches.py`` bounds the estimate against the exact
+    distinct count.
+
+    Scale shape: both levels are partial-agged (ObjectHashAggregate
+    with partial_merge); only fixed-size sketch bytes cross the
+    shuffle, never key sets.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "est_customers"
+        ),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+    )

@@ -166,3 +166,38 @@ def test_xml_round_trip(spark, sf_dir, tmp_path):
     mio.write_xml(nation, out, row_tag="nation")
     back = mio.read_xml(spark, out, row_tag="nation").select(*nation.columns)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_partitioned_layout_prunes_at_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet + a partition-key predicate must prune
+    at PLANNING time (PartitionFilters), not post-scan — at 100 TB the
+    difference is reading one directory vs the whole table."""
+    from map_reduce_spark import io
+
+    docs = io.load_table(spark, str(sf_dir), "documents")
+    path = str(tmp_path / "by_lang")
+    io.write_parquet(docs, path, partition_by=["lang"])
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "lang" in pf
+    # the non-partition data filter list must NOT carry the lang predicate
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
+    from map_reduce_spark import io
+
+    docs = io.load_table(spark, str(sf_dir), "documents")
+    path = str(tmp_path / "fragmented")
+    docs.repartition(24).write.parquet(path)  # 24 sliver files
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 24
+    n = io.compact_small_files(spark, path, target_mb=128)
+    assert n == 1  # tiny table -> one file
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)

@@ -230,3 +230,30 @@ def test_incremental_merge_moves_partials_not_events(spark, sf_dir):
         # the hour key may appear under its derived-expression alias
         assert "event_type" in part[:150], part[:150]
         assert "hb" in part[:150] or "_groupingexpression" in part[:150]
+
+
+def test_doc_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is a narrow per-row explode — any Exchange would mean
+    an accidental repartition in the hot path."""
+    plan = plan_of(spark, sf_dir, "doc_chunking")
+    assert "Exchange" not in plan
+
+
+def test_simhash_portable_band_join_never_all_pairs(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_simhash_portable")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the 65-way bit-vote aggregation must be partial-agged
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hll_sketches_move_bytes_not_keys(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_hll_sketch_union")
+    # sketch aggregates run as ObjectHashAggregate with a partial level
+    # below the exchange: only sketch bytes cross the wire
+    assert plan.count("ObjectHashAggregate") >= 2
+
+
+def test_python_datasource_scan_is_partitioned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "python_datasource_scan")
+    assert "BatchScan synth_range" in plan  # the custom source, as a real scan node
+    assert "partial_" in plan  # partial agg above the scan
