@@ -40,6 +40,10 @@ HEADLINE = [
     "pivot_event_counts",
     "funnel_analysis",
     "textrank_keywords",
+    "dedup_simhash_portable",
+    "doc_chunking",
+    "bm25_rank",
+    "dq_checks",
 ]
 
 

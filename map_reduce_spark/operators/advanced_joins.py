@@ -250,3 +250,48 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("totalprice"),
         )
     )
+
+
+@register(
+    "band_join_bucketed",
+    oracle="""
+SELECT a.user_id, a.event_id AS err_id, b.event_id AS buy_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 300000000
+""",
+)
+def band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join |t_a - t_b| < W rewritten as an EQUI-join on time
+    buckets: the probe side keeps its bucket floor(t/W); the build side
+    explodes to its three neighboring buckets, so every qualifying pair
+    provably lands in some shared (user, bucket) — then the exact band
+    predicate filters and a distinct dedups pairs seen via two buckets.
+
+    Why it matters at 100 TB: a raw band predicate forces a sort-merge
+    join over the full time range per key (or worse, a nested loop);
+    the bucket rewrite is a plain hash equi-join with 3x build-side
+    amplification — shuffle-partitionable, AQE-skew-splittable, and
+    the candidate set is W-local instead of range-global. Purchases
+    within 5 minutes of an error event, per user.
+    """
+    W = 300_000_000  # 5 min in µs
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts_us").alias("ta")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", F.col("ts_us").alias("tb")
+    )
+    ab = a.withColumn("bkt", (F.col("ta") / W).cast("long"))
+    base = (F.col("tb") / W).cast("long")
+    bb = b.withColumn("bkt", F.explode(F.array(base - 1, base, base + 1)))
+    return (
+        ab.join(bb, ["user_id", "bkt"])
+        .filter(F.abs(F.col("ta") - F.col("tb")) < W)
+        .select(
+            "user_id", "err_id", "buy_id", (F.col("tb") - F.col("ta")).alias("gap_us")
+        )
+        .distinct()
+    )

@@ -812,7 +812,12 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.expr("substring('{0}', 1 + ({1}), 1)".format(hexs, terms))
 
-    fp = votes.select("doc_id", F.concat(*[_char(i) for i in range(1, 17)]).alias("fp"))
+    # fp feeds three consumers (band explode + both verify sides):
+    # persist it as a stage barrier or the whole explode+65-aggregate
+    # pipeline re-executes per consumer (NOTES rule 11)
+    fp = votes.select(
+        "doc_id", F.concat(*[_char(i) for i in range(1, 17)]).alias("fp")
+    ).persist()
 
     bands = fp.select(
         "doc_id",

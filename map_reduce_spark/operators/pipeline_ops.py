@@ -455,3 +455,116 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).cast("long").alias("zval"),
         F.expr(f"CAST({z} AS BIGINT) div 4096").alias("file_group"),
     )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+SELECT 'orders_orphan_custkey' AS rule,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+       (SELECT COUNT(*) FROM orders) AS n_checked
+UNION ALL
+SELECT 'lineitem_qty_range',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity <= 0 OR l_quantity > 60),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_null_orderdate',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'orders_duplicate_pk',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'orders_nonpositive_price',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+       (SELECT COUNT(*) FROM orders)
+""",
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: declarative rule suite evaluated in ONE pass
+    per table — null checks, range checks, primary-key uniqueness, and
+    cross-table referential integrity — emitting (rule, n_violations,
+    n_checked). The admission-control step every training-data
+    pipeline runs before a corpus drop is accepted.
+
+    Scale shape: the three orders rules and the pk-uniqueness rule
+    fold into a single aggregate scan each (conditional-sum partials;
+    the scan is shared via one agg projection, not one job per rule);
+    referential integrity is a broadcast-able anti-join keyed on the
+    dimension; nothing materializes violation ROWS — counts only, so
+    the output is fixed-size regardless of corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    n_orders = F.count("*")
+    orders_stats = orders.agg(
+        n_orders.alias("n"),
+        F.sum((F.col("o_orderdate").isNull()).cast("long")).alias("null_date"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_pk"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    orphans = (
+        orders.join(F.broadcast(cust.select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    li_stats = li.agg(
+        F.count("*").alias("n_li"),
+        F.sum(((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)).cast("long")).alias("bad_qty"),
+    )
+    j = orders_stats.crossJoin(orphans).crossJoin(li_stats)  # three 1-row frames
+    rules = F.array(
+        F.struct(F.lit("orders_orphan_custkey").alias("rule"),
+                 F.col("orphans").alias("n_violations"), F.col("n").alias("n_checked")),
+        F.struct(F.lit("lineitem_qty_range").alias("rule"),
+                 F.col("bad_qty").alias("n_violations"), F.col("n_li").alias("n_checked")),
+        F.struct(F.lit("orders_null_orderdate").alias("rule"),
+                 F.col("null_date").alias("n_violations"), F.col("n").alias("n_checked")),
+        F.struct(F.lit("orders_duplicate_pk").alias("rule"),
+                 F.col("dup_pk").alias("n_violations"), F.col("n").alias("n_checked")),
+        F.struct(F.lit("orders_nonpositive_price").alias("rule"),
+                 F.col("bad_price").alias("n_violations"), F.col("n").alias("n_checked")),
+    )
+    return j.select(F.explode(rules).alias("r")).select(
+        "r.rule", "r.n_violations", "r.n_checked"
+    )
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       {_sql_bucket('doc_id', 'wsamp', 1000000)} AS u
+FROM documents
+WHERE CAST({_sql_bucket('doc_id', 'wsamp', 1000000)} AS BIGINT) * 2000
+      < CAST(least(n_chars, 2000) AS BIGINT) * 1000000
+""",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: accept probability proportional
+    to document length (capped at 2000 chars = certainty), decided by
+    an md5-uniform draw per doc_id — integer cross-multiplication, so
+    both engines evaluate the accept test exactly (no float division).
+    The quality-weighted corpus downsampling step of a data mix, with
+    the reproducibility-across-runs property ``rand()`` lacks: the
+    same doc set survives on every engine, machine, and retry.
+
+    Scale shape: per-row filter on a hash of the key — no shuffle, no
+    state; composes with the scan's pushed filters.
+    """
+    u = _hash_bucket(F.col("doc_id"), "wsamp", 1_000_000)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("u", u)
+        .filter(
+            F.col("u").cast("long") * 2000
+            < F.least(F.col("n_chars"), F.lit(2000)).cast("long") * 1_000_000
+        )
+        .select("doc_id", "n_chars", "u")
+    )

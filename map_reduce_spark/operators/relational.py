@@ -823,3 +823,98 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.count("*").alias("n_groups"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_distinct
+FROM customer GROUP BY 1
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps
+    (``bitmap_construct_agg``/``bitmap_count``, Spark 3.5+): values map
+    to (bucket, bit position), per-bucket bitmaps OR together, and the
+    final count is a bit-count sum. Unlike HLL this is exact, and
+    unlike COUNT(DISTINCT) the partial state is a fixed-size bitmap per
+    bucket rather than a hash set of raw values — the materialized-
+    rollup pattern for exact distinct counts at 100 TB (store bitmaps
+    per partition, OR-merge on demand; re-aggregatable across any
+    dimension split). The oracle is plain COUNT(DISTINCT), proving
+    exactness end-to-end.
+
+    Scale shape: two partial-agged shuffles — (key, bucket) bitmaps,
+    then per-key bit-count sums; raw values never cross the second
+    shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    per_bucket = (
+        c.select(
+            "c_nationkey",
+            F.expr("bitmap_bucket_number(c_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(c_custkey)").alias("pos"),
+        )
+        .groupBy("c_nationkey", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("c_nationkey").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
+    )
+
+
+@register(
+    "listagg_funcs",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+       COUNT(*) AS n
+FROM customer WHERE c_custkey <= 120 GROUP BY 1
+""",
+)
+def listagg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``LISTAGG ... WITHIN GROUP``,
+    Spark 4.0+ SQL:2016 surface). Deterministic because the WITHIN
+    GROUP order is a total order (unique c_custkey — NOTES rule 5).
+
+    Scale note: LISTAGG materializes each group's concatenation in a
+    single aggregation buffer — right for bounded groups (report
+    labels, id lists), wrong for unbounded ones; the input here is
+    deliberately capped the way a production use would bound it.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 120)
+    return c.groupBy("c_mktsegment").agg(
+        F.expr(
+            "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey)"
+        ).alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("agg_theta_sketch_setops", oracle=None)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches, Spark 4.1+): the sketch
+    family that supports set ALGEBRA — union AND intersection — over
+    mergeable per-group state. Estimates the customer populations that
+    ordered under every order status vs any status, without ever
+    materializing the underlying sets. Engine-specific sketch bytes →
+    rows-only; ``tests/test_sketches.py`` bounds both estimates against
+    the exact set sizes.
+
+    Scale shape: one partial-agged shuffle to per-status sketches
+    (fixed-size state), then a 3-row merge — raw keys never leave the
+    first aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderstatus").agg(
+        F.expr("theta_sketch_agg(o_custkey)").alias("sk")
+    )
+    return sk.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))")
+        .cast("long")
+        .alias("union_est"),
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+        .cast("long")
+        .alias("inter_est"),
+        F.count("*").alias("n_groups"),
+    )

@@ -301,3 +301,100 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sq_norm"),
         )
     )
+
+
+# --- exact-verified Lloyd k-means (2 iterations, k=8) -----------------
+
+_KMEANS_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+), v AS (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS v FROM iv
+), c0 AS (
+  SELECT vec_id AS cid, pos, v AS c FROM v WHERE vec_id < 8
+), d1 AS (
+  SELECT v.vec_id, c.cid, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+  FROM v JOIN c0 c ON v.pos = c.pos GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+), c1 AS (
+  SELECT a.cid, v.pos, CAST(floor(CAST(SUM(v.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a1 a JOIN v ON a.vec_id = v.vec_id GROUP BY 1, 2
+), d2 AS (
+  SELECT v.vec_id, c.cid, SUM((v.v - c.c) * (v.v - c.c)) AS dist
+  FROM v JOIN c1 c ON v.pos = c.pos GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid, COUNT(*) AS n_vecs,
+       round(CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DOUBLE) / 100000000000000, 6)
+         AS inertia_scaled
+FROM a2 GROUP BY 1
+"""
+
+
+@register("kmeans_lloyd", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 2 iterations) with EXACT cross-engine math —
+    an iterative ML training loop expressed as pure DataFrame ops and
+    hash-verified against a DuckDB oracle end-to-end: scaled-integer
+    components, integer squared distances, floor-divided centroid
+    updates (floor(), not `div`: integral-divide truncates toward zero
+    and would disagree with DuckDB's floor semantics on negative
+    component sums). Init = the first k vectors by id (the
+    deterministic seeding k-means++ replaces in production).
+
+    Scale shape: vectors live in long format (vec_id, pos, v) — one
+    keyed shuffle builds it (persisted: three consumers, NOTES rule
+    11); each iteration is broadcast(k x dim centroids) -> join ->
+    partial-agged distance sum -> per-vec argmin window (partitioned by
+    vec_id, never global). Component sums stay < 2^53 so the one
+    double division per update is exact (DECIMAL(38,0) guards the
+    inertia sum, which does overflow long).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.posexplode(_ivec("embedding")).alias("pos", "v")
+    ).persist()
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
+    )
+    assign = None
+    for it in range(2):
+        err = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+        d = (
+            v.join(F.broadcast(cent), "pos")
+            .withColumn("e", err)
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("e").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+        if it == 0:  # last iteration reports its assignment directly
+            cent = (
+                assign.join(v, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    F.floor(F.sum("v").cast("double") / F.count("*"))
+                    .cast("long")
+                    .alias("c")
+                )
+            )
+    return assign.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(38,0)")).cast("double") / 1e14, 6
+        ).alias("inertia_scaled"),
+    )

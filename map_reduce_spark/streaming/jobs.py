@@ -621,3 +621,30 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("user_id", "event_type"), "stream_ddw", "append"
     )
     return res.select("user_id", "event_type").distinct()
+
+
+@register(
+    "streaming_foreach_batch",
+    oracle="""
+SELECT upper(token) AS word, count(*) AS cnt FROM (SELECT
+unnest(regexp_split_to_array(text, '[^a-zA-Z]')) AS token FROM documents)
+WHERE token <> '' GROUP BY 1
+""",
+)
+def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` custom sink: each micro-batch lands as parquet
+    under ``batch=<epoch>`` through an idempotent overwrite keyed by
+    the epoch id — the exactly-once composition point for sinks Spark
+    has no native writer for (the safe version of the reference's
+    append-mode output, worker.ex:124,147, which double-writes on
+    retry). Complete mode means the LAST batch directory holds the full
+    word count, which must equal the batch oracle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="fb_sink_")
+    n_batches = run_foreach_batch_sink(spark, sf_dir, out)
+    assert n_batches >= 1
+    last = max(
+        int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("batch=")
+    )
+    return spark.read.parquet(os.path.join(out, f"batch={last}"))

@@ -257,3 +257,15 @@ def test_python_datasource_scan_is_partitioned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "python_datasource_scan")
     assert "BatchScan synth_range" in plan  # the custom source, as a real scan node
     assert "partial_" in plan  # partial agg above the scan
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark, sf_dir):
+    """AQE posture: with adaptive execution on, a small shuffle must be
+    re-planned at runtime to fewer partitions (AQEShuffleRead
+    coalesced) — the mechanism that keeps the static
+    shuffle.partitions=32 a ceiling, not a commitment, at any scale."""
+    df = _QS["dedup_exact"](spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan

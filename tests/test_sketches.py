@@ -65,3 +65,24 @@ def test_chunking_covers_every_word_with_correct_overlap(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_theta_setops_track_exact(spark, sf_dir):
+    """Theta union/intersection estimates vs exact set sizes (default
+    lgK=12 -> ~3% rsd even through intersection; assert 10%)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_spark.io import load_table
+
+    row = _QS["agg_theta_sketch_setops"](spark, str(sf_dir)).collect()[0]
+    o = load_table(spark, str(sf_dir), "orders")
+    n_status = row["n_groups"]
+    exact_union = o.select("o_custkey").distinct().count()
+    exact_inter = (
+        o.groupBy("o_custkey")
+        .agg(F.count_distinct("o_orderstatus").alias("k"))
+        .filter(F.col("k") == n_status)
+        .count()
+    )
+    assert abs(row["union_est"] - exact_union) <= max(2, 0.10 * exact_union)
+    assert abs(row["inter_est"] - exact_inter) <= max(2, 0.10 * exact_inter)
