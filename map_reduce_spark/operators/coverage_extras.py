@@ -118,3 +118,71 @@ def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token, t.token_len "
         "FROM udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
     )
+
+
+@register(
+    "udtf_table_polymorphic",
+    oracle="""
+SELECT 'c_nationkey' AS col_name, COUNT(*) AS n,
+       CAST(SUM(CAST(c_nationkey AS DECIMAL(18,2))) AS DOUBLE) AS s
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', COUNT(*),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+FROM customer
+""",
+)
+def udtf_table_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the ``analyze()`` static
+    method computes the OUTPUT schema at plan time from the TABLE
+    argument — the table-function contract the reference's generic
+    ``mapper/2`` hints at (mr_sequential.ex:10) but can't type. Here:
+    a generic numeric unpivoter applied via
+    ``FROM udtf(TABLE(SELECT ...))``, aggregated with the exact-decimal
+    convention so the double sum is order-independent.
+
+    Scale note: UDTF rows stream through Arrow batches partition-
+    parallel; the demo keys off c_custkey, the aggregation is partial-
+    agged on the tiny col_name key.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class UnpivotNumerics:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("row_key", LongType()),
+                        StructField("col_name", StringType()),
+                        StructField("value", DoubleType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            d = row.asDict()
+            key = d.get("c_custkey")
+            for name, v in d.items():
+                if name != "c_custkey" and isinstance(v, (int, float)):
+                    yield (key, name, float(v))
+
+    spark.udtf.register("unpivot_numerics", udtf(UnpivotNumerics))
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("udtf_cust_src")
+    return spark.sql(
+        """
+        SELECT col_name, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM unpivot_numerics(TABLE(
+            SELECT c_custkey, c_nationkey, c_acctbal FROM udtf_cust_src))
+        GROUP BY col_name
+        """
+    )

@@ -226,3 +226,127 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("total_frame_bytes"),
     )
+
+
+# --- audio: RIFF/WAV container plumbing -------------------------------
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary): a canonical 44-byte PCM
+    WAV container per doc (RIFF/fmt/data chunks), with the utf-8 text
+    bytes standing in for samples — deterministic per doc_id, so the
+    downstream parse is hash-verifiable. Real audio swaps in without
+    structural change."""
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 + (int(doc_id) % 3) * 4000
+                channels = 1 + int(doc_id) % 2
+                bits = 16
+                block = channels * bits // 8
+                raw = text.encode("utf-8")
+                data = raw[: len(raw) - (len(raw) % block)]
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, channels, rate, rate * block, block, bits,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+@register(
+    "audio_metadata",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS sample_rate,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         (1 + doc_id % 2) * 2 AS block,
+         octet_length(encode(text)) AS len
+  FROM documents
+), s AS (
+  SELECT doc_id, sample_rate, channels,
+         CAST((len - len % block) / block AS BIGINT) AS n_samples
+  FROM base
+)
+SELECT doc_id, sample_rate, channels, 16 AS bits, n_samples,
+       CAST((n_samples * 1000 - (n_samples * 1000) % sample_rate)
+            / sample_rate AS BIGINT) AS duration_ms
+FROM s
+""",
+)
+def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse RIFF/WAV headers from the binary audio column — a REAL
+    container parser (works on any PCM WAV file), batched through
+    ``mapInPandas``. Because the synthesized container is deterministic
+    per doc, the full synth→parse roundtrip is hash-verified by the
+    DuckDB oracle, which recomputes every field from first principles —
+    the multimodal analog of the portable-hash dedup witnesses.
+
+    Scale shape: narrow batch map, no shuffle; headers are parsed from
+    the first 44 bytes, payload bytes stream through untouched.
+    """
+
+    def parse(batches):
+        import struct
+
+        import pandas as pd
+
+        def fields(p: bytes):
+            if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                return None
+            channels, rate = struct.unpack("<HI", p[22:28])
+            block, bits = struct.unpack("<HH", p[32:36])
+            data_len = struct.unpack("<I", p[40:44])[0]
+            n_samples = data_len // block
+            return (rate, channels, bits, n_samples, n_samples * 1000 // rate)
+
+        for pdf in batches:
+            rows = [fields(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "bits": [r[2] for r in rows],
+                    "n_samples": [r[3] for r in rows],
+                    "duration_ms": [r[4] for r in rows],
+                }
+            )
+
+    return audio_table(spark, sf_dir).mapInPandas(
+        parse,
+        "doc_id long, sample_rate int, channels int, bits int, "
+        "n_samples long, duration_ms long",
+    )
+
+
+def parse_wav_fields(p: bytes):
+    """Driver-side twin of the ``audio_metadata`` worker closure (kept
+    self-contained there per NOTES rule 6); used by tests to prove the
+    parser handles REAL files from the stdlib ``wave`` writer."""
+    import struct
+
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    channels, rate = struct.unpack("<HI", p[22:28])
+    block, bits = struct.unpack("<HH", p[32:36])
+    data_len = struct.unpack("<I", p[40:44])[0]
+    n_samples = data_len // block
+    return (rate, channels, bits, n_samples, n_samples * 1000 // rate)

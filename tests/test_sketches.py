@@ -86,3 +86,20 @@ def test_theta_setops_track_exact(spark, sf_dir):
     )
     assert abs(row["union_est"] - exact_union) <= max(2, 0.10 * exact_union)
     assert abs(row["inter_est"] - exact_inter) <= max(2, 0.10 * exact_inter)
+
+
+def test_wav_parser_handles_real_wave_files(tmp_path):
+    """The RIFF parser must read genuine WAV files (stdlib wave
+    writer), not just our synthesized containers."""
+    import wave
+
+    from map_reduce_spark.operators.multimodal import parse_wav_fields
+
+    f = tmp_path / "real.wav"
+    with wave.open(str(f), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01" * 2 * 44100)  # 1 second
+    fields = parse_wav_fields(f.read_bytes())
+    assert fields == (44100, 2, 16, 44100, 1000)
