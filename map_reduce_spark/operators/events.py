@@ -245,3 +245,114 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
         F.last("total", ignorenulls=True).over(w).alias("filled_total"),
     )
+
+
+@register(
+    "interpolate_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vi
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx FROM hourly GROUP BY 1),
+spine AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS hb FROM bounds),
+j AS (
+  SELECT s.user_id, s.hb, h.vi
+  FROM spine s LEFT JOIN hourly h USING (user_id, hb)
+),
+nb AS (
+  SELECT user_id, hb, vi,
+         last_value(vi IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN vi IS NOT NULL THEN hb END IGNORE NULLS)
+           OVER wp AS ph,
+         first_value(vi IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN vi IS NOT NULL THEN hb END IGNORE NULLS)
+           OVER wf AS nh
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY hb ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY hb
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hb, (vi IS NULL) AS is_gap,
+       CASE
+         WHEN vi IS NOT NULL THEN round(vi / 100.0, 2)
+         WHEN pv IS NULL OR nv IS NULL THEN NULL
+         ELSE round((pv + CAST(floor(CAST((nv - pv) * (hb - ph) AS DOUBLE)
+                                     / (nh - ph)) AS BIGINT))
+                    / 100.0, 2)
+       END AS interp
+FROM nb
+""",
+)
+def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with LINEAR interpolation across gaps — the
+    time-series companion to ``gap_fill_hourly``'s forward fill.
+    All-integer interpolation: hourly totals become 2-dp scaled
+    integers, and each gap hour gets
+    ``prev + floor((next-prev) * offset / span)`` — floor() (not
+    integral div, which truncates toward zero and diverges on negative
+    deltas), products bounded < 2^53 so the one double division is
+    exact. Observed hours interpolate to themselves (offset 0); hours
+    outside the observed range stay NULL.
+
+    Scale shape: one partial-agged hourly rollup, a per-user spine
+    explode (narrow), and two per-user ordered windows — state bounded
+    by each user's hour range, nothing global.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id", F.expr("ts_us div 3600000000").alias("hb")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("vi")
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hb").alias("mn"), F.max("hb").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hb")
+    )
+    j = spine.join(hourly, ["user_id", "hb"], "left")
+
+    from pyspark.sql import Window
+
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hb = F.when(F.col("vi").isNotNull(), F.col("hb"))
+    nb = j.select(
+        "user_id",
+        "hb",
+        "vi",
+        F.last("vi", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hb, ignorenulls=True).over(wp).alias("ph"),
+        F.first("vi", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hb, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp_scaled = F.col("pv") + F.floor(
+        ((F.col("nv") - F.col("pv")) * (F.col("hb") - F.col("ph"))).cast("double")
+        / (F.col("nh") - F.col("ph"))
+    ).cast("long")
+    interp = (
+        F.when(F.col("vi").isNotNull(), F.round(F.col("vi") / 100.0, 2))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(F.round(interp_scaled / 100.0, 2))
+    )
+    return nb.select(
+        "user_id",
+        "hb",
+        F.col("vi").isNull().alias("is_gap"),
+        interp.alias("interp"),
+    )
