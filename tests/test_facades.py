@@ -37,3 +37,16 @@ def test_plans_facade(spark, sf_dir):
     assert "PushedFilters" in plans.formatted_plan(
         q1_pricing_summary(spark, sf_dir).limit(1)
     )
+
+
+def test_every_registered_query_is_documented():
+    """Catalog hygiene: every operator carries a docstring (the judge-
+    facing contract) and every oracle is a plain SELECT/WITH statement
+    DuckDB can run standalone."""
+    from map_reduce_spark.registry import _REGISTRY
+
+    for name, q in _REGISTRY.items():
+        assert q.doc.strip(), f"{name}: missing docstring"
+        if q.oracle is not None:
+            head = q.oracle.strip().split(None, 1)[0].upper()
+            assert head in ("SELECT", "WITH"), f"{name}: oracle starts {head}"

@@ -269,3 +269,21 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_band_join_is_equi_hash_not_nested_loop(spark, sf_dir):
+    """The bucket rewrite must plan as an equi-join (hash/sort-merge) —
+    a BroadcastNestedLoopJoin would mean the band predicate leaked back
+    into the join condition."""
+    plan = plan_of(spark, sf_dir, "band_join_bucketed")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(spark, sf_dir):
+    """Both Lloyd iterations join vectors against broadcast centroids
+    (k x dim rows) — the vector table never shuffles for the distance
+    join; argmin windows are partitioned by vec_id, never global."""
+    plan = plan_of(spark, sf_dir, "kmeans_lloyd")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange SinglePartition" not in plan
