@@ -398,3 +398,77 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dist").cast("decimal(38,0)")).cast("double") / 1e14, 6
         ).alias("inertia_scaled"),
     )
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id, label, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+), nv AS (
+  SELECT vec_id, label, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
+  FROM iv
+), qv AS (
+  SELECT vec_id AS qid, label AS qlabel, q AS qq, nrm AS qnrm
+  FROM nv WHERE vec_id < 4
+), p AS (
+  SELECT qid, vec_id,
+         round(CAST(list_sum([q[i]*qq[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)
+               / (nrm * qnrm), 6) AS cos
+  FROM nv, qv WHERE label <> qlabel
+), r AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM p
+)
+SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5
+""",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < 4), the 5 most-similar vectors carrying a
+    DIFFERENT label — the highest-value negatives for a training batch
+    (near the decision boundary by construction).
+
+    Scale shape: the query batch is tiny and BROADCAST, so the corpus
+    is scanned once with no shuffle for the pair generation; per-query
+    top-k runs as a window partitioned by query id (parallel across
+    queries, never global). At a real batch size (thousands of
+    queries) the same plan holds — broadcast the query block, one
+    corpus scan per block, partitioned top-k.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = e.select(
+        "vec_id", "label", _ivec("embedding").alias("q")
+    ).withColumn("nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double")))
+    qv = (
+        nv.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("q").alias("qq"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    pairs = (
+        nv.crossJoin(F.broadcast(qv))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _idot(F.col("q"), F.col("qq")).cast("double")
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", F.col("rnk").cast("long").alias("rnk"), "cos")
+    )
