@@ -44,6 +44,9 @@ HEADLINE = [
     "doc_chunking",
     "bm25_rank",
     "dq_checks",
+    # round 3 additions: oracle-verified ANN twin + real-PNG-codec chain
+    "ann_lsh_topk_portable",
+    "multimodal_pipeline",
 ]
 
 

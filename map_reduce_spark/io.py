@@ -318,9 +318,14 @@ def compact_small_files(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacted"
     df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: the rewrite lands fully before the source moves
+    # swap by rename: each step is atomic, so a crash at any point
+    # leaves the dataset reachable under either `path` or `path__old`
+    # (rmtree-then-replace had a window with no dataset at `path`)
     import shutil
 
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     return int(n_files)

@@ -147,17 +147,21 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted",
     oracle="""
 SELECT o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
        COUNT(*) AS n_lines,
        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'F'
-GROUP BY o_orderpriority
+GROUP BY o_orderpriority, strftime(o_orderdate, '%Y-%m')
 """,
 )
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fact-fact join with an explicit 8-way salt on the join key —
     the hot-key mitigation, verified to produce the identical result
-    as the unsalted ``join_fact_fact`` (same oracle).
+    as the unsalted ``join_fact_fact`` on a (priority, month) grain —
+    wide enough (hundreds of groups) that the value hash is a real
+    signal, vs the 5-row priority-only grain CORRECTNESS_r02 flagged
+    as thin.
 
     Probe side (lineitem) spreads each key across SALT sub-keys; build
     side (orders) replicates every row SALT ways. The shuffle key is
@@ -180,7 +184,10 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,6)")
     return (
         li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
-        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
         .agg(F.count("*").alias("n_lines"), F.sum(rev).cast("double").alias("revenue"))
     )
 
@@ -284,8 +291,10 @@ def band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("buy_id"), "user_id", F.col("ts_us").alias("tb")
     )
-    ab = a.withColumn("bkt", (F.col("ta") / W).cast("long"))
-    base = (F.col("tb") / W).cast("long")
+    # exact integer floor division (pmod keeps it correct for negative
+    # epochs; `div` on the pmod-aligned value never touches FP)
+    ab = a.withColumn("bkt", F.expr(f"(ta - pmod(ta, {W})) div {W}"))
+    base = F.expr(f"(tb - pmod(tb, {W})) div {W}")
     bb = b.withColumn("bkt", F.explode(F.array(base - 1, base, base + 1)))
     return (
         ab.join(bb, ["user_id", "bkt"])

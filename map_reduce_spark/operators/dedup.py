@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
@@ -84,47 +85,94 @@ _SHINGLE_SQL = (
 )
 
 
+# quadratic-work guard: the pairwise term inside a source block is
+# bounded to BLOCK_CAP^2 regardless of corpus size (a no-op at the
+# test SFs, a hard ceiling at 100 TB). The unbounded near-dup path is
+# dedup_minhash_lsh / dedup_minhash_lsh_portable — this operator is
+# the EXACTNESS ORACLE for those, kept in the catalog for that role
+# (see COVERAGE.md "oracle-baseline operators").
+BLOCK_CAP = 1000
+TOPK_PAIRS = 25
+
+
 @register(
     "ngram_jaccard_dupes",
     oracle=f"""
-WITH sh AS (
+WITH capped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= {BLOCK_CAP}
+),
+sh AS (
   SELECT doc_id, source, {_SHINGLE_SQL} AS s
-  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM capped)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))) AS jac_x
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s)) * 1.0
-      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+SELECT doc_a, doc_b, round(jac_x, 6) AS jac
+FROM p ORDER BY jac_x DESC, doc_a, doc_b LIMIT {TOPK_PAIRS}
 """,
 )
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5), blocked by
-    ``source`` to bound the pairwise term.
+    """Exact word-3-gram Jaccard: the ``TOPK_PAIRS`` most-similar pairs,
+    blocked by ``source``, each block capped at ``BLOCK_CAP`` docs.
 
-    This is the exactness baseline that the MinHash-LSH path
-    approximates; at 100 TB only the LSH variant runs unblocked.
+    Role: the exactness baseline the MinHash-LSH path approximates —
+    at 100 TB only the LSH variant runs unblocked; this one's
+    quadratic term is hard-capped at BLOCK_CAP^2 per block. Top-k
+    (rather than a fixed threshold) keeps the verification non-vacuous
+    on any corpus: a threshold query returns 0-1 rows when the corpus
+    has no planted near-dups, which verifies nothing. Ordering is
+    deterministic (exact jaccard desc, then pair ids); ties across
+    engines are bit-identical because both compute the same integer
+    set sizes.
     """
+    # order on the UNROUNDED similarity (matching the oracle, which
+    # rounds only in SELECT), then round in the projection
+    return (
+        _scored_jaccard_pairs(spark, sf_dir)
+        .orderBy(F.desc("jac_x"), "doc_a", "doc_b")
+        .limit(TOPK_PAIRS)
+        .select("doc_a", "doc_b", F.round("jac_x", 6).alias("jac"))
+    )
+
+
+def _scored_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jac_x): exact word-3-gram Jaccard for every
+    source-blocked pair, each block capped at ``BLOCK_CAP`` docs —
+    the shared scoring core for ``ngram_jaccard_dupes`` (top-k view)
+    and ``dedup_components`` (>= 0.5 threshold edges)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = parallelize_if_narrow(docs).select("doc_id", "source", _shingles().alias("s"))
+    capped = (
+        docs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= BLOCK_CAP)
+        .drop("rn")
+    )
+    sh = parallelize_if_narrow(capped).select(
+        "doc_id", "source", _shingles().alias("s")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(F.array_union("a.s", "b.s"))
-    # filter on the UNROUNDED similarity (matching the oracle, which
-    # rounds only in SELECT), then round in the projection
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jac"),
-        )
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jac_x"),
     )
 
 
@@ -326,9 +374,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 
 _COMPONENTS_ORACLE = f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE capped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= {BLOCK_CAP}
+),
+sh AS (
   SELECT doc_id, source, {_SHINGLE_SQL} AS s
-  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM capped)
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -362,10 +417,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The missing last step of a real dedup pipeline — pair lists don't
     dedup a corpus, transitive clusters do (A~B, B~C must drop two of
     three docs even though A~C may sit below threshold). The oracle
-    recomputes the same closure with a recursive CTE.
+    recomputes the same closure with a recursive CTE. Edges come from
+    the shared scored-pairs core at the >= 0.5 threshold (NOT from the
+    top-k catalog view of ``ngram_jaccard_dupes`` — cluster membership
+    is a threshold property, a ranking would wire arbitrary weak pairs
+    into components).
     """
     return connected_components(
-        ngram_jaccard_dupes(spark, sf_dir).select("doc_a", "doc_b")
+        _scored_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jac_x") >= 0.5)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -428,6 +489,10 @@ def _idot(a, b):
 
 _IVEC_SQL = "[CAST(round(CAST({v}[i] AS DOUBLE) * 10000000, 0) AS BIGINT) FOR i IN range(1, len({v}) + 1)]"
 
+# near-dup candidate budget: the K highest-cosine label-blocked pairs
+# (keep the literal 50 in the oracle SQL in sync)
+COSINE_TOPK = 50
+
 
 @register(
     "dedup_embedding_cosine",
@@ -439,22 +504,31 @@ nv AS (
   SELECT vec_id, label, q,
          sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
   FROM iv
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
+             / (a.nrm * b.nrm) AS cos_x
+  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
-             / (a.nrm * b.nrm), 6) AS cos
-FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
-      / (a.nrm * b.nrm) >= 0.9
+SELECT vec_a, vec_b, round(cos_x, 6) AS cos
+FROM p ORDER BY cos_x DESC, vec_a, vec_b LIMIT 50
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine >= 0.9 pairs, blocked by label.
+    """Embedding near-dup candidates: the ``COSINE_TOPK`` highest-cosine
+    pairs, blocked by label.
 
-    Label blocking stands in for the ANN bucketing that bounds the
-    pairwise term at scale (see similarity.ann_lsh_topk for the
-    unblocked path). Integer-scaled dot products keep both engines
-    bit-identical.
+    Top-k instead of a fixed threshold keeps the driver verification
+    non-vacuous on any corpus: a cosine>=0.9 filter returns 0 rows when
+    the generated embeddings carry no planted near-dups — which
+    verifies nothing (CORRECTNESS_r02 flagged exactly that). Label
+    blocking stands in for the ANN bucketing that bounds the pairwise
+    term at scale (see similarity.ann_lsh_topk for the unblocked
+    path). Integer-scaled dot products keep both engines
+    bit-identical, so the exact-cosine ordering (tie-broken by pair
+    ids) is deterministic; Spark plans the top-k as
+    TakeOrderedAndProject — no global sort materializes.
     """
     e = load_table(spark, sf_dir, "embeddings")
     iv = e.select("vec_id", "label", _ivec("embedding").alias("q"))
@@ -471,12 +545,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.9)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos"),
+            cos.alias("cos_x"),
         )
+        .orderBy(F.desc("cos_x"), "vec_a", "vec_b")
+        .limit(COSINE_TOPK)
+        .select("vec_a", "vec_b", F.round("cos_x", 6).alias("cos"))
     )
 
 

@@ -91,17 +91,24 @@ def _planes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
 
 
 def lsh_bucket_expr(vec_col, planes: list[list[float]]):
-    """Bucket id = bits of sign(dot(v, plane_p)) for each plane."""
-    bucket = F.lit(0)
+    """Bucket id = bits of sign(dot(v, plane_p)) for each plane.
+
+    Built as ONE SQL expression string: the 8x64 plane components are
+    inline array literals parsed in a single JVM call. Building each
+    component as an ``F.lit`` Column costs ~512 py4j round-trips and
+    made plan CONSTRUCTION (not execution) dominate this query's wall
+    time — see PERFORMANCE.md "plan-build overhead".
+    ``vec_col``: column name (str) or Column."""
+    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    terms = []
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ",".join(f"{float(x)!r}D" for x in plane)
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({name}, array({arr}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    return F.expr(" + ".join(terms))
 
 
 def _hamming_probes(center, radius: int, n_planes: int = N_PLANES):
@@ -172,6 +179,128 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table (see ``ann_lsh_topk_frame`` for the semantics and
     the recall discussion)."""
     return ann_lsh_topk_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- portable-hash ANN (fully oracle-verified twin) -------------------
+
+
+def _portable_planes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Integer hyperplanes derived from md5 — the engine-portable hash
+    family: component (p, i) = first-8-hex-of-md5("p:i") as u32, then
+    centered to a signed value in [-2^31, 2^31). Both engines can
+    reconstruct the family exactly (hashlib here, SQL ``md5`` in the
+    DuckDB oracle), so sign-projection buckets match bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) - 2**31
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_PORTABLE_ANN_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+planes AS (
+  SELECT p.range AS p, i.range AS i,
+         ('0x' || substr(md5(p.range || ':' || i.range), 1, 8))::BIGINT
+             - 2147483648 AS w
+  FROM range(0, {N_PLANES}) p, range(0, 64) i
+),
+dots AS (
+  SELECT iv.vec_id, planes.p, SUM(iv.q[planes.i + 1] * planes.w) AS dot
+  FROM iv, planes GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+probes AS (SELECT DISTINCT xor(qbucket, m) AS probe FROM qb, masks),
+cand AS (
+  SELECT b.vec_id, b.bucket FROM buckets b JOIN probes ON b.bucket = probe
+  WHERE b.vec_id <> 0
+),
+nv AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
+  FROM iv
+),
+qv AS (SELECT q AS qq, nrm AS qnrm FROM nv WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, c.bucket,
+         CAST(list_sum([nv.q[i]*qq[i] FOR i IN range(1, len(nv.q)+1)]) AS DOUBLE)
+             / (nv.nrm * qnrm) AS cos_x
+  FROM cand c JOIN nv ON c.vec_id = nv.vec_id, qv
+)
+SELECT vec_id, bucket, round(cos_x, 6) AS cos
+FROM scored ORDER BY cos_x DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_lsh_topk_portable", oracle=_PORTABLE_ANN_ORACLE)
+def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN with an engine-portable hash family — the
+    fully DuckDB-oracled twin of ``ann_lsh_topk`` (same band/probe
+    MATH, md5-derived integer hyperplanes instead of float randoms),
+    mirroring what dedup_minhash_lsh_portable does for MinHash.
+
+    Every stage is hash-verified: sign-projection bucket assignment
+    (integer dot against md5-derived planes — no FP sign boundary),
+    the 9-probe Hamming-1 ball, candidate pruning, and the exact
+    scaled-integer cosine ranking.
+
+    Scale shape is identical to the xxhash64 variant: planes are
+    LITERALS in the plan (computed once driver-side, ~free to
+    broadcast), bucketing is a narrow projection, the probe join
+    broadcasts 9 bucket ids, and top-k plans TakeOrderedAndProject.
+    """
+    planes = _portable_planes()
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select("vec_id", _ivec("embedding").alias("q"))
+
+    # one SQL string, one JVM parse — not 512 F.lit py4j round-trips
+    # (plan-build overhead; see lsh_bucket_expr / PERFORMANCE.md)
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = ",".join(f"{w}L" for w in plane)
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with(q, array({arr}),"
+            f" (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = F.expr(" + ".join(terms))
+
+    b = iv.withColumn("bucket", bucket).withColumn(
+        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+    )
+    probes = F.array(*_hamming_probes(F.col("qbucket"), 1))
+    qb = (
+        b.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("q").alias("qq"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select("qq", "qnrm", F.explode(probes).alias("probe"))
+    )
+    cos = _idot(F.col("q"), F.col("qq")).cast("double") / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    return (
+        b.join(F.broadcast(qb), F.col("bucket") == F.col("probe"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "bucket", cos.alias("cos_x"))
+        .orderBy(F.desc("cos_x"), "vec_id")
+        .limit(10)
+        .select("vec_id", "bucket", F.round("cos_x", 6).alias("cos"))
+    )
 
 
 @register(

@@ -70,83 +70,86 @@ def register(name: str, oracle: str | None = None):
 
 
 # Catalog order is a verification budget: the round driver hash-checks
-# the FIRST 50 entries of queries() against their DuckDB oracles
-# (CORRECTNESS_r01 stopped at exactly the first 50 registrations, so
-# the whole LLM family went driver-unverified in round 1). The priority
-# window below therefore front-loads:
-#   - every query with no driver row yet (the entire LLM-pipeline
-#     family: dedup/similarity/text/multimodal; streaming; as-of joins;
-#     pandas UDFs/UDTF; pivot/unpivot; batch event windows; SCD;
-#     subqueries; outer/salted joins; percentiles),
-#   - every query whose implementation changed this round and needs
-#     re-verification (sort_by_key, sort_multi_col, window_ntile —
-#     scale-safe global-rank rewrite; agg_approx_distinct — scalar
-#     quantile columns),
-#   - three anchors (mr_pipeline flagship, exact-dedup pair) so the
-#     reference pipeline and exact dedup stay continuously verified.
-# Everything else is unchanged since its green CORRECTNESS_r01 row and
-# follows in registration order.
+# the FIRST 50 entries of queries() against their DuckDB oracles.
+# After rounds 1+2, 93 distinct queries hold driver rows (87 green, 6
+# rows-only, 0 fail) and 76 have never been checked. The round-3 window
+# therefore holds:
+#   - two anchors (the reference flagship + exact dedup) that stay
+#     continuously verified,
+#   - every query that CHANGED this round and needs a fresh row
+#     (de-vacuated thin verifications: ngram_jaccard_dupes,
+#     dedup_embedding_cosine, join_salted; integer band buckets:
+#     band_join_bucketed; robustness fixes: audio_metadata,
+#     streaming_foreach_batch; real-PNG-codec rewrite:
+#     multimodal_pipeline; brand new: multimodal_parse,
+#     ann_lsh_topk_portable),
+#   - 39 slots of never-driver-checked queries, front-loaded per the
+#     round-2 verdict: the TPC-H completion (18 shapes), the similarity
+#     and dedup additions, the corpus-curation seven, the analytics
+#     seven, and three of the modern-SQL four.
+# The ~27 still-unchecked queries (training pipeline, graph, events
+# resampling, UDTF/arrow extras, set-op/sketch variants, remaining
+# streaming jobs, prepare_training_data) are queued for the round-4
+# window. Everything else holds a green row from r1/r2 and follows in
+# registration order.
 _PRIORITY: tuple[str, ...] = (
-    # changed this round — needs fresh driver rows
-    "sort_by_key",
-    "sort_multi_col",
-    "window_ntile",
-    "agg_approx_distinct",
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    "dedup_exact_survivors",
-    # LLM family: dedup / similarity
+    # changed or new this round — needs fresh driver rows
     "ngram_jaccard_dupes",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh_portable",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "ivf_assign",
-    "embedding_centroids",
-    # LLM family: text analysis
-    "lang_id",
-    "token_count",
-    "text_quality",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "pack_sequences",
-    "text_stats_by_source",
-    # LLM family: multimodal
-    "binary_metadata",
-    "multimodal_features",
-    "multimodal_pipeline",
-    # streaming
-    "streaming_word_count",
-    "streaming_tumbling_watermark",
-    "streaming_sliding_window",
-    "streaming_dedup_exact",
-    "streaming_session_window",
-    # batch event windows + pivot
-    "window_tumbling",
-    "window_sliding",
-    "session_window",
-    "pivot_event_counts",
-    "unpivot_stack",
-    # joins beyond the r01-verified set
-    "asof_join",
-    "asof_join_cogroup",
     "join_salted",
-    "join_right",
-    "join_full_outer",
-    # UDF / UDTF surface
-    "python_udtf",
-    "pandas_scalar_norm",
-    "pandas_zscore_by_label",
-    "pandas_grouped_agg",
-    # remaining previously-unverified relational coverage
-    "percentiles_exact",
-    "scd2_merge",
-    "map_funcs",
-    "scalar_subquery",
-    "q3_top_revenue_orders",
+    "band_join_bucketed",
+    "audio_metadata",
+    "streaming_foreach_batch",
+    "multimodal_pipeline",
+    "multimodal_parse",
+    "ann_lsh_topk_portable",
+    # TPC-H completion (q1/q3/q5/q6 hold green r1/r2 rows)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    # similarity / dedup additions never driver-checked
+    "kmeans_lloyd",
+    "hard_negatives",
+    "dedup_components",
+    "dedup_simhash_portable",
+    # corpus curation
+    "contamination_check",
+    "repetition_stats",
+    "inverted_index",
+    "heavy_hitters",
+    "unigram_logprob",
+    "bm25_rank",
+    "vocab_coverage",
+    # event analytics
+    "funnel_analysis",
+    "cohort_retention",
+    "ohlc_hourly",
+    "value_histogram",
+    "anomaly_mad",
+    "incremental_rollup",
+    "table_profile",
+    # modern SQL
+    "recursive_cte",
+    "variant_funcs",
+    "lateral_topn",
 )
 
 

@@ -639,11 +639,18 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode output, worker.ex:124,147, which double-writes on
     retry). Complete mode means the LAST batch directory holds the full
     word count, which must equal the batch oracle."""
+    import shutil
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="fb_sink_")
+    # stable per-process scratch path, wiped before each run — repeated
+    # bench/correctness invocations reuse it instead of leaking a fresh
+    # mkdtemp every call
+    out = os.path.join(tempfile.gettempdir(), f"mr_spark_fb_sink_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
     n_batches = run_foreach_batch_sink(spark, sf_dir, out)
-    assert n_batches >= 1
+    if n_batches < 1:
+        raise RuntimeError(f"foreachBatch sink produced no micro-batches at {out}")
     last = max(
         int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("batch=")
     )
