@@ -448,21 +448,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hashes", F.transform(F.col("w"), lambda t: F.xxhash64(t)))
 
     # per bit b: set bit in the fingerprint iff >half the token hashes
-    # have bit b set (majority vote); bit 63 is the long's sign bit
-    def bit_vote(b: int):
-        cnt = F.aggregate(
-            F.col("hashes"),
-            F.lit(0).cast("long"),
-            lambda a, h: a + F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")),
-        )
-        weight = (1 << b) if b < 63 else (-1 << 63)
-        return F.when(cnt * 2 > F.size("w"), F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # have bit b set (majority vote); bit 63 is the long's sign bit.
+    # All 64 votes assembled as ONE SQL string (NOTES rule 16: building
+    # them as Column lambdas cost ~1.4 s of py4j plan-construction per
+    # invocation, 4x the execution time).
+    def vote_sql(b: int) -> str:
+        weight = f"{1 << b}L" if b < 63 else "shiftleft(CAST(-1 AS BIGINT), 63)"
+        return (
+            f"(CASE WHEN aggregate(hashes, 0L,"
+            f" (a, h) -> a + (shiftright(h, {b}) & 1)) * 2 > size(w)"
+            f" THEN {weight} ELSE 0L END)"
         )
 
-    sim = bit_vote(0)
-    for b in range(1, 64):
-        sim = sim + bit_vote(b)
+    sim = F.expr(" + ".join(vote_sql(b) for b in range(64)))
     return toks.select("doc_id", sim.alias("simhash"))
 
 

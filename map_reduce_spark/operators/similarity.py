@@ -432,6 +432,148 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-probe ANN search (the partition-pruned scale path) -----------
+
+IVF_NPROBE = 3
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT t.vec_id, c.clabel,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
+           / (c.n * c.n) AS d2
+  FROM terms t JOIN cent c ON t.i = c.i
+  GROUP BY t.vec_id, c.clabel, c.n
+),
+assign AS (
+  SELECT vec_id, clabel FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
+),
+qprobe AS (
+  SELECT clabel FROM d WHERE vec_id = 0
+  QUALIFY row_number() OVER (ORDER BY d2, clabel) <= {IVF_NPROBE}
+),
+iv7 AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nv AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
+  FROM iv7
+),
+qv AS (SELECT q AS qq, nrm AS qnrm FROM nv WHERE vec_id = 0),
+cand AS (
+  SELECT a.vec_id, a.clabel FROM assign a JOIN qprobe p ON a.clabel = p.clabel
+  WHERE a.vec_id <> 0
+),
+scored AS (
+  SELECT c.vec_id, c.clabel,
+         CAST(list_sum([nv.q[i]*qq[i] FOR i IN range(1, len(nv.q)+1)]) AS DOUBLE)
+             / (nv.nrm * qnrm) AS cos_x
+  FROM cand c JOIN nv ON c.vec_id = nv.vec_id, qv
+)
+SELECT vec_id, clabel AS cell, round(cos_x, 6) AS cos
+FROM scored ORDER BY cos_x DESC, vec_id LIMIT 10
+""",
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: probe the query's ``IVF_NPROBE`` nearest
+    coarse-quantizer cells, exact-rank only the vectors assigned to
+    those cells — the inverted-file counterpart to the LSH probe path,
+    and the canonical partition-pruned ANN shape: with the corpus
+    written ``partitionBy(assigned cell)`` (see ``ivf_assign``), the
+    candidate scan reads nprobe/k of the data from disk.
+
+    Fully hash-verified: cell centroids and assignments use
+    ``ivf_assign``'s exact rational-arithmetic L2 argmin
+    (Σ(n·q−s)²/n², integer numerator), the final ranking the
+    scaled-integer cosine — every stage deterministic in both engines.
+
+    Scale shape: centroids are a tiny broadcast (k×64 rows); the
+    assignment argmin is a per-vector window over k rows; the probe
+    filter is a broadcast semi-join; top-k is TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv4 = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+    terms = iv4.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
+    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
+    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            "vec_id",
+            "clabel",
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    # distance table feeds both the corpus assignment and the query
+    # probe list — persist so the explode+centroid subtree runs once
+    d = d.persist()
+    wv = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assign = (
+        d.withColumn("rn", F.row_number().over(wv))
+        .filter("rn = 1")
+        .select("vec_id", "clabel")
+    )
+    wq = Window.orderBy("d2", "clabel")
+    qprobe = (
+        d.filter(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("clabel")
+    )
+    nv = e.select("vec_id", _ivec("embedding").alias("q")).withColumn(
+        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+    )
+    qv = nv.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    )
+    cand = assign.join(F.broadcast(qprobe), "clabel").filter(F.col("vec_id") != 0)
+    cos = _idot(F.col("q"), F.col("qq")).cast("double") / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    return (
+        nv.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.col("clabel").alias("cell"), cos.alias("cos_x"))
+        .orderBy(F.desc("cos_x"), "vec_id")
+        .limit(10)
+        .select("vec_id", "cell", F.round("cos_x", 6).alias("cos"))
+    )
+
+
 # --- exact-verified Lloyd k-means (2 iterations, k=8) -----------------
 
 _KMEANS_ORACLE = f"""

@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_pipeline",
     "multimodal_parse",
     "ann_lsh_topk_portable",
+    "ivf_topk",
     # TPC-H completion (q1/q3/q5/q6 hold green r1/r2 rows)
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -146,10 +147,9 @@ _PRIORITY: tuple[str, ...] = (
     "anomaly_mad",
     "incremental_rollup",
     "table_profile",
-    # modern SQL
+    # modern SQL (lateral_topn + sql_udf_funcs queued for r4)
     "recursive_cte",
     "variant_funcs",
-    "lateral_topn",
 )
 
 

@@ -287,3 +287,35 @@ def test_kmeans_broadcasts_centroids_every_iteration(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "kmeans_lloyd")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ann_portable_probe_is_broadcast_topk(spark, sf_dir):
+    """The portable ANN query must broadcast the 9 probe bucket ids
+    (never shuffle the corpus for the probe join) and plan the final
+    ranking as TakeOrderedAndProject — per-partition heaps, no global
+    sort of candidates."""
+    plan = plan_of(spark, sf_dir, "ann_lsh_topk_portable")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_topk_broadcasts_centroids_and_probes(spark, sf_dir):
+    """IVF search: centroids (k x 64 rows) and the nprobe cell list are
+    broadcast; the corpus-side argmin window partitions by vec_id.
+    The only SinglePartition exchange allowed is the query's own
+    nprobe ranking (k rows for ONE vector, constant-size by
+    construction)."""
+    plan = plan_of(spark, sf_dir, "ivf_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_pipeline_is_shuffle_free(spark, sf_dir):
+    """Three chained mapInPandas codec stages must stay narrow: no
+    exchange anywhere — at 100 TB the whole chain pipelines
+    per-partition."""
+    plan = plan_of(spark, sf_dir, "multimodal_pipeline")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 3
