@@ -373,6 +373,85 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
 
 
+_LSS_ROUNDS = 8
+
+
+def connected_components_lss(pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the documented scale escalation of
+    ``connected_components``: NO driver-side convergence action
+    anywhere, a FIXED ``_LSS_ROUNDS`` alternations of two
+    groupBy-min + join rounds.
+
+    Per alternation, component height at least halves (each node
+    re-attaches to its neighborhood minimum), so 8 rounds resolve any
+    component a dedup workload can produce (the label-prop variant
+    needs diameter rounds — a 10^6-doc near-dup chain would need 10^6;
+    this needs ~20). Same output contract and the same recursive-CTE
+    oracle as ``dedup_components``.
+
+    Scale shape per round: one symmetric projection, one groupBy-min
+    on the node id, one equi-join — all shuffles on the vertex key,
+    AQE-coalescible; ``localCheckpoint`` truncates the iterative
+    lineage (NOTES: iterative plans must checkpoint or replanning
+    costs grow linearly).
+    """
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    E = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = E.select(F.col("u").alias("v0")).distinct().localCheckpoint()
+    for _ in range(_LSS_ROUNDS):
+        # large-star: every strictly-larger neighbor re-attaches to
+        # min(N(u) ∪ {u})
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("mn"))
+        )
+        E = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: orient edges larger→smaller; every smaller
+        # neighbor (and u itself) re-attaches to the minimum
+        d = (
+            E.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = d.join(mins, "u")
+        E = (
+            joined.filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(joined.select("u", F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+    # converged edge set is a star forest pointing at component minima
+    lbl = (
+        verts.select(F.col("v0").alias("v"), F.col("v0").alias("lbl"))
+        .union(E.select(F.col("u").alias("v"), F.col("v").alias("lbl")))
+        .groupBy("v")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    return lbl.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("component"),
+        (F.col("v") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE capped AS (
   SELECT doc_id, source, text FROM (
@@ -424,6 +503,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     into components).
     """
     return connected_components(
+        _scored_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jac_x") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register("dedup_components_lss", oracle=_COMPONENTS_ORACLE)
+def dedup_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution by large-star/small-star — the
+    NO-driver-action twin of ``dedup_components`` (which keeps a
+    per-round convergence ``count()``, its accepted NOTES-rule-12
+    exception). Fixed-round star contraction removes the exception
+    entirely: at 100 TB this is the variant to run. Same edges, same
+    output contract, same recursive-CTE oracle — the driver hash-match
+    proves both formulations compute the identical closure."""
+    return connected_components_lss(
         _scored_jaccard_pairs(spark, sf_dir)
         .filter(F.col("jac_x") >= 0.5)
         .select("doc_a", "doc_b")

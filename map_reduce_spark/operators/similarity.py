@@ -574,6 +574,105 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (vector compression for ANN serving) -------
+
+PQ_M = 4  # subspaces
+PQ_K = 4  # centroids per subspace
+PQ_SUBDIM = 16  # dims per subspace (4 x 16 = 64)
+
+
+@register(
+    "pq_encode",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, r.range AS i, (r.range - 1) // {PQ_SUBDIM} AS m, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cb AS (
+  SELECT vec_id AS cid, m, i, qi AS ci FROM terms WHERE vec_id < {PQ_K}
+),
+d AS (
+  SELECT t.vec_id, t.m, cb.cid,
+         SUM((t.qi - cb.ci) * (t.qi - cb.ci)) AS d2
+  FROM terms t JOIN cb ON t.m = cb.m AND t.i = cb.i
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, m, cid, d2 FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INT) AS code0,
+       CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INT) AS code1,
+       CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INT) AS code2,
+       CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INT) AS code3,
+       CAST(SUM(d2) AS BIGINT) AS recon_err
+FROM best GROUP BY vec_id
+""",
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: encode every embedding as {PQ_M} sub-codes
+    (one per 16-dim subspace, {PQ_K}-entry codebook each) plus the exact
+    integer reconstruction error — the compression layer an ANN serving
+    tier puts behind the IVF cells (`ivf_topk`): 64 floats become 4
+    codes, and distance evaluation becomes table lookups.
+
+    Codebook = the subvectors of vec_ids 0..{PQ_K - 1} (deterministic,
+    training-free; `kmeans_lloyd` demonstrates the trained-codebook
+    path with the same argmin machinery). Scaled-integer L2 keeps the
+    per-subspace argmin and the summed reconstruction error exact in
+    both engines.
+
+    Scale shape: the codebook is a broadcast ({PQ_M * PQ_K} x 16 rows);
+    encoding is one narrow posexplode + broadcast join + two grouped
+    aggregations partitioned by vec_id — no corpus-wide shuffle beyond
+    the per-vector rollups, embarrassingly parallel at any scale.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv4 = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+    terms = iv4.select(
+        "vec_id", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", F.expr(f"i0 div {PQ_SUBDIM}").alias("m"), "i0", "qi")
+    cb = (
+        terms.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"), "m", "i0", F.col("qi").alias("ci")
+        )
+    )
+    t, c = terms.alias("t"), F.broadcast(cb).alias("c")
+    diff = F.col("t.qi") - F.col("c.ci")
+    d = (
+        t.join(c, (F.col("t.m") == F.col("c.m")) & (F.col("t.i0") == F.col("c.i0")))
+        .groupBy("t.vec_id", "t.m", "c.cid")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    best = d.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("cid")))
+        .cast("int")
+        .alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    return best.groupBy("vec_id").agg(
+        *code_cols, F.sum("d2").cast("long").alias("recon_err")
+    )
+
+
 # --- exact-verified Lloyd k-means (2 iterations, k=8) -----------------
 
 _KMEANS_ORACLE = f"""

@@ -87,10 +87,12 @@ def register(name: str, oracle: str | None = None):
 #     round-2 verdict: the TPC-H completion (18 shapes), the similarity
 #     and dedup additions, the corpus-curation seven, the analytics
 #     seven, and three of the modern-SQL four.
-# The ~27 still-unchecked queries (training pipeline, graph, events
+# The ~30 still-unchecked queries (training pipeline, graph, events
 # resampling, UDTF/arrow extras, set-op/sketch variants, remaining
-# streaming jobs, prepare_training_data) are queued for the round-4
-# window. Everything else holds a green row from r1/r2 and follows in
+# streaming jobs, prepare_training_data, modern-SQL remainder, and the
+# r3 additions dedup_components_lss — whose shared oracle is already
+# exercised by dedup_components in this window) are queued for the
+# round-4 window. Everything else holds a green row from r1/r2 and follows in
 # registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
@@ -107,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_parse",
     "ann_lsh_topk_portable",
     "ivf_topk",
+    "pq_encode",
     # TPC-H completion (q1/q3/q5/q6 hold green r1/r2 rows)
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -147,9 +150,8 @@ _PRIORITY: tuple[str, ...] = (
     "anomaly_mad",
     "incremental_rollup",
     "table_profile",
-    # modern SQL (lateral_topn + sql_udf_funcs queued for r4)
+    # modern SQL (variant_funcs, lateral_topn, sql_udf_funcs queued r4)
     "recursive_cte",
-    "variant_funcs",
 )
 
 

@@ -284,3 +284,60 @@ def test_multimodal_decodes_real_image_headers(spark):
     assert (rows[2].width, rows[2].height, rows[2].channels) == (1920, 1080, 3)
     assert (rows[3].width, rows[3].height) == (320, 200)
     assert rows[4].width == 16 + len(b"not an image") % 64  # stub fallback
+
+
+def test_png_codec_property_roundtrip():
+    """Property test: encode→decode is the identity for arbitrary
+    rasters across sizes and channel counts (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_spark.operators.multimodal import (
+        avgpool_raster,
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, ch, seed):
+        raster = bytes((seed * 31 + i * 97 + 13) % 256 for i in range(w * h * ch))
+        assert decode_png(encode_png(w, h, raster, ch)) == (w, h, ch, raster)
+
+    check()
+
+    # avgpool agrees with a direct per-block mean on even splits
+    w, h, ch = 8, 8, 3
+    raster = bytes((i * 41 + 5) % 256 for i in range(w * h * ch))
+    pooled = avgpool_raster(raster, w, h, ch, 4, 4)
+    for y in range(4):
+        for x in range(4):
+            for c in range(ch):
+                s = sum(
+                    raster[((2 * y + dy) * w + 2 * x + dx) * ch + c]
+                    for dy in range(2)
+                    for dx in range(2)
+                )
+                assert pooled[(y * 4 + x) * ch + c] == s // 4
+
+
+def test_lss_components_resolve_long_chain(spark):
+    """large-star/small-star must collapse a 200-node CHAIN (diameter
+    200) in its fixed 8 alternations — the case that proves the
+    escalation over diameter-bounded label propagation."""
+    from map_reduce_spark.operators.dedup import connected_components_lss
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)] + [(500, 501), (503, 502)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r.doc_id: (r.component, r.is_canonical)
+            for r in connected_components_lss(pairs).collect()}
+    assert all(rows[i] == (0, i == 0) for i in range(201))
+    assert rows[500] == (500, True) and rows[501] == (500, False)
+    assert rows[502] == (502, True) and rows[503] == (502, False)
