@@ -45,8 +45,11 @@ HEADLINE = [
     "bm25_rank",
     "dq_checks",
     # round 3 additions: oracle-verified ANN twin + real-PNG-codec chain
+    # + IVF probe search + product quantization
     "ann_lsh_topk_portable",
     "multimodal_pipeline",
+    "ivf_topk",
+    "pq_encode",
 ]
 
 

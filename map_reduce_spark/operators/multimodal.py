@@ -10,6 +10,10 @@ What is REAL here (no external codec libs needed):
   (``_png_tools``), driven end-to-end by ``multimodal_pipeline`` and
   hash-verified against a DuckDB oracle that recomputes the pooled
   raster from first principles;
+- GIF: a full pure-stdlib codec (``_gif_tools``) — variable-width LZW
+  encode AND decode (9→12-bit growth, clear/EOI, table-full reset,
+  the KwKwK case), global color table, sub-block framing — driven by
+  ``multimodal_gif_pipeline`` with the same first-principles oracle;
 - container-header parsing for PNG / JPEG SOFn / GIF / RIFF-WAV
   (``multimodal_parse``, ``audio_metadata``) — real byte-level
   parsers, oracle-verified because the synthesized containers are
@@ -17,8 +21,8 @@ What is REAL here (no external codec libs needed):
 - all Spark-side structure: binary columns, schema contracts, Arrow
   batch iterators, chained mapInPandas stages.
 
-What remains a STUB: decoding arbitrary NON-PNG payload bodies
-(JPEG entropy-coded data, GIF LZW, video codecs) — ``_fake_decode``
+What remains a STUB: decoding arbitrary NON-PNG/GIF payload bodies
+(JPEG entropy-coded data, video codecs) — ``_fake_decode``
 in ``extract_features`` falls back to deterministic fake geometry for
 unrecognized bytes; a real deployment swaps in PIL/ffmpeg with the
 same schema.
@@ -430,6 +434,177 @@ def _png_tools():
 encode_png, decode_png, avgpool_raster = _png_tools()
 
 
+def _gif_tools():
+    """Real pure-stdlib GIF codec: variable-width LZW (clear/EOI codes,
+    9→12-bit growth, table-full reset), global color table, sub-block
+    framing. Same by-value shipping pattern as ``_png_tools``.
+
+    Width-sync note: the decoder's dictionary lags the encoder's by
+    exactly one entry (it can only add after seeing the next code), so
+    it must grow its code width at ``next_code == 2^w - 1`` while the
+    encoder grows at ``next_code == 2^w`` — the classic LZW off-by-one,
+    exercised across multiple width boundaries in the fuzz tests.
+    """
+    import struct
+
+    MAXC = 4096  # 12-bit LZW ceiling
+
+    def encode_gif(width, height, indices, palette):
+        """Single-frame GIF89a from palette indices (row-major) and an
+        RGB palette [(r,g,b), ...] (<= 256 entries)."""
+        size_bits = max(1, (len(palette) - 1).bit_length())
+        n = 1 << size_bits
+        pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", width, height)
+        out += bytes((0x80 | (size_bits - 1), 0, 0))
+        for r, g, b in pal:
+            out += bytes((r, g, b))
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        mcs = max(2, size_bits)
+        out.append(mcs)
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+        data = bytearray()
+        bitbuf = nbits = 0
+        state = {"w": mcs + 1}
+
+        def emit(code):
+            nonlocal bitbuf, nbits
+            bitbuf |= code << nbits
+            nbits += state["w"]
+            while nbits >= 8:
+                data.append(bitbuf & 0xFF)
+                bitbuf >>= 8
+                nbits -= 8
+
+        def fresh():
+            state["w"] = mcs + 1
+            return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1
+
+        table, next_code = fresh()
+        emit(clear)
+        s = b""
+        for idx in indices:
+            c = bytes([int(idx)])
+            if s + c in table:
+                s += c
+                continue
+            emit(table[s])
+            if next_code >= MAXC - 1:  # table full: reset mid-stream
+                emit(clear)
+                table, next_code = fresh()
+            else:
+                table[s + c] = next_code
+                next_code += 1
+                if next_code == (1 << state["w"]) and state["w"] < 12:
+                    state["w"] += 1
+            s = c
+        if s:
+            emit(table[s])
+        emit(eoi)
+        if nbits:
+            data.append(bitbuf & 0xFF)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    def decode_gif(data):
+        """(width, height, 3, rgb_raster) for a single-frame GIF with a
+        global color table; skips extension blocks; no interlace."""
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        w, h = struct.unpack("<HH", data[6:10])
+        flags = data[10]
+        pos = 13
+        pal = []
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            pal = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:
+                break
+            elif b == 0x3B:
+                raise ValueError("no image data")
+            else:
+                raise ValueError(f"bad block 0x{b:02x}")
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        iflags = data[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        mcs = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        cw = mcs + 1
+        table = {i: bytes([i]) for i in range(1 << mcs)}
+        next_code = eoi + 1
+        out = bytearray()
+        prev = None
+        bitbuf = nbits = bpos = 0
+        while True:
+            while nbits < cw:
+                if bpos >= len(stream):
+                    raise ValueError("truncated LZW stream")
+                bitbuf |= stream[bpos] << nbits
+                bpos += 1
+                nbits += 8
+            code = bitbuf & ((1 << cw) - 1)
+            bitbuf >>= cw
+            nbits -= cw
+            if code == clear:
+                cw = mcs + 1
+                table = {i: bytes([i]) for i in range(1 << mcs)}
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and next_code < MAXC - 1:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            # decoder lags the encoder by one entry: grow one early
+            if next_code == (1 << cw) - 1 and cw < 12:
+                cw += 1
+            prev = entry
+        raster = bytearray()
+        for i in out[: iw * ih]:
+            raster += bytes(pal[i])
+        return int(iw), int(ih), 3, bytes(raster)
+
+    return encode_gif, decode_gif
+
+
+encode_gif, decode_gif = _gif_tools()
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize operator shape: binary in → binary out, same
     partitioning, Arrow batches. STUB kernel (no codecs here): emits a
@@ -616,6 +791,85 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "doc_id long, width int, height int, channels int, "
         "raster_sum long, raster_wsum long",
+    )
+
+
+@register(
+    "multimodal_gif_pipeline",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id, k.range AS k, (doc_id*7 + k.range*13) % 256 AS v
+  FROM documents, range(0, {_SRC_W * _SRC_H}) k
+)
+SELECT doc_id, {_SRC_W} AS width, {_SRC_H} AS height, 3 AS channels,
+       CAST(SUM(3 * v) AS BIGINT) AS raster_sum,
+       CAST(SUM((9 * k + 6) * v) AS BIGINT) AS raster_wsum
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec roundtrip, hash-verified: synth a single-frame
+    GIF per doc (8x8, 256-gray palette, doc_id-seeded indices) through
+    the pure-stdlib LZW ENCODER, decode it back (variable-width LZW,
+    palette mapping), emit raster statistics the DuckDB oracle
+    recomputes from the index formula alone — a hash match proves the
+    whole compress→decompress→palette path, the GIF twin of
+    ``multimodal_pipeline``'s PNG deflate proof.
+
+    Two chained narrow mapInPandas stages, no shuffle. Gray palette
+    maps index v to (v,v,v), so raster_sum = 3·Σv and the weighted sum
+    telescopes to Σ(9k+6)·v — both SQL-recomputable.
+    """
+    enc, dec = _gif_tools()
+    w, h = _SRC_W, _SRC_H
+    pal = [(i, i, i) for i in range(256)]
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                enc(w, h, [(int(d) * 7 + k * 13) % 256 for k in range(w * h)], pal)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                gw, gh, c, raster = dec(bytes(p))
+                rows.append(
+                    (
+                        int(doc_id),
+                        gw,
+                        gh,
+                        c,
+                        sum(raster),
+                        sum((j + 1) * v for j, v in enumerate(raster)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "raster_sum",
+                    "raster_wsum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "doc_id long, width int, height int, channels int, "
+        "raster_sum long, raster_wsum long"
+    )
+    return docs.mapInPandas(synth, "doc_id long, payload binary").mapInPandas(
+        stats, schema
     )
 
 

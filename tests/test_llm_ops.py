@@ -341,3 +341,39 @@ def test_lss_components_resolve_long_chain(spark):
     assert all(rows[i] == (0, i == 0) for i in range(201))
     assert rows[500] == (500, True) and rows[501] == (500, False)
     assert rows[502] == (502, True) and rows[503] == (502, False)
+
+
+def test_gif_codec_property_roundtrip():
+    """Property test: GIF LZW encode→decode is the identity across
+    palette sizes, dimensions, and index patterns — including the
+    12-bit dictionary ceiling, mid-stream clear, and KwKwK chains."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_spark.operators.multimodal import decode_gif, encode_gif
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        npal=st.sampled_from([2, 4, 7, 16, 93, 256]),
+        w=st.integers(min_value=1, max_value=60),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(npal, w, h, seed):
+        pal = [((seed + 3 * i) % 256, (seed * 5 + i) % 256, (i * 7) % 256)
+               for i in range(npal)]
+        idx = [(seed + i * 31) % npal for i in range(w * h)]
+        gw, gh, c, raster = decode_gif(encode_gif(w, h, idx, pal))
+        assert (gw, gh, c) == (w, h, 3)
+        assert raster == b"".join(bytes(pal[i]) for i in idx)
+
+    check()
+
+    # 12-bit ceiling + table reset + deep repetition (KwKwK)
+    pal = [(i, i, i) for i in range(256)]
+    idx = [(i * 2654435761) % 256 for i in range(300 * 300)]
+    _, _, _, raster = decode_gif(encode_gif(300, 300, idx, pal))
+    assert raster == b"".join(bytes(pal[i]) for i in idx)
+    rep = ([5] * 5000 + [1, 2, 3] * 2000)[:11000]
+    _, _, _, raster = decode_gif(encode_gif(100, 110, rep, pal))
+    assert raster == b"".join(bytes(pal[i]) for i in rep)
