@@ -291,14 +291,25 @@ def band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("buy_id"), "user_id", F.col("ts_us").alias("tb")
     )
-    # exact integer floor division (pmod keeps it correct for negative
-    # epochs; `div` on the pmod-aligned value never touches FP)
-    ab = a.withColumn("bkt", F.expr(f"(ta - pmod(ta, {W})) div {W}"))
-    base = F.expr(f"(tb - pmod(tb, {W})) div {W}")
+    return band_join_frames(a, b, W)
+
+
+def band_join_frames(a: DataFrame, b: DataFrame, w_us: int) -> DataFrame:
+    """Equi-bucket band-join core over arbitrary frames:
+    ``a(err_id, user_id, ta)`` x ``b(buy_id, user_id, tb)`` →
+    all pairs with |ta − tb| < ``w_us`` per user.
+
+    Bucket assignment uses exact integer floor division —
+    ``(t − pmod(t, W)) div W`` — so negative epochs bucket correctly
+    (plain ``(t / W) cast long`` truncates toward zero and mis-buckets
+    t < 0; property-tested with negative timestamps in
+    tests/test_relational_ops.py)."""
+    ab = a.withColumn("bkt", F.expr(f"(ta - pmod(ta, {w_us})) div {w_us}"))
+    base = F.expr(f"(tb - pmod(tb, {w_us})) div {w_us}")
     bb = b.withColumn("bkt", F.explode(F.array(base - 1, base, base + 1)))
     return (
         ab.join(bb, ["user_id", "bkt"])
-        .filter(F.abs(F.col("ta") - F.col("tb")) < W)
+        .filter(F.abs(F.col("ta") - F.col("tb")) < w_us)
         .select(
             "user_id", "err_id", "buy_id", (F.col("tb") - F.col("ta")).alias("gap_us")
         )

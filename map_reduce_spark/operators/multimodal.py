@@ -87,14 +87,23 @@ def extract_features(df: DataFrame) -> DataFrame:
     ``mapInPandas``: each worker receives pandas batches, decodes each
     payload, emits a typed feature row — the real multimodal operator
     shape (vectorized transfer, per-partition parallelism, no driver
-    involvement). Decode = real PNG/JPEG/GIF header parsing (pure byte
-    inspection — true dimensions for real image payloads) with the
-    deterministic stub as fallback for unrecognized bytes.
+    involvement). Decode ladder, most-real first:
 
-    The worker function is deliberately self-contained (no references
-    to this module) so cloudpickle ships it by value — Python workers
-    do not need map_reduce_spark on their import path.
+    1. FULL raster decode for PNG and GIF payloads (the pure-stdlib
+       codecs — dimensions, channels, and mean byte computed from the
+       actual decoded pixels);
+    2. header parse for JPEG (and for PNG/GIF whose bodies the codecs
+       can't handle, e.g. 16-bit or interlaced) — true dimensions,
+       payload-level mean;
+    3. the deterministic stub only for non-image bytes.
+
+    The worker closure is self-contained (codec functions are captured
+    by value via the ``_png_tools``/``_gif_tools`` factories) so
+    cloudpickle ships everything — Python workers do not need
+    map_reduce_spark on their import path.
     """
+    png_decode = _png_tools()[1]
+    gif_decode = _gif_tools()[1]
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -148,9 +157,27 @@ def extract_features(df: DataFrame) -> DataFrame:
             height = 16 + (sum(payload[:32]) % 64 if n else 0)
             return int(width), int(height), 3
 
-        def decode(payload: bytes) -> tuple[int, int, int]:
+        def decode(payload: bytes) -> tuple[int, int, int, float]:
+            """(width, height, channels, mean_byte) via the ladder:
+            full raster decode → header parse → stub."""
+            payload = bytes(payload)
+            for codec, sig_ok in (
+                (png_decode, payload[:8] == b"\x89PNG\r\n\x1a\n"),
+                (gif_decode, payload[:6] in (b"GIF87a", b"GIF89a")),
+            ):
+                if not sig_ok:
+                    continue
+                try:
+                    w, h, c, raster = codec(payload)
+                    mean = (sum(raster) / len(raster)) if raster else 0.0
+                    return w, h, c, mean
+                except Exception:
+                    break  # body undecodable: fall through to header
+            payload_mean = (sum(payload) / len(payload)) if payload else 0.0
             parsed = parse_header(payload)
-            return parsed if parsed is not None else fake_decode(payload)
+            if parsed is not None:
+                return (*parsed, payload_mean)
+            return (*fake_decode(payload), payload_mean)
 
         for pdf in batches:
             feats = [decode(p) for p in pdf["payload"]]
@@ -161,9 +188,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
                     "channels": [f[2] for f in feats],
-                    "mean_byte": [
-                        (sum(p) / len(p)) if len(p) else 0.0 for p in pdf["payload"]
-                    ],
+                    "mean_byte": [f[3] for f in feats],
                 }
             )
 

@@ -377,3 +377,31 @@ def test_gif_codec_property_roundtrip():
     rep = ([5] * 5000 + [1, 2, 3] * 2000)[:11000]
     _, _, _, raster = decode_gif(encode_gif(100, 110, rep, pal))
     assert raster == b"".join(bytes(pal[i]) for i in rep)
+
+
+def test_extract_features_full_raster_decode_for_png_gif(spark):
+    """For decodable PNG/GIF payloads extract_features must report
+    stats from the ACTUAL decoded raster (mean over pixels), not the
+    raw payload bytes — the stub ladder's most-real rung."""
+    from map_reduce_spark.operators.multimodal import (
+        encode_gif,
+        encode_png,
+        extract_features,
+    )
+
+    raster = bytes((i * 7 + 3) % 256 for i in range(6 * 4 * 3))
+    png = encode_png(6, 4, raster, 3)
+    pal = [(i, 255 - i, i // 2) for i in range(16)]
+    idx = [(i * 5) % 16 for i in range(10 * 3)]
+    gif = encode_gif(10, 3, idx, pal)
+    gif_raster = b"".join(bytes(pal[i]) for i in idx)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif))],
+        schema="doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (6, 4, 3)
+    assert abs(rows[1].mean_byte - sum(raster) / len(raster)) < 1e-9
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (10, 3, 3)
+    assert abs(rows[2].mean_byte - sum(gif_raster) / len(gif_raster)) < 1e-9

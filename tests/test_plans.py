@@ -319,3 +319,53 @@ def test_multimodal_pipeline_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_pipeline")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") >= 3
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew posture: a sort-merge join with one hot key must get its
+    skewed partition SPLIT by AQE at runtime (`skew=true` in the final
+    plan) — the mechanism (alongside explicit salting, `join_salted`)
+    that keeps a 100 TB hot key from serializing onto one reducer.
+    Thresholds are lowered so local-scale data trips the same code
+    path production sizes would."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # hot key 0 carries ~100x the rows of every other key
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise((F.col("id") % 1000).cast("long"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k")
+        # materialize THIS plan (count() would execute a different one)
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -67,3 +67,37 @@ def test_dataframe_groupby_sum_matches_python(spark, pairs):
     for k, v in pairs or [(0, 0)]:
         want[k] = want.get(k, 0) + v
     assert got == want
+
+
+def test_band_join_bucket_rewrite_matches_naive_incl_negative_epochs(spark):
+    """The 3-bucket equi-join rewrite must produce EXACTLY the naive
+    |ta-tb| < W pair set — including negative timestamps, where a
+    toward-zero division would mis-bucket (floor(-1/W) = -1, not 0)."""
+    import random
+
+    from map_reduce_spark.operators.advanced_joins import band_join_frames
+
+    random.seed(13)
+    W = 1000
+    users = list(range(6))
+    a_rows = [
+        (i, random.choice(users), random.randrange(-5000, 5000))
+        for i in range(120)
+    ]
+    b_rows = [
+        (1000 + i, random.choice(users), random.randrange(-5000, 5000))
+        for i in range(120)
+    ]
+    a = spark.createDataFrame(a_rows, "err_id long, user_id long, ta long")
+    b = spark.createDataFrame(b_rows, "buy_id long, user_id long, tb long")
+    got = {
+        (r.user_id, r.err_id, r.buy_id, r.gap_us)
+        for r in band_join_frames(a, b, W).collect()
+    }
+    want = {
+        (ua, ea, bb, tb - ta)
+        for ea, ua, ta in a_rows
+        for bb, ub, tb in b_rows
+        if ua == ub and abs(ta - tb) < W
+    }
+    assert got == want and len(want) > 50
