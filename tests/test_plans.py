@@ -369,3 +369,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_catalog_wide_plan_audit_has_no_unaccepted_flags(spark, sf_dir):
+    """Catalog-wide lock of the per-query audits above: NO query may
+    contain an `Exchange SinglePartition` or nested-loop join that is
+    not enumerated (with a tiny-frame justification) in
+    plan_audit.ACCEPTED_1PART / ACCEPTED_BNLJ."""
+    from map_reduce_spark import plan_audit
+
+    rows, errors = plan_audit.audit(spark, sf_dir)
+    assert not errors, errors
+    bad = [
+        r["name"]
+        for r in rows
+        if (r["one_part"] and r["name"] not in plan_audit.ACCEPTED_1PART)
+        or (r["bnlj"] and r["name"] not in plan_audit.ACCEPTED_BNLJ)
+    ]
+    assert not bad, f"unaccepted single-partition/nested-loop plans: {bad}"
