@@ -673,6 +673,104 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, r.range AS i, (r.range - 1) // {PQ_SUBDIM} AS m, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cb AS (
+  SELECT vec_id AS cid, m, i, qi AS ci FROM terms WHERE vec_id < {PQ_K}
+),
+d AS (
+  SELECT t.vec_id, t.m, cb.cid,
+         SUM((t.qi - cb.ci) * (t.qi - cb.ci)) AS d2
+  FROM terms t JOIN cb ON t.m = cb.m AND t.i = cb.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+lut AS (SELECT m, cid, d2 FROM d WHERE vec_id = 0),
+approx AS (
+  SELECT c.vec_id, SUM(l.d2) AS adist
+  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+  WHERE c.vec_id <> 0 GROUP BY 1
+)
+SELECT vec_id, CAST(adist AS BIGINT) AS adist
+FROM approx ORDER BY adist, vec_id LIMIT 10
+""",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: rank the corpus by the
+    query's distance LOOKUP TABLE instead of full vectors — with
+    ``ivf_topk`` and ``pq_encode`` this completes the standard IVF-PQ
+    serving architecture (coarse cells prune the scan, codes compress
+    the residuals, ADC turns distance evaluation into {PQ_M} table
+    lookups + adds per candidate).
+
+    The LUT is the query's exact integer L2 to every subspace centroid
+    ({PQ_M} x {PQ_K} rows, broadcast); approximate distance = sum of the
+    {PQ_M} looked-up entries selected by each vector's codes. Everything
+    is exact integer arithmetic, so the ranking (tie-broken by vec_id)
+    is hash-verified end to end by the DuckDB oracle.
+
+    Scale shape: codes are computed by the same broadcast-codebook
+    argmin as ``pq_encode``; the LUT join is a broadcast of 16 rows;
+    top-k plans TakeOrderedAndProject. Per-vector work is O(M), not
+    O(dim) — the point of ADC.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv4 = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+    terms = iv4.select(
+        "vec_id", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", F.expr(f"i0 div {PQ_SUBDIM}").alias("m"), "i0", "qi")
+    cb = terms.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", "i0", F.col("qi").alias("ci")
+    )
+    t, c = terms.alias("t"), F.broadcast(cb).alias("c")
+    diff = F.col("t.qi") - F.col("c.ci")
+    d = (
+        t.join(c, (F.col("t.m") == F.col("c.m")) & (F.col("t.i0") == F.col("c.i0")))
+        .groupBy("t.vec_id", "t.m", "c.cid")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    # distance table feeds both the corpus codes and the query LUT
+    d = d.persist()
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "m", "cid")
+    )
+    lut = d.filter(F.col("vec_id") == 0).select("m", "cid", F.col("d2").alias("qd2"))
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.col("adist").cast("long").alias("adist"))
+    )
+
+
 # --- exact-verified Lloyd k-means (2 iterations, k=8) -----------------
 
 _KMEANS_ORACLE = f"""

@@ -90,9 +90,9 @@ def register(name: str, oracle: str | None = None):
 # The ~30 still-unchecked queries (training pipeline, graph, events
 # resampling, UDTF/arrow extras, set-op/sketch variants, remaining
 # streaming jobs, prepare_training_data, modern-SQL remainder, and the
-# late-r3 additions dedup_components_lss / multimodal_gif_pipeline —
-# locally hash-verified, their oracle families already exercised by
-# window entries) are queued for the round-4 window. Everything else holds a green row from r1/r2 and follows in
+# late-r3 additions dedup_components_lss / multimodal_gif_pipeline /
+# pq_adc_topk — locally hash-verified, their oracle families already
+# exercised by window entries) are queued for the round-4 window. Everything else holds a green row from r1/r2 and follows in
 # registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
