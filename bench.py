@@ -50,6 +50,10 @@ HEADLINE = [
     "multimodal_pipeline",
     "ivf_topk",
     "pq_encode",
+    # round 3 additions: sub-document dedup + CCNet-style curation
+    "dedup_spans",
+    "boilerplate_dedup",
+    "quality_classifier",
 ]
 
 

@@ -315,3 +315,78 @@ def band_join_frames(a: DataFrame, b: DataFrame, w_us: int) -> DataFrame:
         )
         .distinct()
     )
+
+
+_IVL_W = 960_000_000  # bucket width, µs — must be >= the longest interval
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e
+  FROM events WHERE event_type IN ('click', 'view')
+), a AS (SELECT * FROM iv WHERE event_type = 'click'),
+   b AS (SELECT * FROM iv WHERE event_type = 'view')
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE a.s <= b.e AND b.s <= a.e
+""",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join — the genomic/temporal pattern: two sets
+    of variable-length intervals (here click and view activity windows,
+    duration derived deterministically from event_id), find every
+    per-user pair whose spans intersect, with the overlap length.
+
+    Rewritten as an EQUI-join, generalizing `band_join_bucketed` from
+    points to intervals: pick bucket width W >= max interval length;
+    each interval registers in every W-bucket its span touches (at most
+    2, since len <= W); overlapping intervals provably share a bucket;
+    the exact predicate ``s1 <= e2 AND s2 <= e1`` filters, `distinct`
+    removes pairs seen via both shared buckets.
+
+    At 100 TB a raw overlap predicate is a range sort-merge (or nested
+    loop) per key; the bucket rewrite is a hash equi-join with <= 2x
+    amplification per side — shuffle-partitionable and
+    AQE-skew-splittable like every other equi-join in the engine.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + (F.col("event_id") % 900 + 60) * 1_000_000).alias("e"),
+    )
+
+    def register_buckets(df: DataFrame) -> DataFrame:
+        lo = F.expr(f"(s - pmod(s, {_IVL_W})) div {_IVL_W}")
+        hi = F.expr(f"(e - pmod(e, {_IVL_W})) div {_IVL_W}")
+        return df.withColumn(
+            "bkt", F.explode(F.array_distinct(F.array(lo, hi)))
+        )
+
+    a = register_buckets(iv.filter(F.col("event_type") == "click")).select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("s").alias("sa"),
+        F.col("e").alias("ea"), "bkt",
+    )
+    b = register_buckets(iv.filter(F.col("event_type") == "view")).select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("s").alias("sb"),
+        F.col("e").alias("eb"), "bkt",
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .select(
+            "user_id",
+            "click_id",
+            "view_id",
+            (F.least("ea", "eb") - F.greatest("sa", "sb")).alias("overlap_us"),
+        )
+        .distinct()
+    )

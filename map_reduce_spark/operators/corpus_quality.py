@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
@@ -448,4 +449,355 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("freq").over(w_cum).cast("double") / F.col("total"), 6
         ).alias("cum_share"),
+    )
+
+
+# --- segment-level boilerplate removal (CCNet-style) ------------------
+
+_SEG_W = 12  # non-overlapping segment width in tokens
+_SEG_DUP_DOCS = 2  # segment is boilerplate once seen in this many docs
+
+
+@register(
+    "boilerplate_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), seg AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT))) AS seg_id,
+         ws
+  FROM w
+), hashed AS (
+  SELECT doc_id, seg_id,
+         array_to_string(ws[seg_id * {_SEG_W} + 1 : seg_id * {_SEG_W} + {_SEG_W}], ' ') AS seg_txt,
+         md5(array_to_string(ws[seg_id * {_SEG_W} + 1 : seg_id * {_SEG_W} + {_SEG_W}], ' ')) AS seg_md5
+  FROM seg
+), dup AS (
+  SELECT seg_md5 FROM hashed
+  GROUP BY seg_md5 HAVING COUNT(DISTINCT doc_id) >= {_SEG_DUP_DOCS}
+), kept AS (
+  SELECT h.doc_id, h.seg_id, h.seg_txt
+  FROM hashed h ANTI JOIN dup d ON h.seg_md5 = d.seg_md5
+), kept_agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(len(string_split(seg_txt, ' '))) AS BIGINT) AS kept_tokens,
+         md5(string_agg(seg_txt, ' ' ORDER BY seg_id)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+), total AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM hashed GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segs,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       t.n_segs - COALESCE(k.n_kept, 0) AS n_dropped,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+FROM total t LEFT JOIN kept_agg k ON t.doc_id = k.doc_id
+""",
+)
+def boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate removal, the CCNet/RefinedWeb pass:
+    split each document into non-overlapping 12-token segments, drop
+    every segment whose content hash appears in >= 2 distinct documents
+    (headers, footers, navigation chrome), and reassemble the cleaned
+    document in original segment order.
+
+    `cleaned_md5` is the md5 of the reassembled text, so the oracle
+    hash-verifies the entire drop-and-reassemble round trip, not just
+    the counts.
+
+    Scale shape (100 TB): segmentation is a narrow sequence-explode;
+    the boilerplate set is found by one exact two-phase distinct-doc
+    count shuffling 16-byte hashes; membership removal is a left-anti
+    hash join on the same key (in production the dup set is far smaller
+    than the corpus — AQE turns this into a broadcast anti join);
+    reassembly groups segments back by doc_id, sorting each doc's
+    handful of segments inside `sort_array` (per-row, no global sort).
+    Segment text rides the reassembly shuffle only for KEPT segments.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    nseg = F.ceil(F.size("ws") / F.lit(float(_SEG_W))).cast("long")
+    seg_txt = F.concat_ws(
+        " ", F.slice("ws", F.col("seg_id").cast("int") * _SEG_W + 1, _SEG_W)
+    )
+    hashed = (
+        docs.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("seg_id"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "seg_id",
+            seg_txt.alias("seg_txt"),
+            F.md5(seg_txt).alias("seg_md5"),
+        )
+    )
+    dup = (
+        hashed.groupBy("seg_md5", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("seg_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _SEG_DUP_DOCS)
+        .select("seg_md5")
+    )
+    kept = hashed.join(dup, "seg_md5", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.size(F.split("seg_txt", " "))).cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_id", "seg_txt"))),
+                    lambda s: s["seg_txt"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    total = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_segs"))
+    return total.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias("kept_tokens"),
+        F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+    )
+
+
+# --- bigram language-model scoring ------------------------------------
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2)
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c12 GROUP BY w1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+), lp AS (
+  SELECT c12.w1, c12.w2,
+         CAST(round(ln((c12.c + 1) * 1.0 / (c1.c + v.v)), 9) AS DECIMAL(18,9)) AS logp
+  FROM c12 JOIN c1 USING (w1), v
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_lp
+  FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+  GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(avg_lp, 6) AS avg_logprob
+FROM per_doc
+""",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing — the
+    KenLM-perplexity-filter shape (CCNet's quality signal) one order up
+    from `unigram_logprob`: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V),
+    per-doc average log-probability over its bigrams.
+
+    Determinism follows the unigram pattern proven in
+    `unigram_logprob`: each conditional logp is ln of ONE exact integer
+    ratio rounded onto a 9dp DECIMAL grid, doc sums are decimal
+    (order-free), one double division at the end.
+
+    Scale shape (100 TB): bigram extraction is a narrow
+    sequence-explode + element_at (codegen'd, no lambda HOFs); the LM
+    table reduces by (w1,w2) with map-side combine; scoring is an
+    equi-join on the bigram key — vocab²-bounded, broadcastable for
+    real vocabularies after pruning, hash-partitioned here.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    bg = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.element_at("ws", F.col("i")).alias("w1"),
+            F.element_at("ws", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c1"))
+    v = (
+        docs.select(F.explode(ws).alias("term"))
+        .agg(F.countDistinct("term").cast("bigint").alias("v"))
+    )
+    lp = (
+        c12.join(c1, "w1")
+        .join(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log((F.col("c") + 1) / (F.col("c1") + F.col("v"))), 9)
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    per_doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_lp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", F.round("avg_lp", 6).alias("avg_logprob")
+    )
+
+
+# --- per-domain TF-IDF topic keywords ---------------------------------
+
+_TFIDF_TOPK = 5
+
+
+@register(
+    "topic_tfidf",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nsrc AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM documents
+), scored AS (
+  SELECT tf.source, tf.term,
+         CAST(tf.tf AS BIGINT) * CAST(round(ln((nsrc.n + 1) * 1.0 / (df.df + 1)) * 1000000000
+              ) AS BIGINT) AS score_nano
+  FROM tf JOIN df USING (term), nsrc
+), ranked AS (
+  SELECT source, term, score_nano,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_nano DESC, term) AS rk
+  FROM scored)
+SELECT source, CAST(rk AS BIGINT) AS rk, term, score_nano
+FROM ranked WHERE rk <= {_TFIDF_TOPK}
+""",
+)
+def topic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain characteristic terms by TF-IDF (the c-TF-IDF /
+    BERTopic shape, with the 20 sources as the "topics"): term
+    frequency inside the domain x smoothed inverse domain frequency,
+    top-5 per domain.
+
+    Determinism: idf = ln of one exact ratio, scaled to integer
+    nanounits BEFORE the tf multiply, so scores are exact BIGINTs in
+    both engines (NOTES rule 1/2); ties break on the term string.
+
+    Scale shape (100 TB): tf is a (source, term)-keyed partial agg; df
+    reduces the tf relation again by term — both map-side combined;
+    the idf join is vocab-sized and broadcastable; final per-source
+    top-5 is a windowed rank filter (WindowGroupLimit pushdown), keyed
+    by the same source partition as tf, so the big token explode
+    shuffles exactly once.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nsrc = docs.agg(F.countDistinct("source").cast("bigint").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(nsrc))
+        .select(
+            "source",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("n") + 1) / (F.col("df") + 1)) * 1_000_000_000
+                ).cast("bigint")
+            ).alias("score_nano"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_nano"), "term")
+    return (
+        scored.select(
+            "source", F.row_number().over(w).cast("bigint").alias("rk"), "term", "score_nano"
+        )
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+    )
+
+
+# --- BPE tokenizer-training pair statistics ---------------------------
+
+_BPE_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word
+), pairs AS (
+  SELECT word[i:i] AS a, word[i+1:i+1] AS b, c
+  FROM (SELECT word, c, unnest(range(1, len(word))) AS i FROM wc WHERE len(word) >= 2)
+), agg AS (
+  SELECT a, b, CAST(SUM(c) AS BIGINT) AS pair_count FROM pairs GROUP BY a, b
+)
+SELECT a, b, pair_count FROM agg
+ORDER BY pair_count DESC, a, b LIMIT {_BPE_TOPK}
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer TRAINING: adjacent-symbol
+    pair frequencies over the word-frequency table (one merge round of
+    Sennrich-style BPE picks the argmax of exactly this table). Top-50
+    pairs with a total order.
+
+    Scale shape (100 TB): the crucial move is counting WORDS first —
+    the corpus collapses to its vocabulary (Zipf: millions of rows, not
+    trillions) before any character-level explode; pair extraction then
+    runs over vocab-sized data, weighted by word counts. Both groupBys
+    partial-aggregate; top-50 is TakeOrderedAndProject. An actual
+    tokenizer trainer iterates argmax -> merge -> recount on the SAME
+    vocab-sized frame (the `kmeans_lloyd` iteration pattern).
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("a"),
+            F.expr("substring(word, i + 1, 1)").alias("b"),
+            "c",
+        )
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("c").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(_BPE_TOPK)
     )

@@ -30,8 +30,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from map_reduce_spark.io import load_table
+from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
 
 # --- deterministic hash split ----------------------------------------
@@ -567,4 +568,214 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.least(F.col("n_chars"), F.lit(2000)).cast("long") * 1_000_000
         )
         .select("doc_id", "n_chars", "u")
+    )
+
+
+# --- model-score filtering (fastText-style hashed linear classifier) --
+
+_QC_SEED = "qc"
+_QC_WRANGE = 2001  # weights span -1000..+1000
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat('{_QC_SEED}:', term)), 1, 8))
+                       AS BIGINT) % {_QC_WRANGE} - 1000 AS BIGINT)) AS BIGINT) AS logit
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logit,
+       CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM scored
+""",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier shape
+    used by CCNet/GPT-3-style pipelines: each token hashes into a
+    weight table (here derived from md5 so the oracle can recompute it;
+    in production the same expression reads a broadcast weight array
+    learned offline), the document's logit is the integer sum of its
+    token weights, and the verdict thresholds the logit.
+
+    Scale shape (100 TB): inference is ONE narrow explode + hash +
+    integer aggregate — no model server, no Python, fully codegen'd,
+    and the shuffle carries (doc_id, partial-sum) pairs only. Swapping
+    the md5-derived weight for `weights[bucket]` over a broadcast
+    array literal keeps the identical plan with a real trained model.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    w = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{_QC_SEED}:"), F.col("term"))), 1, 8), 16, 10)
+        .cast("long")
+        % _QC_WRANGE
+        - 1000
+    )
+    scored = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(w).cast("bigint").alias("logit"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit",
+        F.when(F.col("logit") > 0, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+# --- deterministic global corpus shuffle ------------------------------
+
+_SHUF_SEED = "shuffle-epoch-0"
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('{_SHUF_SEED}:', CAST(doc_id AS VARCHAR)))) AS BIGINT) AS pos,
+       doc_id,
+       md5(concat('{_SHUF_SEED}:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+FROM documents
+""",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch's data
+    order must be (a) uniformly shuffled, (b) reproducible for
+    checkpoint-resume, (c) computed without a single-machine sort.
+    The shuffle key is md5(seed:doc_id) — changing the seed string
+    re-shuffles; re-running the same seed reproduces the exact order.
+
+    Scale shape (100 TB): the total order comes from
+    `ranking.global_row_number` — range-repartition by the md5 key +
+    per-partition local row_number + broadcast per-partition offsets.
+    No `Exchange SinglePartition` anywhere (locked for the ranking
+    family in tests/test_plans.py); this is how you hand a trainer a
+    globally-shuffled epoch without ever materializing a global sort
+    on one node.
+    """
+    from map_reduce_spark.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return global_row_number(keyed, [F.col("shuffle_key")], out="pos").select(
+        F.col("pos").cast("bigint").alias("pos"), "doc_id", "shuffle_key"
+    )
+
+
+# --- per-domain document capping (RefinedWeb-style) -------------------
+
+_CAP_N = 15
+_CAP_SEED = "domain-cap"
+
+
+@register(
+    "domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('{_CAP_SEED}:', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS BIGINT) AS pick
+  FROM documents)
+SELECT doc_id, source, pick FROM ranked WHERE pick <= {_CAP_N}
+""",
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/C4 dominance control): no
+    single source may contribute more than N documents; the survivors
+    are a deterministic uniform sample per source, chosen by md5 rank
+    so re-runs and backfills pick the identical set.
+
+    Scale shape (100 TB): one hash-partitioned window per source key —
+    partial top-N per partition is what Spark's WindowGroupLimit
+    pushdown gives rank filters (rank <= N prunes inside the window
+    exec, before the full sort materializes); the shuffle key is the
+    domain, making this the same plan as any per-key top-k. Skewed
+    mega-domains would salt the key exactly like `join_salted`.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    key = F.md5(F.concat(F.lit(f"{_CAP_SEED}:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("pick"))
+        .filter(F.col("pick") <= _CAP_N)
+    )
+
+
+# --- snapshot diff (CDC between two table versions) -------------------
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey,
+         md5(concat(o_orderstatus, '|', o_orderpriority)) AS old_md5
+  FROM orders WHERE o_orderkey % 7 != 0
+), v2 AS (
+  SELECT o_orderkey,
+         md5(concat(CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END,
+                    '|', o_orderpriority)) AS new_md5
+  FROM orders WHERE o_orderkey % 11 != 0
+), j AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         v1.old_md5, v2.new_md5,
+         v1.o_orderkey IS NULL AS ins, v2.o_orderkey IS NULL AS del
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN ins THEN 'insert' WHEN del THEN 'delete' ELSE 'update' END AS change_type,
+       old_md5, new_md5
+FROM j WHERE ins OR del OR old_md5 != new_md5
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-capture between two versions of a
+    table (the Delta-CDF / audit-diff shape): classify every primary
+    key as insert / delete / update by full-outer-joining the versions
+    on the key and comparing row content hashes — unchanged rows are
+    dropped so the output is exactly the changeset.
+
+    The two versions are deterministic views of `orders` (v2 drops some
+    keys, adds others back, rewrites some statuses) so the oracle can
+    rebuild them; in production they are two table snapshots.
+
+    Scale shape (100 TB): ONE full-outer hash join keyed on the primary
+    key — both sides shuffle-partition on the same key (co-partitioned
+    bucketed snapshots make it shuffle-free); row content travels as a
+    16-byte md5, never as the row; the changeset output is typically
+    tiny relative to the snapshots.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.md5(F.concat("o_orderstatus", F.lit("|"), "o_orderpriority")).alias("old_md5"),
+    )
+    status2 = F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus"))
+    v2 = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.md5(F.concat(status2, F.lit("|"), F.col("o_orderpriority"))).alias("new_md5"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_md5").isNull(), "insert")
+        .when(F.col("new_md5").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        j.select("o_orderkey", change.alias("change_type"), "old_md5", "new_md5")
+        .filter(
+            F.col("old_md5").isNull()
+            | F.col("new_md5").isNull()
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
     )

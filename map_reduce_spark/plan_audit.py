@@ -60,6 +60,8 @@ ACCEPTED_1PART: dict[str, str] = {
     "scalar_subquery": "scalar subquery aggregate",
     "mix_temperature": "scalar weight-normalization aggregate",
     "dq_checks": "single-row rule-counts summary",
+    "bigram_lm_score": "scalar vocabulary-size aggregate",
+    "topic_tfidf": "scalar domain-count aggregate",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -84,6 +86,9 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "window_ntile": "broadcast partition-offset frame (scale-safe global rank)",
     "tokenize_to_ids": "broadcast scalar vocab-size row",
     "dq_checks": "broadcast scalar expectation rows",
+    "corpus_shuffle": "broadcast partition-offset frame (scale-safe global rank)",
+    "bigram_lm_score": "broadcast scalar vocab-size row",
+    "topic_tfidf": "broadcast scalar domain-count row",
 }
 
 

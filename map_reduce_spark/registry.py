@@ -91,8 +91,12 @@ def register(name: str, oracle: str | None = None):
 # resampling, UDTF/arrow extras, set-op/sketch variants, remaining
 # streaming jobs, prepare_training_data, modern-SQL remainder, and the
 # late-r3 additions dedup_components_lss / multimodal_gif_pipeline /
-# pq_adc_topk — locally hash-verified, their oracle families already
-# exercised by window entries) are queued for the round-4 window. Everything else holds a green row from r1/r2 and follows in
+# pq_adc_topk / dedup_spans / boilerplate_dedup / quality_classifier /
+# corpus_shuffle / bigram_lm_score / interval_overlap_join /
+# domain_cap / snapshot_diff / topic_tfidf / bpe_pair_counts — locally
+# hash-verified, their oracle
+# families already exercised by window entries) are queued for the
+# round-4 window. Everything else holds a green row from r1/r2 and follows in
 # registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors

@@ -387,3 +387,44 @@ def test_catalog_wide_plan_audit_has_no_unaccepted_flags(spark, sf_dir):
         or (r["bnlj"] and r["name"] not in plan_audit.ACCEPTED_BNLJ)
     ]
     assert not bad, f"unaccepted single-partition/nested-loop plans: {bad}"
+
+
+def test_dedup_spans_topk_and_no_single_partition(spark, sf_dir):
+    """Span dedup must plan its bounded output as a per-partition heap
+    (TakeOrderedAndProject), never a global sort, and its distinct-doc
+    count must be the two-phase groupBy (no Exchange SinglePartition)."""
+    plan = plan_of(spark, sf_dir, "dedup_spans")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_boilerplate_dedup_anti_join_no_text_in_dup_shuffle(spark, sf_dir):
+    """Boilerplate removal: membership test is an anti join keyed on the
+    16-byte segment hash; the dup-set side of that join must not carry
+    segment text through its shuffle."""
+    plan = plan_of(spark, sf_dir, "boilerplate_dedup")
+    assert "LeftAnti" in plan
+    opt = optimized_of(spark, sf_dir, "boilerplate_dedup")
+    # the dup-set aggregate projects only the hash + doc id, never seg_txt
+    import re
+    agg_inputs = re.findall(r"Aggregate \[seg_md5.*?\], \[seg_md5", opt)
+    assert agg_inputs, "dup-set aggregate should group on seg_md5 only"
+
+
+def test_corpus_shuffle_is_range_partitioned_rank(spark, sf_dir):
+    """The deterministic epoch shuffle must compute its global order via
+    range partitioning + offsets — a single-partition funnel at 100 TB
+    would serialize the whole corpus through one task."""
+    plan = plan_of(spark, sf_dir, "corpus_shuffle")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_quality_classifier_single_shuffle(spark, sf_dir):
+    """Classifier inference is one narrow explode + hash + partial agg:
+    exactly one data shuffle (doc_id re-aggregation), zero joins."""
+    plan = plan_of(spark, sf_dir, "quality_classifier")
+    import re
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2  # agg + AQE read
+    assert "Join" not in plan
+    assert "hashpartitioning(doc_id" in plan
