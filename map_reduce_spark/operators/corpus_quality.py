@@ -801,3 +801,237 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(_BPE_TOPK)
     )
+
+
+# --- Count-Min sketch frequency estimation (portable, fully oracled) --
+
+# d x w counter grid. Cells are the MERGEABLE state of the sketch:
+# (row, col) partial counts sum associatively, which is what makes CMS
+# the streaming/distributed frequency summary. Keep the literals in
+# sync inside the oracle SQL.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+_CMS_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+hh AS (SELECT term, c FROM cnt, tot WHERE c * 50 > n),
+cells AS (
+  SELECT r.range AS r,
+         ('0x' || substr(md5(r.range || ':' || term), 1, 8))::BIGINT
+             % {_CMS_WIDTH} AS col,
+         CAST(SUM(c) AS BIGINT) AS cell
+  FROM cnt, range(0, {_CMS_DEPTH}) r GROUP BY 1, 2
+),
+q AS (
+  SELECT hh.term, hh.c, r.range AS r,
+         ('0x' || substr(md5(r.range || ':' || hh.term), 1, 8))::BIGINT
+             % {_CMS_WIDTH} AS col
+  FROM hh, range(0, {_CMS_DEPTH}) r
+)
+SELECT q.term, q.c AS exact_count,
+       CAST(MIN(cells.cell) AS BIGINT) AS cms_est,
+       CAST(MIN(cells.cell) - q.c AS BIGINT) AS overestimate
+FROM q JOIN cells ON q.r = cells.r AND q.col = cells.col
+GROUP BY q.term, q.c
+"""
+
+
+@register("count_min_freq", oracle=_CMS_ORACLE)
+def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with an engine-portable md5 hash family — every stage of the
+    sketch is DuckDB-oracle-verified: the d x w counter grid, the
+    per-row hash routing, and the min-over-rows point query. Queried
+    for the exact heavy-hitter set (``heavy_hitters``' 2% support
+    threshold) so each output row carries exact count, CMS estimate,
+    and the sketch's one-sided overestimate (always >= 0).
+
+    Scale shape (100 TB): the corpus first collapses to its vocabulary
+    (partial-agged term counts — the same move as ``heavy_hitters``),
+    then the grid is a fixed d*w-cell aggregate: CONSTANT-size
+    mergeable state regardless of corpus size, the property that lets
+    a real deployment maintain the sketch per-partition and merge by
+    cell-wise sum (or keep it running in a streaming job). The point
+    query broadcasts the grid (<= {_CMS_DEPTH}*{_CMS_WIDTH} rows) to
+    the query terms. Accuracy is the textbook bound: overestimate <=
+    e/w * N with probability 1 - e^-d; the output exposes the actual
+    error per heavy term instead of asserting it.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # three consumers: total, grid, heavy-hitter query set
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])).alias("r")
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+    cells = (
+        cnt.select("term", "c", rows)
+        .withColumn("col", col)
+        .groupBy("r", "col")
+        .agg(F.sum("c").cast("bigint").alias("cell"))
+    )
+    hh = (
+        cnt.join(F.broadcast(tot))
+        .filter(F.col("c") * 50 > F.col("n"))
+        .select("term", "c")
+    )
+    q = hh.select("term", "c", rows).withColumn("col", col)
+    return (
+        q.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("term", "c")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+        .select(
+            "term",
+            F.col("c").alias("exact_count"),
+            "cms_est",
+            (F.col("cms_est") - F.col("c")).cast("bigint").alias("overestimate"),
+        )
+    )
+
+
+# --- BPE tokenizer TRAINING: the iterated merge loop ------------------
+
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Chained-CTE DuckDB twin of the merge loop: each round recomputes
+    pair stats, takes the argmax, and applies the merge — the same
+    round-unrolling trick as the kmeans_lloyd oracle."""
+    ctes = [
+        """wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+)""",
+        r"""seq0 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, c FROM wc
+)""",
+    ]
+    outs = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""pairs{r} AS (
+  SELECT a[i] AS x, a[i+1] AS y, c
+  FROM (SELECT a, c, unnest(range(1, len(a))) AS i
+        FROM (SELECT string_split(seq, ' ') AS a, c FROM seq{r - 1})
+        WHERE len(a) >= 2)
+),
+best{r} AS (
+  SELECT x, y, CAST(SUM(c) AS BIGINT) AS pair_freq
+  FROM pairs{r} GROUP BY x, y
+  ORDER BY pair_freq DESC, x, y LIMIT 1
+),
+seq{r} AS (
+  SELECT trim(replace(replace(' ' || seq || ' ',
+                              ' ' || x || ' ' || y || ' ',
+                              ' ' || x || y || ' '),
+                      ' ' || x || ' ' || y || ' ',
+                      ' ' || x || y || ' ')) AS seq, c
+  FROM seq{r - 1}, best{r}
+),
+vocab{r} AS (
+  SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size_after
+  FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM seq{r})
+)""")
+        outs.append(
+            f"SELECT {r} AS round, x AS left_sym, y AS right_sym,"
+            f" pair_freq, vocab_size_after FROM best{r}, vocab{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): the iterated
+    argmax -> merge -> recount loop that `bpe_pair_counts` computes one
+    round of — run for ``_BPE_TRAIN_ROUNDS`` rounds, emitting the merge table (the
+    `merges.txt` a tokenizer ships) with the picked pair's frequency
+    and the corpus symbol-vocabulary size after each merge. The whole
+    iterative computation is hash-verified against a chained-CTE
+    DuckDB oracle.
+
+    Merge application is two chained literal `replace` passes over the
+    space-separated symbol string: pass 1's left-to-right scan consumes
+    the shared boundary space of back-to-back occurrences ("a b a b"
+    merges only the first), pass 2 picks up exactly those skipped
+    occurrences — together they equal greedy non-overlapping merging.
+    (Self-overlapping runs of an x==x pair may bind one token later
+    than canonical BPE; both engines compute the identical result, and
+    the tie-break argmax — count desc, pair asc — is total, so the loop
+    is deterministic cross-engine.)
+
+    Scale shape (100 TB): the corpus collapses to its VOCABULARY
+    before round 1 (Zipf: millions of rows, not trillions) and every
+    round operates on that vocab-sized frame — pair stats partial-agg,
+    the argmax is a broadcast 1-row frame, the merge is a narrow
+    projection, and `localCheckpoint` caps lineage growth per round
+    exactly as in `textrank_keywords`. This is how production BPE
+    trainers (e.g. the original subword-nmt, HF tokenizers) structure
+    the loop; rounds are bounded (vocab-budget many), never data-sized.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    seqs = wc.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "c"
+    ).localCheckpoint()
+    out = None
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            seqs.withColumn("a", F.split("seq", " "))
+            .filter(F.size("a") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> named_struct('x', a[i-1], 'y', a[i]))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("c").cast("bigint").alias("pair_freq"))
+        )
+        best = pairs.orderBy(F.desc("pair_freq"), "x", "y").limit(1).persist()
+        pat = F.concat(F.lit(" "), F.col("x"), F.lit(" "), F.col("y"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" "))
+        seqs = (
+            seqs.crossJoin(F.broadcast(best))
+            .withColumn("s2", F.concat(F.lit(" "), F.col("seq"), F.lit(" ")))
+            .withColumn("s2", F.replace(F.col("s2"), pat, rep))
+            .withColumn("s2", F.replace(F.col("s2"), pat, rep))
+            .select(F.trim(F.col("s2")).alias("seq"), "c")
+            .localCheckpoint()
+        )
+        vocab = (
+            seqs.select(F.explode(F.split("seq", " ")).alias("sym"))
+            .agg(F.count_distinct("sym").cast("bigint").alias("vocab_size_after"))
+        )
+        row = best.crossJoin(F.broadcast(vocab)).select(
+            F.lit(r).alias("round"),
+            F.col("x").alias("left_sym"),
+            F.col("y").alias("right_sym"),
+            "pair_freq",
+            "vocab_size_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

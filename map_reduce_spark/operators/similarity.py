@@ -940,3 +940,142 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("qid", "vec_id", F.col("rnk").cast("long").alias("rnk"), "cos")
     )
+
+
+# --- SemDeDup-style semantic deduplication ----------------------------
+
+# Similarity threshold for the drop verdict. SemDeDup (Abbas et al.
+# 2023, arXiv:2303.09540) prunes within-cluster pairs above a
+# corpus-calibrated cosine; the synthetic embeddings here are loosely
+# clustered (within-cell max cosine ~0.49 at sf0.01), so 0.40
+# exercises the drop path without being vacuous. Keep the literal in
+# sync inside the oracle SQL below.
+SEMDEDUP_TAU = 0.40
+
+_SEMDEDUP_ORACLE = """
+WITH iv AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT t.vec_id, c.clabel,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
+           / (c.n * c.n) AS d2
+  FROM terms t JOIN cent c ON t.i = c.i
+  GROUP BY t.vec_id, c.clabel, c.n
+),
+assign AS (
+  SELECT vec_id, clabel AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
+),
+nv AS (
+  SELECT a.vec_id, a.cell, iv.q,
+         sqrt(CAST(list_sum([iv.q[i]*iv.q[i] FOR i IN range(1, len(iv.q)+1)])
+                   AS DOUBLE)) AS nrm
+  FROM assign a JOIN iv ON a.vec_id = iv.vec_id
+),
+p AS (
+  SELECT b.vec_id,
+         MAX(CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)])
+                  AS DOUBLE) / (a.nrm * b.nrm)) AS max_prev
+  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY 1
+)
+SELECT nv.vec_id, nv.cell,
+       round(p.max_prev, 6) AS max_prev_cos,
+       COALESCE(p.max_prev < 0.40, TRUE) AS kept
+FROM nv LEFT JOIN p ON nv.vec_id = p.vec_id
+"""
+
+
+@register("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication: k-means-cell-pruned
+    cosine dedup over the embedding space (Abbas et al. 2023 — cluster
+    first, compare only within a cluster, drop members too close to an
+    earlier-kept one).
+
+    Every vector is assigned to its nearest coarse cell (the exact
+    rational-arithmetic L2 argmin shared with ``ivf_assign``); within a
+    cell, each vector's max cosine to any LOWER-id cell member is
+    computed, and the vector is dropped when that similarity reaches
+    ``SEMDEDUP_TAU``. Keep-lowest-id is the deterministic stand-in for
+    the paper's keep-one-per-group choice; the drop rule checks ALL
+    lower-id members (not just kept ones), which is the conservative
+    (more-dropping) variant and keeps the predicate join-free.
+
+    Scale shape (100 TB): the quadratic term is bounded per cell —
+    exactly the SemDeDup trick; k grows with corpus size so cell
+    populations stay bounded, and the pairwise join shuffles on the
+    cell key only. Centroid stats are k x dim rows, broadcast. The
+    cosine is an exact integer dot over 1e4-scaled components divided
+    by IEEE norms — bit-identical in DuckDB, so the keep/drop frontier
+    is deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+    terms = iv.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
+    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
+    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            "vec_id",
+            "clabel",
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assign = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+    nv = assign.join(iv.select("vec_id", "q"), "vec_id").withColumn(
+        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+    )
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = _idot(F.col("a.q"), F.col("b.q")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.max(cos).alias("max_prev"))
+    )
+    return nv.join(p, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.round("max_prev", 6).alias("max_prev_cos"),
+        F.coalesce(F.col("max_prev") < SEMDEDUP_TAU, F.lit(True)).alias("kept"),
+    )
