@@ -62,6 +62,9 @@ ACCEPTED_1PART: dict[str, str] = {
     "dq_checks": "single-row rule-counts summary",
     "bigram_lm_score": "scalar vocabulary-size aggregate",
     "topic_tfidf": "scalar domain-count aggregate",
+    "recursive_cte": "1-row cached bounds + metadata-sized month-spine recursion steps",
+    "count_min_freq": "scalar corpus-total aggregate (support threshold)",
+    "bpe_train_merges": "per-round 1-row argmax + scalar vocab-size aggregates (6 rounds)",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -89,6 +92,9 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "corpus_shuffle": "broadcast partition-offset frame (scale-safe global rank)",
     "bigram_lm_score": "broadcast scalar vocab-size row",
     "topic_tfidf": "broadcast scalar domain-count row",
+    "recursive_cte": "cross join against the cached 1-row bounds + 2-row doubling bits",
+    "count_min_freq": "broadcast scalar corpus total (support threshold)",
+    "bpe_train_merges": "per-round broadcast 1-row argmax-pair frame (6 rounds)",
 }
 
 
