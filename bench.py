@@ -54,6 +54,12 @@ HEADLINE = [
     "dedup_spans",
     "boilerplate_dedup",
     "quality_classifier",
+    # round 3 additions: semantic dedup, portable CMS, BPE training,
+    # band-blocked record linkage
+    "dedup_semantic",
+    "count_min_freq",
+    "bpe_train_merges",
+    "entity_resolution",
 ]
 
 
