@@ -1,0 +1,110 @@
+"""Semantic tests for the round-3 operator additions, beyond the
+auto-generated oracle-parity rows: CMS one-sided error, BPE merge-loop
+invariants, SemDeDup verdict consistency, and the entity-resolution
+banding-vs-quadratic recall guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    """CMS is one-sided: est >= exact for EVERY queried term, and the
+    total overestimate respects the eps*N bound with slack."""
+    from map_reduce_spark.operators.corpus_quality import (
+        _CMS_WIDTH,
+        count_min_freq,
+    )
+    from map_reduce_spark.io import load_table
+
+    rows = count_min_freq(spark, sf_dir).collect()
+    assert rows, "heavy-hitter query set must be non-empty"
+    assert all(r.cms_est >= r.exact_count for r in rows)
+    assert all(r.overestimate == r.cms_est - r.exact_count for r in rows)
+
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    # expected collision mass per cell is N/w; with d=4 independent
+    # rows the min is far below that — allow 4x slack per term
+    assert all(r.overestimate <= 4 * n / _CMS_WIDTH for r in rows)
+
+
+def test_bpe_merges_shrink_corpus_monotonically(spark, sf_dir):
+    """Each BPE round merges the argmax pair: pair frequencies are
+    non-increasing across rounds (greedy argmax on a shrinking corpus
+    can never find a strictly better pair later than an earlier round
+    ignored), vocab grows by at most 1 symbol per round, and every
+    merged symbol is the concatenation of its parts."""
+    from map_reduce_spark.operators.corpus_quality import (
+        _BPE_TRAIN_ROUNDS,
+        bpe_train_merges,
+    )
+
+    rows = sorted(bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, _BPE_TRAIN_ROUNDS + 1))
+    freqs = [r.pair_freq for r in rows]
+    assert all(a >= b for a, b in zip(freqs, freqs[1:])), freqs
+    assert all(r.pair_freq > 0 for r in rows)
+    # each round adds the merged symbol and may exhaust its parts:
+    # vocab can grow by at most one net symbol per round
+    sizes = [r.vocab_size_after for r in rows]
+    assert all(abs(a - b) <= 2 for a, b in zip(sizes, sizes[1:]))
+
+
+def test_semdedup_verdicts_match_bruteforce(spark, sf_dir):
+    """The keep/drop frontier equals the definition recomputed
+    driver-side from the query's own cell and cosine columns."""
+    from map_reduce_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.max_prev_cos is None:
+            assert r.kept, "a vector with no lower-id neighbor is always kept"
+        else:
+            assert r.kept == (r.max_prev_cos < SEMDEDUP_TAU) or abs(
+                r.max_prev_cos - SEMDEDUP_TAU
+            ) < 1e-6, (r.vec_id, r.max_prev_cos, r.kept)
+
+
+def test_entity_resolution_banding_equals_quadratic(spark, sf_dir):
+    """The two-band candidate generator loses NOTHING vs the naive
+    nation-blocked quadratic comparison (the pigeonhole guarantee)."""
+    from map_reduce_spark.operators.advanced_joins import (
+        _ER_MAX_DIST,
+        entity_resolution,
+    )
+    from map_reduce_spark.io import load_table
+
+    banded = {
+        (r.custkey_a, r.custkey_b, r.dist)
+        for r in entity_resolution(spark, sf_dir).collect()
+    }
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    naive = {
+        (r.ka, r.kb, r.dist)
+        for r in (
+            a.join(
+                b,
+                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .select(
+                F.col("a.c_custkey").alias("ka"),
+                F.col("b.c_custkey").alias("kb"),
+                F.levenshtein("a.c_name", "b.c_name").cast("int").alias("dist"),
+            )
+            .filter(F.col("dist") <= _ER_MAX_DIST)
+        ).collect()
+    }
+    assert banded == naive
