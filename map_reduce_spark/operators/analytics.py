@@ -415,3 +415,77 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
     )
     return wide.select(F.expr(stack))
+
+
+# --- winsorization: percentile clipping as a data-quality transform ---
+
+_WINSOR_ORACLE = """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+),
+cl AS (
+  SELECT e.event_type,
+         e.value,
+         CAST(e.value < p.lo AS INT) AS is_lo,
+         CAST(e.value > p.hi AS INT) AS is_hi,
+         CAST(round(least(greatest(e.value, p.lo), p.hi), 4)
+              AS DECIMAL(18,4)) AS clipped
+  FROM events e JOIN pct p ON e.event_type = p.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(is_hi) AS BIGINT) AS n_clipped_high,
+       round(CAST(SUM(clipped) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+FROM cl GROUP BY event_type
+"""
+
+
+@register("winsorize_values", oracle=_WINSOR_ORACLE)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-statistics data-cleaning transform:
+    clip each event's value into its type's [p05, p95] band and report
+    per-type clip counts and the winsorized mean.
+
+    Cross-engine determinism: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the same linear interpolation (proven
+    by ``percentiles_exact``); interpolated thresholds land strictly
+    between adjacent order statistics, so an ulp of difference can
+    never flip a clip verdict, and the mean is summed on the
+    DECIMAL(18,4) grid (NOTES rule 1), not float order.
+
+    Scale shape: one partial-agged percentile pass per type (the
+    per-type value lists bound state, or swap in approx_percentile at
+    extreme cardinalities), thresholds broadcast back (rows = distinct
+    types), then a narrow projection + one partial-agged rollup — the
+    corpus shuffles only for the two per-type aggregations.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_type",
+            (F.col("value") < F.col("lo")).cast("int").alias("is_lo"),
+            (F.col("value") > F.col("hi")).cast("int").alias("is_hi"),
+            clipped.alias("clipped"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("is_lo").cast("bigint").alias("n_clipped_low"),
+            F.sum("is_hi").cast("bigint").alias("n_clipped_high"),
+            F.round(F.sum("clipped").cast("double") / F.count("*"), 6).alias(
+                "winsorized_mean"
+            ),
+        )
+    )

@@ -1079,3 +1079,137 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_prev", 6).alias("max_prev_cos"),
         F.coalesce(F.col("max_prev") < SEMDEDUP_TAU, F.lit(True)).alias("kept"),
     )
+
+
+# --- k-NN graph construction (cell-pruned) ----------------------------
+
+KNN_K = 3
+
+_KNN_GRAPH_ORACLE = """
+WITH iv AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT t.vec_id, c.clabel,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
+           / (c.n * c.n) AS d2
+  FROM terms t JOIN cent c ON t.i = c.i
+  GROUP BY t.vec_id, c.clabel, c.n
+),
+assign AS (
+  SELECT vec_id, clabel AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
+),
+nv AS (
+  SELECT a.vec_id, a.cell, iv.q,
+         sqrt(CAST(list_sum([iv.q[i]*iv.q[i] FOR i IN range(1, len(iv.q)+1)])
+                   AS DOUBLE)) AS nrm
+  FROM assign a JOIN iv ON a.vec_id = iv.vec_id
+),
+e AS (
+  SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
+         CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)])
+              AS DOUBLE) / (a.nrm * b.nrm) AS cos_x
+  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, cell, nbr_id,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_x DESC, nbr_id) AS INT) AS rnk,
+       round(cos_x, 6) AS cos
+FROM e
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_x DESC, nbr_id) <= 3
+"""
+
+
+@register("knn_graph", oracle=_KNN_GRAPH_ORACLE)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=``KNN_K``): every vector's top-k
+    nearest same-cell neighbors by exact cosine — the substrate for
+    graph-based semantic clustering, connected-component dedup over
+    embeddings (feed into ``dedup_components_lss``), and kNN
+    label propagation.
+
+    Shares the coarse-cell argmin with ``dedup_semantic``/``ivf_assign``
+    — cell pruning bounds the per-vector candidate set exactly as in
+    SemDeDup, trading recall at cell borders for the per-cell bound (a
+    production build probes adjacent cells like ``ivf_topk``). Per-vec
+    top-k is a window PARTITIONED BY vec_id — per-partition heaps,
+    never a global sort; the deterministic (cos desc, nbr_id) order
+    makes the whole edge list hash-verifiable cross-engine.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+    terms = iv.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
+    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
+    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            "vec_id",
+            "clabel",
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assign = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+    nv = assign.join(iv.select("vec_id", "q"), "vec_id").withColumn(
+        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+    )
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = _idot(F.col("a.q"), F.col("b.q")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    edges = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.cell").alias("cell"),
+        F.col("b.vec_id").alias("nbr_id"),
+        cos.alias("cos_x"),
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cos_x"), "nbr_id")
+    return (
+        edges.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= KNN_K)
+        .select(
+            "vec_id",
+            "cell",
+            "nbr_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("cos_x", 6).alias("cos"),
+        )
+    )
