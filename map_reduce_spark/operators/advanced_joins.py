@@ -444,7 +444,9 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_nationkey")
         .withColumn("band1", F.substring("c_name", 13, 3))
         .withColumn("band2", F.substring("c_name", 16, 3))
+        .persist()  # four consumers (both sides of both banding passes)
     )
+    c.count()  # materialize once; NOTES rule 11 stage barrier
     a, b = c.alias("a"), c.alias("b")
 
     def pass_on(band: str) -> DataFrame:

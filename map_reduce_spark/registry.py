@@ -94,7 +94,8 @@ def register(name: str, oracle: str | None = None):
 # pq_adc_topk / dedup_spans / boilerplate_dedup / quality_classifier /
 # corpus_shuffle / bigram_lm_score / interval_overlap_join /
 # domain_cap / snapshot_diff / topic_tfidf / bpe_pair_counts /
-# dedup_semantic / count_min_freq / bpe_train_merges — locally
+# dedup_semantic / count_min_freq / bpe_train_merges /
+# entity_resolution / knn_graph / winsorize_values — locally
 # hash-verified, their oracle
 # families already exercised by window entries) are queued for the
 # round-4 window. Everything else holds a green row from r1/r2 and follows in
