@@ -96,3 +96,110 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("sum_n"),
         F.min("h").alias("min_h"),
     )
+
+
+@register(
+    "python_datasource_stream",
+    oracle=f"""
+SELECT CAST(n % {_N_BUCKETS} AS BIGINT) AS bucket,
+       COUNT(*) AS cnt,
+       CAST(SUM(n) AS BIGINT) AS sum_n,
+       MIN(md5(CAST(n AS VARCHAR))) AS min_h
+FROM (SELECT unnest(range(0, {_N_ROWS})) AS n)
+GROUP BY 1
+""",
+)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource (Spark 4
+    ``SimpleDataSourceStreamReader``): the same deterministic synthetic
+    table as ``python_datasource_scan``, delivered as an unbounded
+    micro-batch stream with offset tracking — the pure-Python analogue
+    of writing a Kafka-style connector.
+
+    The reader walks an integer offset in fixed batches; Spark persists
+    each (start, end] offset range to the checkpoint/commit log and
+    replays ranges via ``readBetweenOffsets`` on recovery, which is the
+    exactly-once contract every real streaming connector implements.
+    Once every row is delivered the source returns empty batches; the
+    driver stops the query and aggregates the landed micro-batches —
+    the result must equal the batch scan (and the same DuckDB
+    ``range()`` oracle), proving no batch was lost or doubled across
+    the streaming hop.
+
+    Scale notes: offsets are O(1) metadata regardless of throughput;
+    each micro-batch is generated lazily executor-side; downstream of
+    the source everything is ordinary codegen'd aggregation. A real
+    deployment swaps the integer offset for topic/partition offsets
+    and keeps the identical read/commit skeleton.
+    """
+    import hashlib
+    import time
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_rows, n_buckets, step = _N_ROWS, _N_BUCKETS, 2_000
+
+    def _rows(lo: int, hi: int):
+        # iter(list), not a generator: the simple-reader contract wants
+        # an ITERATOR, and the prefetched rows are PICKLED to the
+        # executors — a list_iterator satisfies both, a generator
+        # neither
+        return iter(
+            [
+                (n, n % n_buckets, hashlib.md5(str(n).encode()).hexdigest())
+                for n in range(lo, hi)
+            ]
+        )
+
+    class _SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + step, n_rows)
+            return _rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return _rows(start["pos"], end["pos"])
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_stream"
+
+        def schema(self):
+            return "n bigint, bucket int, h string"
+
+        def simpleStreamReader(self, schema):
+            return _SynthStreamReader()
+
+    spark.dataSource.register(SynthStreamSource)
+    tbl = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synth_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(tbl).count() < n_rows:
+            if time.time() > deadline:
+                raise RuntimeError(f"streaming source stalled: {tbl}")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    return (
+        spark.table(tbl)
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n").alias("sum_n"),
+            F.min("h").alias("min_h"),
+        )
+    )
