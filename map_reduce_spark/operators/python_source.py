@@ -203,3 +203,113 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("h").alias("min_h"),
         )
     )
+
+
+@register(
+    "python_datasource_write",
+    oracle=f"""
+SELECT CAST(n % {_N_BUCKETS} AS BIGINT) AS bucket,
+       COUNT(*) AS cnt,
+       CAST(SUM(n) AS BIGINT) AS sum_n
+FROM (SELECT unnest(range(0, {_N_ROWS})) AS n)
+GROUP BY 1
+""",
+)
+def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 ``DataSourceWriter``):
+    a staged-commit sink in pure Python, closing the connector-SDK
+    loop (batch read `python_datasource_scan`, streaming read
+    `python_datasource_stream`, write here).
+
+    The reference engine's sink is an APPEND-mode file (worker.ex:124,
+    147): a re-executed task double-appends, so recovery is not
+    idempotent (SURVEY §2 "semantic hazards"). This writer demonstrates
+    the task-commit protocol that fixes it: each write task lands its
+    partition in a uniquely-named STAGING file and returns a commit
+    message; only the driver-side ``commit()`` publishes the staged
+    files into a manifest, and ``abort()`` discards them — a retried or
+    speculative task can never double-publish because publication is a
+    single driver-side commit of the winning attempts' messages. The
+    read-back goes through the manifest, so the query verifies
+    exactly-once landing against the same DuckDB ``range()`` oracle.
+
+    Scale notes: this is precisely how FileOutputCommitter/Iceberg
+    commits work — O(tasks) staging renames, one atomic manifest
+    publish; per-task state is its own output file, commit messages
+    are O(1) metadata.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(os.path.join(out_dir, "_staging"), exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, filename: str, rows: int):
+            self.filename = filename
+            self.rows = rows
+
+    class _SinkWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            # one uniquely-named staging file per task ATTEMPT: retries
+            # stage separate files; only committed messages publish
+            name = f"part-{uuid.uuid4().hex}.jsonl"
+            staged = os.path.join(self.path, "_staging", name)
+            rows = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps({"n": row[0], "bucket": row[1]}) + "\n")
+                    rows += 1
+            return _Msg(name, rows)
+
+        def commit(self, messages):
+            files = [m.filename for m in messages]
+            for name in files:
+                os.replace(
+                    os.path.join(self.path, "_staging", name),
+                    os.path.join(self.path, name),
+                )
+            manifest = {"files": files, "rows": sum(m.rows for m in messages)}
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    class SynthSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_sink"
+
+        def schema(self):
+            return "n bigint, bucket int"
+
+        def writer(self, schema, overwrite):
+            return _SinkWriter(self.options["path"])
+
+    spark.dataSource.register(SynthSink)
+    src = spark.range(0, _N_ROWS, numPartitions=8).select(
+        F.col("id").alias("n"), (F.col("id") % _N_BUCKETS).cast("int").alias("bucket")
+    )
+    src.write.format("synth_sink").option("path", out_dir).mode("append").save()
+
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    committed = [os.path.join(out_dir, name) for name in manifest["files"]]
+    back = spark.read.schema("n bigint, bucket int").json(committed)
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("cnt"), F.sum("n").alias("sum_n")
+    )
