@@ -469,3 +469,66 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("dist", dist.cast("int"))
         .filter(F.col("dist") <= _ER_MAX_DIST)
     )
+
+
+# --- sorted-neighborhood linkage (the other classic blocking) ---------
+
+_SNM_WINDOW = 3
+
+_SNM_ORACLE = f"""
+WITH ranked AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS pos
+  FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(b.pos - a.pos AS INT) AS gap,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM ranked a JOIN ranked b
+  ON b.pos > a.pos AND b.pos <= a.pos + {_SNM_WINDOW}
+"""
+
+
+@register("sorted_neighborhood_pairs", oracle=_SNM_ORACLE)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    sort the corpus by the match key, then compare each record only
+    with its ``_SNM_WINDOW`` successors — the OTHER classic candidate
+    generator next to band blocking (``entity_resolution``), preferred
+    when errors cluster in the key's low-order region so near-dups sort
+    adjacently.
+
+    Scale shape (100 TB): the global sort position comes from
+    ``ranking.global_row_number`` (range repartition + per-partition
+    row_number + broadcast offsets — no ``Exchange SinglePartition``
+    anywhere), and the neighbor pairing is NOT a range join: each
+    record explodes its w probe positions and equi-joins on position,
+    so the candidate step is a plain hash join with w·N volume. The
+    expensive comparator (levenshtein) runs on candidates only.
+    """
+    from map_reduce_spark.ranking import global_row_number
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ranked = global_row_number(
+        c, [F.col("c_name"), F.col("c_custkey")], out="pos"
+    ).select("c_custkey", "c_name", "pos")
+    probes = ranked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("pos").alias("pos_a"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + _SNM_WINDOW)
+        ).alias("probe"),
+    )
+    return (
+        probes.join(ranked, probes["probe"] == ranked["pos"])
+        .select(
+            "custkey_a",
+            F.col("c_custkey").alias("custkey_b"),
+            "name_a",
+            F.col("c_name").alias("name_b"),
+            (F.col("pos") - F.col("pos_a")).cast("int").alias("gap"),
+            F.levenshtein("name_a", "c_name").cast("int").alias("dist"),
+        )
+    )

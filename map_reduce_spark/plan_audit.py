@@ -95,6 +95,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "recursive_cte": "cross join against the cached 1-row bounds + 2-row doubling bits",
     "count_min_freq": "broadcast scalar corpus total (support threshold)",
     "bpe_train_merges": "per-round broadcast 1-row argmax-pair frame (6 rounds)",
+    "sorted_neighborhood_pairs": "broadcast partition-offset frame (scale-safe global rank)",
 }
 
 

@@ -96,7 +96,8 @@ def register(name: str, oracle: str | None = None):
 # domain_cap / snapshot_diff / topic_tfidf / bpe_pair_counts /
 # dedup_semantic / count_min_freq / bpe_train_merges /
 # entity_resolution / knn_graph / winsorize_values /
-# python_datasource_stream / python_datasource_write — locally
+# python_datasource_stream / python_datasource_write /
+# sorted_neighborhood_pairs — locally
 # hash-verified, their oracle
 # families already exercised by window entries) are queued for the
 # round-4 window. Everything else holds a green row from r1/r2 and follows in
