@@ -910,18 +910,22 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 6
 
 
-def _bpe_train_oracle(rounds: int) -> str:
+def _bpe_train_ctes(rounds: int, carry_word: bool = False) -> tuple[list[str], list[str]]:
     """Chained-CTE DuckDB twin of the merge loop: each round recomputes
     pair stats, takes the argmax, and applies the merge — the same
-    round-unrolling trick as the kmeans_lloyd oracle."""
+    round-unrolling trick as the kmeans_lloyd oracle. With
+    ``carry_word`` the word column rides through every seq table so a
+    consumer can join the final segmentation back to the corpus
+    (``bpe_encode``)."""
+    w = "word, " if carry_word else ""
     ctes = [
         """wc AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS c
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   GROUP BY word
 )""",
-        r"""seq0 AS (
-  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, c FROM wc
+        rf"""seq0 AS (
+  SELECT {w}trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, c FROM wc
 )""",
     ]
     outs = []
@@ -938,7 +942,7 @@ best{r} AS (
   ORDER BY pair_freq DESC, x, y LIMIT 1
 ),
 seq{r} AS (
-  SELECT trim(replace(replace(' ' || seq || ' ',
+  SELECT {w}trim(replace(replace(' ' || seq || ' ',
                               ' ' || x || ' ' || y || ' ',
                               ' ' || x || y || ' '),
                       ' ' || x || ' ' || y || ' ',
@@ -953,6 +957,11 @@ vocab{r} AS (
             f"SELECT {r} AS round, x AS left_sym, y AS right_sym,"
             f" pair_freq, vocab_size_after FROM best{r}, vocab{r}"
         )
+    return ctes, outs
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    ctes, outs = _bpe_train_ctes(rounds)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
 
 
@@ -985,15 +994,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainers (e.g. the original subword-nmt, HF tokenizers) structure
     the loop; rounds are bounded (vocab-budget many), never data-sized.
     """
+    _, merges = _bpe_merge_loop(_bpe_seq0(spark, sf_dir))
+    return merges
+
+
+def _bpe_seq0(spark: SparkSession, sf_dir: str, carry_word: bool = False) -> DataFrame:
+    """Word-frequency table with each word char-split into its initial
+    symbol sequence — the vocab-sized frame every merge round runs on."""
     docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    seqs = wc.select(
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "c"
-    ).localCheckpoint()
+    cols = (["word"] if carry_word else []) + [
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+        "c",
+    ]
+    return wc.select(*cols).localCheckpoint()
+
+
+def _bpe_merge_loop(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run ``_BPE_TRAIN_ROUNDS`` argmax -> merge -> recount rounds over
+    ``seqs`` (columns: [extra...], seq, c — extras ride through
+    untouched). Returns (final segmentation, merge table)."""
+    keep = seqs.columns
     out = None
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
         pairs = (
@@ -1019,7 +1044,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("s2", F.concat(F.lit(" "), F.col("seq"), F.lit(" ")))
             .withColumn("s2", F.replace(F.col("s2"), pat, rep))
             .withColumn("s2", F.replace(F.col("s2"), pat, rep))
-            .select(F.trim(F.col("s2")).alias("seq"), "c")
+            .select(
+                *[
+                    F.trim(F.col("s2")).alias("seq") if c == "seq" else F.col(c)
+                    for c in keep
+                ]
+            )
             .localCheckpoint()
         )
         vocab = (
@@ -1034,4 +1064,59 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size_after",
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    return seqs, out
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    ctes, _ = _bpe_train_ctes(rounds, carry_word=True)
+    ctes.append(f"""vtok AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+  FROM seq{rounds}
+),
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(vtok.n_sym) AS BIGINT) AS n_tokens_bpe
+FROM dw JOIN vtok ON dw.word = vtok.word
+GROUP BY dw.doc_id"""
+    )
+
+
+@register("bpe_encode", oracle=_bpe_encode_oracle(_BPE_TRAIN_ROUNDS))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: encode the corpus with the merges
+    ``bpe_train_merges`` learns, reporting per-document word, char, and
+    BPE-token counts — the train/apply pair that turns raw text into
+    the token budget every LLM data pipeline is priced in.
+
+    The scale move mirrors training: merges are applied to the
+    VOCABULARY (Zipf-bounded), producing one (word -> n_symbols) row
+    per distinct word; the corpus then joins its exploded words to
+    that segmentation table — apply-on-vocab + hash join, never
+    re-running the merge chain per document occurrence. The join is a
+    plain equi-join on word (broadcastable while the vocab fits, a
+    hash join beyond); the per-doc rollup partial-aggregates.
+    Hash-verified end-to-end: the oracle replays training AND
+    encoding, so the match proves the learned merges, the final
+    segmentation, and the corpus join all agree cross-engine.
+    """
+    final_seqs, _ = _bpe_merge_loop(_bpe_seq0(spark, sf_dir, carry_word=True))
+    vtok = final_seqs.select(
+        "word", F.size(F.split("seq", " ")).cast("bigint").alias("n_sym")
+    )
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    dw = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        dw.join(vtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens_bpe"),
+        )
+    )
