@@ -108,3 +108,80 @@ def test_entity_resolution_banding_equals_quadratic(spark, sf_dir):
         ).collect()
     }
     assert banded == naive
+
+
+def test_bpe_encode_count_invariants(spark, sf_dir):
+    """Per doc: word count <= BPE tokens <= chars (merges only ever
+    shrink a word's symbol count, never below 1 symbol per word)."""
+    from map_reduce_spark.operators.corpus_quality import bpe_encode
+
+    rows = bpe_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_tokens_bpe <= r.n_chars, (
+            r.doc_id,
+            r.n_words,
+            r.n_tokens_bpe,
+            r.n_chars,
+        )
+
+
+def test_knn_graph_shape(spark, sf_dir):
+    """No self-edges, ranks are 1..k per vector, cosine within [-1, 1]
+    and non-increasing along each vector's rank order."""
+    from collections import defaultdict
+
+    from map_reduce_spark.operators.similarity import KNN_K, knn_graph
+
+    rows = knn_graph(spark, sf_dir).collect()
+    assert rows
+    by_vec = defaultdict(list)
+    for r in rows:
+        assert r.nbr_id != r.vec_id
+        assert -1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9
+        by_vec[r.vec_id].append((r.rnk, r.cos))
+    for vec, lst in by_vec.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= KNN_K
+        coss = [c for _, c in lst]
+        assert all(a >= b for a, b in zip(coss, coss[1:])), (vec, coss)
+
+
+def test_winsorize_clip_fractions(spark, sf_dir):
+    """Each tail clips at most ~5% of the rows (interpolated p05/p95
+    thresholds can clip slightly under, never meaningfully over)."""
+    from map_reduce_spark.operators.analytics import winsorize_values
+
+    rows = winsorize_values(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_clipped_low <= r.n * 0.05 + 1
+        assert r.n_clipped_high <= r.n * 0.05 + 1
+        assert r.winsorized_mean is not None
+
+
+def test_python_datasource_write_commit_protocol(spark):
+    """After the write: the manifest exists, every manifest file is
+    published (no orphan staging), and the landed rows equal the
+    source exactly once."""
+    import json
+    import os
+    import tempfile
+
+    from map_reduce_spark.operators.python_source import (
+        _N_ROWS,
+        python_datasource_write,
+    )
+
+    out = python_datasource_write(spark, "unused").collect()
+    assert sum(r.cnt for r in out) == _N_ROWS
+
+    sink = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
+    with open(os.path.join(sink, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == _N_ROWS
+    for name in manifest["files"]:
+        assert os.path.exists(os.path.join(sink, name))
+    staging = os.path.join(sink, "_staging")
+    assert not os.listdir(staging), "staging must be empty after commit"
