@@ -1120,3 +1120,63 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").cast("bigint").alias("n_tokens_bpe"),
         )
     )
+
+
+# --- linear-counting distinct sketch (portable, fully oracled) --------
+
+# bitmap width; keep the literal in sync inside the oracle SQL
+_LC_BITS = 4096
+
+_LC_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(term), 1, 8))::BIGINT % {_LC_BITS} AS b
+  FROM tok
+),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS n_tokens,
+         CAST((SELECT COUNT(DISTINCT term) FROM tok) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(*) AS BIGINT) AS bits_set
+  FROM bits
+)
+SELECT n_tokens, exact_distinct, bits_set,
+       CAST(round({_LC_BITS} * ln({_LC_BITS} * 1.0 / ({_LC_BITS} - bits_set)), 6)
+            AS DOUBLE) AS lc_estimate
+FROM stats
+"""
+
+
+@register("distinct_linear_counting", oracle=_LC_ORACLE)
+def distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimation (Whang et al. 1990) with a
+    portable md5 bitmap — the fully-oracled member of the
+    distinct-sketch family next to the rows-only HLL/theta entries:
+    bitmap population, zero fraction, and the -m·ln(V₀/m) estimator
+    are all hash-verified (ln rounded onto the decimal grid, the
+    `unigram_logprob` determinism trick).
+
+    Scale shape: the m-bit bitmap is CONSTANT mergeable state (the
+    distinct bit set partial-aggregates map-side and unions by set
+    union), the same property that makes HLL distributable — linear
+    counting just trades memory (m ≈ expected cardinality) for much
+    lower error at small-to-medium cardinalities. The corpus collapses
+    to distinct (bit) rows before the final scalar rollup.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term")).persist()
+    bit = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % _LC_BITS
+    )
+    bits = tok.select(bit.alias("b")).distinct()
+    stats = tok.agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_distinct("term").cast("bigint").alias("exact_distinct"),
+    )
+    est = F.round(
+        _LC_BITS * F.log(_LC_BITS / (_LC_BITS - F.col("bits_set"))), 6
+    ).cast("double")
+    return (
+        bits.agg(F.count("*").cast("bigint").alias("bits_set"))
+        .crossJoin(F.broadcast(stats))
+        .select("n_tokens", "exact_distinct", "bits_set", est.alias("lc_estimate"))
+    )

@@ -263,3 +263,41 @@ def sql_udf_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udf_lineitem GROUP BY 1
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       strftime(CAST(o_orderdate AS DATE), '%Y') AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1, 2
+HAVING COUNT(*) > 10
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 ``|>`` operators, the Google
+    "SQL Has Problems" pipe-flow dialect): filter -> aggregate ->
+    post-filter written as a linear pipeline instead of inside-out
+    nesting. Same Catalyst plan as the classic form — the pipe
+    stages desugar to the identical filter/aggregate operators, so
+    this costs nothing at any scale; the oracle is the classic-syntax
+    twin, proving the desugaring preserves semantics.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS revenue
+           GROUP BY o_orderpriority AS priority,
+                    date_format(o_orderdate, 'yyyy') AS order_year
+        |> WHERE n_orders > 10
+        |> SELECT priority, order_year, n_orders, revenue
+        """
+    )

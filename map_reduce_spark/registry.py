@@ -97,7 +97,8 @@ def register(name: str, oracle: str | None = None):
 # dedup_semantic / count_min_freq / bpe_train_merges /
 # entity_resolution / knn_graph / winsorize_values /
 # python_datasource_stream / python_datasource_write /
-# sorted_neighborhood_pairs / bpe_encode — locally
+# sorted_neighborhood_pairs / bpe_encode / sql_pipe_syntax /
+# distinct_linear_counting — locally
 # hash-verified, their oracle
 # families already exercised by window entries) are queued for the
 # round-4 window. Everything else holds a green row from r1/r2 and follows in
