@@ -60,6 +60,12 @@ HEADLINE = [
     "count_min_freq",
     "bpe_train_merges",
     "entity_resolution",
+    # round 3 additions: kNN graph, sorted-neighborhood linkage,
+    # winsorization, linear-counting sketch
+    "knn_graph",
+    "sorted_neighborhood_pairs",
+    "winsorize_values",
+    "distinct_linear_counting",
 ]
 
 
