@@ -1163,7 +1163,11 @@ def distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     to distinct (bit) rows before the final scalar rollup.
     """
     docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(F.explode(F.split("text", " ")).alias("term")).persist()
+    # deliberately NOT persisted: the exploded token stream is the
+    # largest intermediate in the query, and its two consumers are
+    # narrow re-scans of a pruned 1-column parquet read — recomputing
+    # beats pinning corpus-sized rows in the session cache
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
     bit = (
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % _LC_BITS
     )

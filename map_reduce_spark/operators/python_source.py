@@ -188,6 +188,8 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 120
         while spark.table(tbl).count() < n_rows:
+            if q.exception() is not None:
+                raise q.exception()
             if time.time() > deadline:
                 raise RuntimeError(f"streaming source stalled: {tbl}")
             time.sleep(0.2)
@@ -250,8 +252,11 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
-    out_dir = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # fresh per-invocation dir under a common root: concurrent sessions
+    # never share staging, and stale runs are swept by prefix
+    root = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    out_dir = os.path.join(root, uuid.uuid4().hex[:8])
     os.makedirs(os.path.join(out_dir, "_staging"), exist_ok=True)
 
     class _Msg(WriterCommitMessage):
@@ -283,8 +288,13 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.path.join(self.path, name),
                 )
             manifest = {"files": files, "rows": sum(m.rows for m in messages)}
-            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            # atomic publish: a crash mid-dump must never leave a
+            # truncated manifest visible (the exact partial-publish
+            # window this operator exists to demonstrate closing)
+            tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+            with open(tmp, "w") as f:
                 json.dump(manifest, f)
+            os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
 
         def abort(self, messages):
             shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -98,8 +98,17 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     component as an ``F.lit`` Column costs ~512 py4j round-trips and
     made plan CONSTRUCTION (not execution) dominate this query's wall
     time — see PERFORMANCE.md "plan-build overhead".
-    ``vec_col``: column name (str) or Column."""
-    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    ``vec_col``: a COLUMN NAME (str). Column objects are rejected:
+    the expression is assembled as a SQL string, and a derived
+    Column's JVM dump (exprIds, lambda ids) does not survive an
+    ``F.expr`` re-parse — nor does ``_jc`` exist under Spark
+    Connect. Select/alias the vector to a plain column first."""
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "lsh_bucket_expr takes a column NAME; alias your vector "
+            "expression to a column and pass its name"
+        )
+    name = vec_col
     terms = []
     for p, plane in enumerate(planes):
         arr = ",".join(f"{float(x)!r}D" for x in plane)
@@ -150,7 +159,7 @@ def ann_lsh_topk_frame(
     b = e.select(
         "vec_id",
         "embedding",
-        lsh_bucket_expr(F.col("embedding"), planes).alias("bucket"),
+        lsh_bucket_expr("embedding", planes).alias("bucket"),
     )
     probes = F.array(*_hamming_probes(F.col("qbucket"), probe_radius))
     qb = (
@@ -942,6 +951,54 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iv4(e: DataFrame) -> DataFrame:
+    """(vec_id, label, q): components scaled by 1e4 to exact integers —
+    the frame the coarse-cell family (ivf_assign / dedup_semantic /
+    knn_graph) shares."""
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _coarse_cells(iv: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest label-centroid by the exact
+    rational-arithmetic L2 argmin (see ivf_assign for the math) —
+    the ONE implementation of cell assignment; dedup_semantic and
+    knn_graph both consume it, so a scale-factor or tie-break change
+    cannot desynchronize the family."""
+    from pyspark.sql import Window
+
+    terms = iv.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
+    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
+    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            "vec_id",
+            "clabel",
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+
+
 # --- SemDeDup-style semantic deduplication ----------------------------
 
 # Similarity threshold for the drop verdict. SemDeDup (Abbas et al.
@@ -1022,41 +1079,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     by IEEE norms — bit-identical in DuckDB, so the keep/drop frontier
     is deterministic cross-engine.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    iv = e.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
-        ).alias("q"),
-    )
-    terms = iv.select(
-        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
-    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
-        F.sum("qi").alias("s"), F.count("*").alias("n")
-    )
-    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
-    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
-    d = (
-        t.join(c, F.col("t.i") == F.col("c.i"))
-        .groupBy("t.vec_id", "c.clabel", "c.n")
-        .agg(F.sum(num * num).alias("num2"))
-        .select(
-            "vec_id",
-            "clabel",
-            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    assign = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell"))
-    )
+    iv = _iv4(e)
+    assign = _coarse_cells(iv)
     nv = assign.join(iv.select("vec_id", "q"), "vec_id").withColumn(
         "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
     )
@@ -1149,41 +1174,11 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort; the deterministic (cos desc, nbr_id) order
     makes the whole edge list hash-verifiable cross-engine.
     """
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = _iv4(e)
+    assign = _coarse_cells(iv)
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    iv = e.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
-        ).alias("q"),
-    )
-    terms = iv.select(
-        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
-    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
-        F.sum("qi").alias("s"), F.count("*").alias("n")
-    )
-    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
-    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
-    d = (
-        t.join(c, F.col("t.i") == F.col("c.i"))
-        .groupBy("t.vec_id", "c.clabel", "c.n")
-        .agg(F.sum(num * num).alias("num2"))
-        .select(
-            "vec_id",
-            "clabel",
-            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    assign = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell"))
-    )
     nv = assign.join(iv.select("vec_id", "q"), "vec_id").withColumn(
         "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
     )

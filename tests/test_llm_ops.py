@@ -327,20 +327,24 @@ def test_png_codec_property_roundtrip():
 
 
 def test_lss_components_resolve_long_chain(spark):
-    """large-star/small-star must collapse a 200-node CHAIN (diameter
-    200) in its fixed 8 alternations — the case that proves the
-    escalation over diameter-bounded label propagation."""
+    """large-star/small-star must collapse a 1000-node CHAIN (diameter
+    1000) within its fixed alternations — the case that proves the
+    escalation over diameter-bounded label propagation. 1000 nodes
+    need 10 alternations by direct simulation (8, the old constant,
+    silently mislabels any chain past ~256 — the regression this
+    pins)."""
     from map_reduce_spark.operators.dedup import connected_components_lss
 
+    n = 1000
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(200)] + [(500, 501), (503, 502)],
+        [(i, i + 1) for i in range(n)] + [(5000, 5001), (5003, 5002)],
         "doc_a long, doc_b long",
     )
     rows = {r.doc_id: (r.component, r.is_canonical)
             for r in connected_components_lss(pairs).collect()}
-    assert all(rows[i] == (0, i == 0) for i in range(201))
-    assert rows[500] == (500, True) and rows[501] == (500, False)
-    assert rows[502] == (502, True) and rows[503] == (502, False)
+    assert all(rows[i] == (0, i == 0) for i in range(n + 1))
+    assert rows[5000] == (5000, True) and rows[5001] == (5000, False)
+    assert rows[5002] == (5002, True) and rows[5003] == (5002, False)
 
 
 def test_gif_codec_property_roundtrip():

@@ -177,7 +177,9 @@ def test_python_datasource_write_commit_protocol(spark):
     out = python_datasource_write(spark, "unused").collect()
     assert sum(r.cnt for r in out) == _N_ROWS
 
-    sink = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
+    root = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
+    (run_dir,) = os.listdir(root)  # one fresh dir per invocation
+    sink = os.path.join(root, run_dir)
     with open(os.path.join(sink, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     assert manifest["rows"] == _N_ROWS
