@@ -980,10 +980,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared boundary space of back-to-back occurrences ("a b a b"
     merges only the first), pass 2 picks up exactly those skipped
     occurrences — together they equal greedy non-overlapping merging.
-    (Self-overlapping runs of an x==x pair may bind one token later
-    than canonical BPE; both engines compute the identical result, and
-    the tie-break argmax — count desc, pair asc — is total, so the loop
-    is deterministic cross-engine.)
+    (Self-overlapping runs of an x==x pair can merge FEWER pairs than
+    canonical BPE — pass 1's consumed boundary spaces isolate run
+    leftovers — but the result is always a valid, locally-maximal
+    non-overlapping merging, exhaustively pinned in
+    tests/test_round3_ops.py; both engines compute the identical
+    result, and the tie-break argmax — count desc, pair asc — is
+    total, so the loop is deterministic cross-engine.)
 
     Scale shape (100 TB): the corpus collapses to its VOCABULARY
     before round 1 (Zipf: millions of rows, not trillions) and every

@@ -187,3 +187,72 @@ def test_python_datasource_write_commit_protocol(spark):
         assert os.path.exists(os.path.join(sink, name))
     staging = os.path.join(sink, "_staging")
     assert not os.listdir(staging), "staging must be empty after commit"
+
+
+def _double_replace_merge(tokens, x, y):
+    """The exact string transform both engines run per BPE round:
+    pad, two left-to-right literal replaces, trim, re-split."""
+    s = " " + " ".join(tokens) + " "
+    pat, rep = f" {x} {y} ", f" {x}{y} "
+    s = s.replace(pat, rep).replace(pat, rep)
+    return s.strip().split(" ")
+
+
+def _greedy_merge(tokens, x, y):
+    """Reference greedy non-overlapping left-to-right pair merge."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == x and tokens[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def test_bpe_double_replace_equals_greedy_merge():
+    """The two-pass literal-replace trick (the per-round merge both the
+    Spark code and the DuckDB oracle apply) must equal canonical greedy
+    non-overlapping merging for every x != y pair — the claim the BPE
+    operators' docstrings make. Exhaustive over all 4-symbol sequences
+    up to length 8 plus hypothesis-style random longer ones."""
+    import itertools
+    import random
+
+    syms = ["a", "b", "ab", "c"]
+    for n in range(1, 9):
+        for tokens in itertools.product(syms, repeat=n):
+            for x, y in itertools.permutations(syms, 2):
+                got = _double_replace_merge(list(tokens), x, y)
+                want = _greedy_merge(list(tokens), x, y)
+                assert got == want, (tokens, x, y, got, want)
+
+    rng = random.Random(7)
+    for _ in range(500):
+        tokens = [rng.choice(syms) for _ in range(rng.randint(9, 40))]
+        x, y = rng.sample(syms, 2)
+        assert _double_replace_merge(tokens, x, y) == _greedy_merge(tokens, x, y)
+
+
+def test_bpe_double_replace_self_pair_is_valid_merging():
+    """For x == y (self-overlapping) the double replace can achieve
+    FEWER merges than canonical greedy on long runs ('a'*6 merges 2
+    pairs, not 3 — boundary spaces consumed by pass 1 isolate the
+    leftovers) — but it must still be a VALID and LOCALLY MAXIMAL
+    non-overlapping merging: decomposing the result reproduces the
+    input, and no adjacent unmerged (x, x) pair survives. Both engines
+    run the identical transform, so the deviation is deterministic
+    (documented in bpe_train_merges)."""
+    import itertools
+
+    for n in range(1, 12):
+        for tokens in itertools.product(["a", "b"], repeat=n):
+            got = _double_replace_merge(list(tokens), "a", "a")
+            decompose = [
+                c for t in got for c in ([t] if t != "aa" else ["a", "a"])
+            ]
+            assert decompose == list(tokens)
+            assert not any(
+                got[i] == "a" and got[i + 1] == "a" for i in range(len(got) - 1)
+            ), (tokens, got)
