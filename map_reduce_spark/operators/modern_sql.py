@@ -301,3 +301,38 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT priority, order_year, n_orders, revenue
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+GROUP BY 1
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter API): the query text
+    carries ``:status`` / ``:floor`` markers and values arrive via
+    ``args`` — the injection-safe template path an application layer
+    should use instead of string interpolation. Parameters bind at
+    parse time to literals, so Catalyst constant-folds and pushes them
+    down exactly like hand-written literals (zero plan cost); the
+    oracle is the literal-inlined twin, proving the binding is
+    semantics-preserving.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+        FROM param_orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY 1
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )

@@ -87,7 +87,7 @@ def register(name: str, oracle: str | None = None):
 #     round-2 verdict: the TPC-H completion (18 shapes), the similarity
 #     and dedup additions, the corpus-curation seven, the analytics
 #     seven, and three of the modern-SQL four.
-# The ~30 still-unchecked queries (training pipeline, graph, events
+# The remaining never-driver-checked queries (training pipeline, graph, events
 # resampling, UDTF/arrow extras, set-op/sketch variants, remaining
 # streaming jobs, prepare_training_data, modern-SQL remainder, and the
 # late-r3 additions dedup_components_lss / multimodal_gif_pipeline /
@@ -98,7 +98,7 @@ def register(name: str, oracle: str | None = None):
 # entity_resolution / knn_graph / winsorize_values /
 # python_datasource_stream / python_datasource_write /
 # sorted_neighborhood_pairs / bpe_encode / sql_pipe_syntax /
-# distinct_linear_counting — locally
+# distinct_linear_counting / sql_parameterized — locally
 # hash-verified, their oracle
 # families already exercised by window entries) are queued for the
 # round-4 window. Everything else holds a green row from r1/r2 and follows in
