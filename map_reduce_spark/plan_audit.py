@@ -10,6 +10,11 @@ one diff.
 
 Reading the table:
 - ``exch`` — Exchange nodes (shuffles). Narrow pipelines show 0.
+  CAVEAT: a ``persist()``ed subtree that is not yet materialized
+  prints as an ``InMemoryRelation`` carrying its full lineage, once
+  per alias — so self-join queries over a persisted frame (e.g.
+  ``triangle_count``'s three edge aliases) over-count: the cached
+  subtree's exchanges execute ONCE at runtime, not per appearance.
 - ``1part`` — ``Exchange SinglePartition`` nodes: a global funnel.
   Only acceptable on provably tiny frames (a query vector's probe
   list, a scalar aggregate); the audit flags every occurrence so each
