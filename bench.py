@@ -84,9 +84,11 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
 
-    # two measured passes, min per query — damps scheduler/GC jitter
+    # three measured passes, min per query — damps scheduler/GC jitter
+    # (run-to-run VM noise of up to ~40% observed; min-of-3 keeps the
+    # headline close to steady-state throughput)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
