@@ -93,3 +93,127 @@ def test_task_retry_with_idempotent_sink(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "FAULT_TOLERANCE_OK" in proc.stdout
+
+
+_WRITER_SCRIPT = r"""
+import glob, json, os, sys, tempfile, uuid
+
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+work = tempfile.mkdtemp(prefix="ftw_")
+marker_dir = os.path.join(work, "attempts")
+sink = os.path.join(work, "sink")
+os.makedirs(marker_dir)
+os.makedirs(os.path.join(sink, "_staging"))
+
+spark = (
+    SparkSession.builder.master("local[4, 2]")
+    .appName("writer-fault-tolerance")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+class Msg(WriterCommitMessage):
+    def __init__(self, filename, rows):
+        self.filename = filename
+        self.rows = rows
+
+class FlakyWriter(DataSourceWriter):
+    def __init__(self, path, markers):
+        self.path = path
+        self.markers = markers
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"part-{{uuid.uuid4().hex}}.jsonl"
+        staged = os.path.join(self.path, "_staging", name)
+        rows = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps({{"n": row[0]}}) + "\n")
+                rows += 1
+        # die AFTER staging a complete file on the first attempt: the
+        # orphaned staged file is the hazard a manifest commit filters
+        marker = os.path.join(self.markers, f"p{{ctx.partitionId()}}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("injected write-task failure (first attempt)")
+        return Msg(name, rows)
+
+    def commit(self, messages):
+        files = [m.filename for m in messages]
+        for name in files:
+            os.replace(os.path.join(self.path, "_staging", name),
+                       os.path.join(self.path, name))
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({{"files": files, "rows": sum(m.rows for m in messages)}}, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        pass
+
+class FlakySink(DataSource):
+    @classmethod
+    def name(cls):
+        return "flaky_sink"
+
+    def schema(self):
+        return "n bigint"
+
+    def writer(self, schema, overwrite):
+        return FlakyWriter(self.options["path"], self.options["markers"])
+
+spark.dataSource.register(FlakySink)
+(spark.range(0, 1000, 1, 4)
+ .selectExpr("id AS n")
+ .write.format("flaky_sink")
+ .option("path", sink).option("markers", marker_dir)
+ .mode("append").save())
+
+with open(os.path.join(sink, "_MANIFEST.json")) as f:
+    manifest = json.load(f)
+assert manifest["rows"] == 1000, manifest
+assert len(manifest["files"]) == 4, manifest
+
+published = [os.path.join(sink, n) for n in manifest["files"]]
+seen = []
+for p in published:
+    with open(p) as f:
+        seen += [json.loads(line)["n"] for line in f]
+assert sorted(seen) == list(range(1000)), "manifest rows must be exactly-once"
+
+# every partition failed once, so 4 orphaned first-attempt files remain
+# staged — present on disk, but INVISIBLE to manifest readers
+assert len(glob.glob(os.path.join(marker_dir, "p*"))) == 4
+orphans = glob.glob(os.path.join(sink, "_staging", "*.jsonl"))
+assert len(orphans) == 4, f"expected 4 orphaned attempts, got {{len(orphans)}}"
+print("WRITER_FAULT_TOLERANCE_OK")
+spark.stop()
+"""
+
+
+def test_writer_commit_protocol_under_task_retry(tmp_path):
+    """The staged-commit Python DataSource writer pattern under real
+    task retries: every partition's first write attempt stages a
+    COMPLETE file and then dies; Spark retries; the manifest commit
+    publishes exactly the four winning attempts (1000 rows exactly
+    once) while the four orphaned first-attempt files stay staged and
+    invisible — the double-publish hazard of the reference's
+    append-mode sink (worker.ex:124,147), closed."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _WRITER_SCRIPT.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "WRITER_FAULT_TOLERANCE_OK" in proc.stdout
