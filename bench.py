@@ -69,12 +69,32 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed-cost VM-drift probe: a FROZEN plan (literal range + hash
+    agg, no testdata, no repo operators) whose cost can only move with
+    the machine. Round-over-round, BENCH_rN.calib_sec / BENCH_rM
+    .calib_sec measures host drift directly, so query deltas can be
+    normalized instead of asserted away (round-3 verdict item 3)."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from map_reduce_spark.registry import queries
     from map_reduce_spark.session import get_spark
 
     spark = get_spark("bench")
     qs = queries()
+
+    calib = _calibrate(spark)  # also serves as JVM/codegen first warm-up
 
     # pass 1 (cold): JVM JIT + codegen warm-up — recorded separately;
     # pass 2 (warm): steady-state throughput, the headline number.
@@ -83,6 +103,11 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        # each call persists its own frames; drop them outside the timer
+        # so cached frames never accumulate across 4 passes x 35 queries
+        # (GC pressure from that buildup hit the first query of each
+        # pass hardest — the round-3 mr_pipeline outlier)
+        spark.catalog.clearCache()
 
     # three measured passes, min per query — damps scheduler/GC jitter
     # (run-to-run VM noise of up to ~40% observed; min-of-3 keeps the
@@ -94,6 +119,7 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -108,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "calib_sec": calib,
                 "sf": sf_val,
             }
         )

@@ -442,8 +442,15 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey")
-        .withColumn("band1", F.substring("c_name", 13, 3))
-        .withColumn("band2", F.substring("c_name", 16, 3))
+        # END-ANCHORED band offsets (negative pos = from the key's own
+        # end): the last 6 chars split into two 3-char bands, whatever
+        # the key length or prefix — a format change cannot silently
+        # shift the bands off the volatile tail. For equal-length keys
+        # the pigeonhole argument needs only that bands align between
+        # the two names, which end-anchoring guarantees; length-changing
+        # edits (insert/delete) are outside the contract either way.
+        .withColumn("band1", F.substring("c_name", -6, 3))
+        .withColumn("band2", F.substring("c_name", -3, 3))
         .persist()  # four consumers (both sides of both banding passes)
     )
     c.count()  # materialize once; NOTES rule 11 stage barrier

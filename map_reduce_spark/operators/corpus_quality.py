@@ -1039,12 +1039,21 @@ def _bpe_merge_loop(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("c").cast("bigint").alias("pair_freq"))
         )
-        best = pairs.orderBy(F.desc("pair_freq"), "x", "y").limit(1).persist()
-        pat = F.concat(F.lit(" "), F.col("x"), F.lit(" "), F.col("y"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" "))
+        # 1-row argmax readback (NOTES rule-12 style bounded driver
+        # action: one row per round, _BPE_TRAIN_ROUNDS rounds, never
+        # data-sized). Freezing (x, y) as plan literals replaces the
+        # per-round persist+crossJoin — no cached frames accumulate
+        # across bench passes — and an empty frame (fully-merged tiny
+        # corpus) cleanly ends training instead of annihilating seqs
+        # through the crossJoin.
+        best = pairs.orderBy(F.desc("pair_freq"), "x", "y").limit(1).take(1)
+        if not best:
+            break
+        bx, by, bfreq = best[0]["x"], best[0]["y"], int(best[0]["pair_freq"])
+        pat = F.lit(f" {bx} {by} ")
+        rep = F.lit(f" {bx}{by} ")
         seqs = (
-            seqs.crossJoin(F.broadcast(best))
-            .withColumn("s2", F.concat(F.lit(" "), F.col("seq"), F.lit(" ")))
+            seqs.withColumn("s2", F.concat(F.lit(" "), F.col("seq"), F.lit(" ")))
             .withColumn("s2", F.replace(F.col("s2"), pat, rep))
             .withColumn("s2", F.replace(F.col("s2"), pat, rep))
             .select(
@@ -1055,18 +1064,24 @@ def _bpe_merge_loop(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
             .localCheckpoint()
         )
-        vocab = (
+        row = (
             seqs.select(F.explode(F.split("seq", " ")).alias("sym"))
             .agg(F.count_distinct("sym").cast("bigint").alias("vocab_size_after"))
-        )
-        row = best.crossJoin(F.broadcast(vocab)).select(
-            F.lit(r).alias("round"),
-            F.col("x").alias("left_sym"),
-            F.col("y").alias("right_sym"),
-            "pair_freq",
-            "vocab_size_after",
+            .select(
+                F.lit(r).alias("round"),
+                F.lit(bx).alias("left_sym"),
+                F.lit(by).alias("right_sym"),
+                F.lit(bfreq).cast("bigint").alias("pair_freq"),
+                "vocab_size_after",
+            )
         )
         out = row if out is None else out.unionByName(row)
+    if out is None:  # zero completed rounds: empty merge table, right schema
+        out = seqs.sparkSession.createDataFrame(
+            [],
+            "round INT, left_sym STRING, right_sym STRING,"
+            " pair_freq BIGINT, vocab_size_after BIGINT",
+        )
     return seqs, out
 
 

@@ -513,6 +513,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k catalog view of ``ngram_jaccard_dupes`` — cluster membership
     is a threshold property, a ranking would wire arbitrary weak pairs
     into components).
+
+    ORACLE-BASELINE ROLE (since round 4): this variant keeps a
+    driver-side convergence ``count()`` per round (NOTES rule-12
+    accepted exception) and exists as the readable ground-truth twin;
+    the DEFAULT for dup-cluster resolution at scale is
+    ``dedup_components_lss``, whose round budget comes from one upfront
+    metadata count instead of per-round driver actions.
     """
     return connected_components(
         _scored_jaccard_pairs(spark, sf_dir)

@@ -252,12 +252,26 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
+    import time
+
     # fresh per-invocation dir under a common root: concurrent sessions
-    # never share staging, and stale runs are swept by prefix
+    # never share staging. Cleanup is scoped to STALE runs only (>1h
+    # old by mtime) — wiping the whole root would delete a concurrent
+    # invocation's in-flight staging/manifest.
     root = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
-    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     out_dir = os.path.join(root, uuid.uuid4().hex[:8])
     os.makedirs(os.path.join(out_dir, "_staging"), exist_ok=True)
+    # discoverable by tests/tooling without listing the shared root
+    globals()["LAST_SINK_DIR"] = out_dir
 
     class _Msg(WriterCommitMessage):
         def __init__(self, filename: str, rows: int):

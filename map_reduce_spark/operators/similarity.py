@@ -965,12 +965,38 @@ def _iv4(e: DataFrame) -> DataFrame:
     )
 
 
+# Level-1 cells larger than this split into ~sqrt(cnt) subcells.
+# Sized so the sf0.01 driver check exercises BOTH paths (label
+# populations there span 44-59); at any real scale every cell refines.
+REFINE_THRESH = 48
+
+
 def _coarse_cells(iv: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest label-centroid by the exact
-    rational-arithmetic L2 argmin (see ivf_assign for the math) —
-    the ONE implementation of cell assignment; dedup_semantic and
-    knn_graph both consume it, so a scale-factor or tie-break change
-    cannot desynchronize the family."""
+    """(vec_id, cell): TWO-LEVEL coarse quantizer — the ONE cell
+    assignment dedup_semantic and knn_graph share, so a scale-factor or
+    tie-break change cannot desynchronize the family.
+
+    Level 1: nearest label-centroid by the exact rational-arithmetic
+    L2 argmin (see ivf_assign for the math).
+
+    Level 2 (the scale fix): any level-1 cell with more than
+    ``REFINE_THRESH`` members is split SEMANTICALLY — ``m =
+    ceil(sqrt(cnt))`` members become sub-centroid seeds (chosen by a
+    portable md5 coin with P = m/cnt: no windowed rank over the cell,
+    so no single-partition funnel, and the expected seed count is m)
+    and every member moves to its nearest seed by EXACT integer
+    squared-L2 (tie-break (d2, seed_id)). Near-identical embeddings
+    share a nearest seed, so near-dup recall survives the split —
+    unlike a random salt, which would scatter duplicates.
+
+    Scale math: cell cardinality grows as sum-over-labels sqrt(cnt)
+    (the faiss IVF sizing rule k ~ sqrt(N)); expected subcell
+    population is sqrt(cnt), so level-2 assignment (cnt x m) and the
+    downstream within-cell pairwise joins are both O(N^1.5) — never
+    the O(N^2 / n_labels) of a fixed-cardinality key. The md5-coin
+    cross-multiply ``u32 * cnt < m * 2^32`` stays inside int64 for
+    cnt < 2^31. Zero-seed cells (P ~ e^-m per cell) deterministically
+    fall back to their level-1 cell via the left join."""
     from pyspark.sql import Window
 
     terms = iv.select(
@@ -992,24 +1018,63 @@ def _coarse_cells(iv: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    return (
+    a1 = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell"))
+        .select("vec_id", "clabel")
+    ).persist()  # three consumers: counts, the refine join, the final join
+    cntm = a1.groupBy("clabel").agg(F.count("*").alias("cnt")).withColumn(
+        "m",
+        F.when(
+            F.col("cnt") > REFINE_THRESH,
+            F.ceil(F.sqrt(F.col("cnt").cast("double"))).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    a2 = a1.join(F.broadcast(cntm), "clabel").join(
+        iv.select("vec_id", "q"), "vec_id"
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cellseed:"), F.col("vec_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    seeds = a2.filter(
+        (F.col("m") > 0) & (u32 * F.col("cnt") < F.col("m") * F.lit(4294967296))
+    ).select("clabel", F.col("vec_id").alias("seed_id"), F.col("q").alias("sq"))
+    dd2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("sq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        a2.filter(F.col("m") > 0)
+        .select("clabel", "vec_id", "q")
+        .join(seeds, "clabel")
+        .select("vec_id", "seed_id", dd2.alias("dd2"))
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("dd2", "seed_id")
+    ref = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "seed_id")
+    )
+    return a1.join(ref, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(
+            F.concat(F.lit("S:"), F.col("seed_id").cast("string")),
+            F.concat(F.lit("L:"), F.col("clabel").cast("string")),
+        ).alias("cell"),
     )
 
 
-# --- SemDeDup-style semantic deduplication ----------------------------
-
-# Similarity threshold for the drop verdict. SemDeDup (Abbas et al.
-# 2023, arXiv:2303.09540) prunes within-cluster pairs above a
-# corpus-calibrated cosine; the synthetic embeddings here are loosely
-# clustered (within-cell max cosine ~0.49 at sf0.01), so 0.40
-# exercises the drop path without being vacuous. Keep the literal in
-# sync inside the oracle SQL below.
-SEMDEDUP_TAU = 0.40
-
-_SEMDEDUP_ORACLE = """
+# DuckDB mirror of _coarse_cells: CTEs (iv .. cells) shared verbatim by
+# the dedup_semantic and knn_graph oracles. Keep REFINE_THRESH (48),
+# the 'cellseed' coin, and the tie-breaks in sync with the Spark code.
+_CELLS_SQL = """
 WITH iv AS (
   SELECT vec_id, label,
          [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
@@ -1031,15 +1096,65 @@ d AS (
   FROM terms t JOIN cent c ON t.i = c.i
   GROUP BY t.vec_id, c.clabel, c.n
 ),
-assign AS (
-  SELECT vec_id, clabel AS cell FROM d
+a1 AS (
+  SELECT vec_id, clabel FROM d
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
 ),
+cntm AS (
+  SELECT clabel, COUNT(*) AS cnt,
+         CASE WHEN COUNT(*) > 48
+              THEN CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+              ELSE 0 END AS m
+  FROM a1 GROUP BY 1
+),
+a2 AS (
+  SELECT a.vec_id, a.clabel, cm.cnt, cm.m, iv.q
+  FROM a1 a JOIN cntm cm ON a.clabel = cm.clabel
+            JOIN iv ON a.vec_id = iv.vec_id
+),
+seeds AS (
+  SELECT clabel, vec_id AS seed_id, q AS sq
+  FROM a2
+  WHERE m > 0
+    AND CAST(concat('0x', substr(md5(concat('cellseed:',
+          CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) * cnt
+        < m * 4294967296
+),
+refd AS (
+  SELECT a.vec_id, s.seed_id,
+         list_sum([(a.q[i] - s.sq[i]) * (a.q[i] - s.sq[i])
+                   FOR i IN range(1, len(a.q) + 1)]) AS dd2
+  FROM a2 a JOIN seeds s ON a.clabel = s.clabel
+  WHERE a.m > 0
+),
+ref AS (
+  SELECT vec_id, seed_id FROM refd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd2, seed_id) = 1
+),
+cells AS (
+  SELECT a.vec_id,
+         COALESCE('S:' || CAST(r.seed_id AS VARCHAR),
+                  'L:' || CAST(a.clabel AS VARCHAR)) AS cell
+  FROM a1 a LEFT JOIN ref r ON a.vec_id = r.vec_id
+)"""
+
+
+# --- SemDeDup-style semantic deduplication ----------------------------
+
+# Similarity threshold for the drop verdict. SemDeDup (Abbas et al.
+# 2023, arXiv:2303.09540) prunes within-cluster pairs above a
+# corpus-calibrated cosine; the synthetic embeddings here are loosely
+# clustered (within-cell max cosine ~0.49 at sf0.01), so 0.40
+# exercises the drop path without being vacuous. Keep the literal in
+# sync inside the oracle SQL below.
+SEMDEDUP_TAU = 0.40
+
+_SEMDEDUP_ORACLE = _CELLS_SQL + """,
 nv AS (
   SELECT a.vec_id, a.cell, iv.q,
          sqrt(CAST(list_sum([iv.q[i]*iv.q[i] FOR i IN range(1, len(iv.q)+1)])
                    AS DOUBLE)) AS nrm
-  FROM assign a JOIN iv ON a.vec_id = iv.vec_id
+  FROM cells a JOIN iv ON a.vec_id = iv.vec_id
 ),
 p AS (
   SELECT b.vec_id,
@@ -1062,22 +1177,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, compare only within a cluster, drop members too close to an
     earlier-kept one).
 
-    Every vector is assigned to its nearest coarse cell (the exact
-    rational-arithmetic L2 argmin shared with ``ivf_assign``); within a
-    cell, each vector's max cosine to any LOWER-id cell member is
-    computed, and the vector is dropped when that similarity reaches
+    Every vector is assigned to its coarse cell by the two-level
+    quantizer shared with ``knn_graph`` (``_coarse_cells``: label
+    centroid, then a sqrt(cnt)-way semantic split of oversized cells);
+    within a cell, each vector's max cosine to any LOWER-id cell member
+    is computed, and the vector is dropped when that similarity reaches
     ``SEMDEDUP_TAU``. Keep-lowest-id is the deterministic stand-in for
     the paper's keep-one-per-group choice; the drop rule checks ALL
     lower-id members (not just kept ones), which is the conservative
     (more-dropping) variant and keeps the predicate join-free.
 
-    Scale shape (100 TB): the quadratic term is bounded per cell —
-    exactly the SemDeDup trick; k grows with corpus size so cell
-    populations stay bounded, and the pairwise join shuffles on the
-    cell key only. Centroid stats are k x dim rows, broadcast. The
-    cosine is an exact integer dot over 1e4-scaled components divided
-    by IEEE norms — bit-identical in DuckDB, so the keep/drop frontier
-    is deterministic cross-engine.
+    Scale shape (100 TB): cell cardinality GROWS with the corpus
+    (k ~ sqrt(N) per label, the faiss IVF sizing rule) and expected
+    cell population is sqrt(cnt), so the within-cell pairwise join is
+    O(N^1.5) total — never O(N^2 / n_labels); the join shuffles on the
+    cell key only. Near-identical vectors share a nearest seed, so the
+    split costs no near-dup recall (cell-BORDER pairs remain the
+    standard SemDeDup approximation). The cosine is an exact integer
+    dot over 1e4-scaled components divided by IEEE norms —
+    bit-identical in DuckDB, so the keep/drop frontier is deterministic
+    cross-engine.
     """
     e = load_table(spark, sf_dir, "embeddings")
     iv = _iv4(e)
@@ -1110,37 +1229,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 3
 
-_KNN_GRAPH_ORACLE = """
-WITH iv AS (
-  SELECT vec_id, label,
-         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
-          FOR i IN range(1, len(embedding) + 1)] AS q
-  FROM embeddings
-),
-terms AS (
-  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
-  FROM iv, range(1, 65) r
-),
-cent AS (
-  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
-  FROM terms GROUP BY 1, 2
-),
-d AS (
-  SELECT t.vec_id, c.clabel,
-         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
-           / (c.n * c.n) AS d2
-  FROM terms t JOIN cent c ON t.i = c.i
-  GROUP BY t.vec_id, c.clabel, c.n
-),
-assign AS (
-  SELECT vec_id, clabel AS cell FROM d
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
-),
+_KNN_GRAPH_ORACLE = _CELLS_SQL + """,
 nv AS (
   SELECT a.vec_id, a.cell, iv.q,
          sqrt(CAST(list_sum([iv.q[i]*iv.q[i] FOR i IN range(1, len(iv.q)+1)])
                    AS DOUBLE)) AS nrm
-  FROM assign a JOIN iv ON a.vec_id = iv.vec_id
+  FROM cells a JOIN iv ON a.vec_id = iv.vec_id
 ),
 e AS (
   SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
@@ -1166,9 +1260,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (feed into ``dedup_components_lss``), and kNN
     label propagation.
 
-    Shares the coarse-cell argmin with ``dedup_semantic``/``ivf_assign``
-    — cell pruning bounds the per-vector candidate set exactly as in
-    SemDeDup, trading recall at cell borders for the per-cell bound (a
+    Shares the two-level coarse quantizer with ``dedup_semantic``
+    (``_coarse_cells``: label centroid, then a sqrt(cnt)-way semantic
+    split of oversized cells) — cell pruning bounds the per-vector
+    candidate set at the expected sqrt(cnt) cell population, so edge
+    generation is O(N^1.5) total and cell cardinality grows with the
+    corpus; recall is traded at cell borders exactly as in SemDeDup (a
     production build probes adjacent cells like ``ivf_topk``). Per-vec
     top-k is a window PARTITIONED BY vec_id — per-partition heaps,
     never a global sort; the deterministic (cos desc, nbr_id) order

@@ -71,96 +71,96 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# After rounds 1+2, 93 distinct queries hold driver rows (87 green, 6
-# rows-only, 0 fail) and 76 have never been checked. The round-3 window
-# therefore holds:
+# After rounds 1-3, 137 distinct queries hold driver rows (132 green,
+# 5 rows-only-by-design, 0 failures) and 62 have never been checked.
+# The round-4 window therefore holds (per the round-3 verdict, item 1):
 #   - two anchors (the reference flagship + exact dedup) that stay
 #     continuously verified,
-#   - every query that CHANGED this round and needs a fresh row
-#     (de-vacuated thin verifications: ngram_jaccard_dupes,
-#     dedup_embedding_cosine, join_salted; integer band buckets:
-#     band_join_bucketed; robustness fixes: audio_metadata,
-#     streaming_foreach_batch; real-PNG-codec rewrite:
-#     multimodal_pipeline; brand new: multimodal_parse,
-#     ann_lsh_topk_portable),
-#   - 39 slots of never-driver-checked queries, front-loaded per the
-#     round-2 verdict: the TPC-H completion (18 shapes), the similarity
-#     and dedup additions, the corpus-curation seven, the analytics
-#     seven, and three of the modern-SQL four.
-# The remaining never-driver-checked queries (training pipeline, graph, events
-# resampling, UDTF/arrow extras, set-op/sketch variants, remaining
-# streaming jobs, prepare_training_data, modern-SQL remainder, and the
-# late-r3 additions dedup_components_lss / multimodal_gif_pipeline /
-# pq_adc_topk / dedup_spans / boilerplate_dedup / quality_classifier /
-# corpus_shuffle / bigram_lm_score / interval_overlap_join /
-# domain_cap / snapshot_diff / topic_tfidf / bpe_pair_counts /
-# dedup_semantic / count_min_freq / bpe_train_merges /
-# entity_resolution / knn_graph / winsorize_values /
-# python_datasource_stream / python_datasource_write /
-# sorted_neighborhood_pairs / bpe_encode / sql_pipe_syntax /
-# distinct_linear_counting / sql_parameterized — locally
-# hash-verified, their oracle
-# families already exercised by window entries) are queued for the
-# round-4 window. Everything else holds a green row from r1/r2 and follows in
+#   - 48 never-driver-checked queries, whole families front-loaded so
+#     components flip to done: the training-pipeline 13 + the composed
+#     prepare_training_data, graph (textrank/triangle) +
+#     dedup_components_lss (now the documented scale default for
+#     dup-cluster resolution), the modern-SQL five, the Python
+#     DataSource trio, the streaming four, the late-r3 scale operators
+#     (entity_resolution, bpe_train_merges, bpe_encode, count_min_freq,
+#     dedup_semantic + knn_graph — both re-keyed this round onto the
+#     two-level sqrt(N) cell quantizer), and 13 more standalone
+#     operators (dedup_spans, pq_adc_topk, boilerplate_dedup,
+#     multimodal_gif_pipeline, sorted_neighborhood_pairs,
+#     interval_overlap_join, doc_chunking, tokenize_to_ids,
+#     winsorize_values, window_analytics, distinct_linear_counting,
+#     topic_tfidf, bigram_lm_score).
+# The remaining 14 never-driver-checked queries are queued for round 5:
+# gap_fill_hourly / interpolate_hourly / udtf_table_polymorphic /
+# arrow_map_stats / bpe_pair_counts / higher_order_funcs /
+# set_intersect_all / set_except_all / bitwise_agg / listagg_funcs /
+# agg_bitmap_distinct / embedding_quantize (all locally hash-verified
+# under the identical DuckDB check) plus the two rows-only sketch
+# estimators agg_hll_sketch_union / agg_theta_sketch_setops
+# (accuracy-bounded in tests/test_sketches.py; a driver row adds only
+# a rows-only check, so they yield their slots to oracled entries).
+# Everything else holds a green row from r1-r3 and follows in
 # registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # changed or new this round — needs fresh driver rows
-    "ngram_jaccard_dupes",
-    "dedup_embedding_cosine",
-    "join_salted",
-    "band_join_bucketed",
-    "audio_metadata",
-    "streaming_foreach_batch",
-    "multimodal_pipeline",
-    "multimodal_parse",
-    "ann_lsh_topk_portable",
-    "ivf_topk",
-    "pq_encode",
-    # TPC-H completion (q1/q3/q5/q6 hold green r1/r2 rows)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    # similarity / dedup additions never driver-checked
-    "kmeans_lloyd",
-    "hard_negatives",
-    "dedup_components",
-    "dedup_simhash_portable",
-    # corpus curation
-    "contamination_check",
-    "repetition_stats",
-    "inverted_index",
-    "heavy_hitters",
-    "unigram_logprob",
-    "bm25_rank",
-    "vocab_coverage",
-    # event analytics
-    "funnel_analysis",
-    "cohort_retention",
-    "ohlc_hourly",
-    "value_histogram",
-    "anomaly_mad",
-    "incremental_rollup",
-    "table_profile",
-    # modern SQL (variant_funcs, lateral_topn, sql_udf_funcs queued r4)
-    "recursive_cte",
+    # training pipeline (pipeline_ops.py) — the biggest unchecked block
+    "split_train_val_test",
+    "stratified_sample",
+    "mix_temperature",
+    "pii_scrub",
+    "text_normalize",
+    "skew_agg_twophase",
+    "zorder_layout",
+    "dq_checks",
+    "weighted_sample",
+    "quality_classifier",
+    "corpus_shuffle",
+    "domain_cap",
+    "snapshot_diff",
+    # the composed end-to-end engine certification
+    "prepare_training_data",
+    # graph + the scale default for dup-cluster resolution
+    "textrank_keywords",
+    "triangle_count",
+    "dedup_components_lss",
+    # modern SQL five
+    "variant_funcs",
+    "lateral_topn",
+    "sql_udf_funcs",
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    # Spark-4 Python DataSource trio (batch scan, stream, staged write)
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "python_datasource_write",
+    # streaming remainder
+    "streaming_dedup_watermark",
+    "streaming_stateful_counts",
+    "streaming_static_join",
+    "streaming_stream_join",
+    # late-r3 scale operators
+    "entity_resolution",
+    "bpe_train_merges",
+    "bpe_encode",
+    "count_min_freq",
+    "dedup_semantic",
+    "knn_graph",
+    # standalone never-checked operators
+    "dedup_spans",
+    "pq_adc_topk",
+    "boilerplate_dedup",
+    "multimodal_gif_pipeline",
+    "sorted_neighborhood_pairs",
+    "interval_overlap_join",
+    "doc_chunking",
+    "tokenize_to_ids",
+    "winsorize_values",
+    "window_analytics",
+    "distinct_linear_counting",
+    "topic_tfidf",
+    "bigram_lm_score",
 )
 
 

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Synthesize an sf1-EQUIVALENT slice (10x sf0.1 rows) for the
+heavy-tail scale-trend measurement (round-3 verdict item 7).
+
+Only the three tables the five most expensive bench queries read
+(documents, embeddings, customer) are scaled; method is 10 re-keyed
+replicas of sf0.1 with replica-DISJOINT content:
+
+- documents: every word gets a replica suffix, so replicas never
+  near-dup each other — the corpus behaves like 10x fresh data (each
+  replica keeps sf0.1's internal dup structure, vocabulary grows 10x
+  like a real corpus would);
+- embeddings: components shifted by a replica-specific epsilon so
+  vectors are distinct but the label/cluster geometry is preserved;
+- customer: keys re-based per replica, names re-derived in the same
+  'Customer#%09d' layout so the band-blocked linkage sees the real
+  format.
+
+This is PERF data only — correctness stays pinned to the driver's
+sf0.01 DuckDB checks; nothing here feeds an oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1synth"
+REPS = 10
+BASE = 10_000_000
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+con.execute(f"""
+COPY (
+  SELECT doc_id + r.range * {BASE} AS doc_id,
+         source,
+         CASE WHEN r.range = 0 THEN text
+              ELSE replace(text, ' ', '_' || r.range || ' ') || '_' || r.range
+         END AS text
+  FROM '{SRC}/documents.parquet', range(0, {REPS}) r
+) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT vec_id + r.range * {BASE} AS vec_id,
+         [CAST(x + r.range * 0.0001 AS FLOAT) FOR x IN embedding] AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet', range(0, {REPS}) r
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT c_custkey + r.range * {BASE} AS c_custkey,
+         'Customer#' || lpad(CAST(c_custkey + r.range * {BASE} AS VARCHAR), 9, '0')
+           AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM '{SRC}/customer.parquet', range(0, {REPS}) r
+) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "customer"):
+    n = con.execute(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+    print(t, n)

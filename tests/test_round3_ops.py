@@ -167,8 +167,8 @@ def test_python_datasource_write_commit_protocol(spark):
     source exactly once."""
     import json
     import os
-    import tempfile
 
+    from map_reduce_spark.operators import python_source
     from map_reduce_spark.operators.python_source import (
         _N_ROWS,
         python_datasource_write,
@@ -177,9 +177,7 @@ def test_python_datasource_write_commit_protocol(spark):
     out = python_datasource_write(spark, "unused").collect()
     assert sum(r.cnt for r in out) == _N_ROWS
 
-    root = os.path.join(tempfile.gettempdir(), "synth_sink_demo")
-    (run_dir,) = os.listdir(root)  # one fresh dir per invocation
-    sink = os.path.join(root, run_dir)
+    sink = python_source.LAST_SINK_DIR  # this run's own uuid dir
     with open(os.path.join(sink, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     assert manifest["rows"] == _N_ROWS
