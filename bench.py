@@ -66,6 +66,10 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "winsorize_values",
     "distinct_linear_counting",
+    # round 4 additions: DSIR importance weighting + fuzzy (MinHash)
+    # benchmark decontamination
+    "dsir_weights",
+    "contamination_minhash",
 ]
 
 
@@ -80,8 +84,9 @@ def _calibrate(spark) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = _t.perf_counter()
+        # bit_xor, not sum: summing 200M hashes overflows long under ANSI
         spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(xxhash64(id)) AS h"
+            "bit_xor(xxhash64(id)) AS h"
         ).write.format("noop").mode("overwrite").save()
         best = min(best, _t.perf_counter() - t0)
     return round(best, 3)

@@ -414,63 +414,62 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching near-identical customer names by Levenshtein edit
     distance (<= ``_ER_MAX_DIST``) within a nation block.
 
-    This is the standard two-stage dedup-linkage shape (Fellegi-Sunter
-    style), with BAND BLOCKING as the candidate generator: the volatile
-    tail of the name (its last 6 characters — the region where these
-    keys actually differ) is split into two 3-char bands, and
-    candidates are pairs agreeing on (nation, band1) OR (nation,
-    band2). Pigeonhole guarantee: t substitutions cannot touch all
-    t+1 bands, so for the distance-1 threshold two bands give EXACT
-    recall on equal-length keys — the same banding argument as
-    MinHash-LSH, here for edit distance. `levenshtein` is a JVM
-    built-in (codegen'd dynamic programming, no Python row path) and
-    DuckDB implements the identical classic edit distance, so every
-    matched pair and distance is hash-verified against the
-    nation-blocked quadratic oracle.
+    Candidate generator: DELETION-NEIGHBORHOOD blocking (the FastSS /
+    SymSpell method) — every key emits itself plus its len(key)
+    single-deletion variants, and candidates are pairs sharing any
+    (nation, variant). Exact recall for the FULL edit-distance-1
+    contract: a substitution pair shares the variant that deletes the
+    differing position; an insert/delete pair shares the shorter key
+    itself. Conversely a shared variant pins edit distance <= 2, so
+    the verify stage (`levenshtein`, a codegen'd JVM built-in that
+    DuckDB implements identically) is candidate-bounded; every matched
+    pair and distance is hash-verified against the nation-blocked
+    quadratic oracle.
 
-    Scale shape (100 TB): each banding pass is a plain equi-join on
-    (nation, band) — hash-shuffled, partial-nothing, bucket sizes
-    governed by band selectivity, never the block population. The
-    naive nation-only block compares O(block²) names (measured 28.6 s
-    at sf0.1); the banded plan compares only same-band pairs (2.7 s,
-    identical result — and the gap widens quadratically with block
-    population). Band extractors are the operator's knob —
-    production linkage picks them per key format (zip+initial,
-    phonetic key, q-gram bands) exactly like cell sizing in
-    `dedup_semantic`.
+    Scale shape (100 TB): the round-3 two-band blocker measured
+    QUADRATIC on sequential key spaces (10x data -> 81x wall on the
+    sf1-equivalent slice: its prefix band takes few distinct values on
+    clustered keys, so bucket populations grow with N and the band
+    join blows up as sum over buckets of bucket^2). Deletion variants
+    hash on ALL-BUT-ONE character of the key — near-maximal entropy on
+    ANY key distribution, sequential included — so bucket populations
+    track true near-duplicate multiplicity, not corpus size, and the
+    candidate step is one plain (nation, variant) equi-join over
+    (L+1) x N constant-width rows (10x data -> 11.6x wall — linear,
+    where the band blocker measured 81x; see PERFORMANCE.md). The
+    variant set derives from each key's own length — no format
+    assumption anywhere.
     """
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name", "c_nationkey")
-        # END-ANCHORED band offsets (negative pos = from the key's own
-        # end): the last 6 chars split into two 3-char bands, whatever
-        # the key length or prefix — a format change cannot silently
-        # shift the bands off the volatile tail. For equal-length keys
-        # the pigeonhole argument needs only that bands align between
-        # the two names, which end-anchoring guarantees; length-changing
-        # edits (insert/delete) are outside the contract either way.
-        .withColumn("band1", F.substring("c_name", -6, 3))
-        .withColumn("band2", F.substring("c_name", -3, 3))
-        .persist()  # four consumers (both sides of both banding passes)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
     )
-    c.count()  # materialize once; NOTES rule 11 stage barrier
-    a, b = c.alias("a"), c.alias("b")
-
-    def pass_on(band: str) -> DataFrame:
-        return a.join(
+    # the key itself + every single-deletion variant (array_union also
+    # dedups variants of keys with repeated adjacent characters)
+    variants = F.expr(
+        "array_union(array(c_name), transform(sequence(1, length(c_name)),"
+        " i -> concat(substr(c_name, 1, i - 1),"
+        " substr(c_name, i + 1, length(c_name)))))"
+    )
+    e = c.select(
+        "c_custkey", "c_name", "c_nationkey", F.explode(variants).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col(f"a.{band}") == F.col(f"b.{band}"))
+            & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        ).select(
+        )
+        .select(
             F.col("a.c_nationkey").alias("block"),
             F.col("a.c_custkey").alias("custkey_a"),
             F.col("b.c_custkey").alias("custkey_b"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
         )
-
-    cand = pass_on("band1").unionByName(pass_on("band2")).distinct()
+        .distinct()
+    )
     dist = F.levenshtein("name_a", "name_b")
     return (
         cand.withColumn("dist", dist.cast("int"))

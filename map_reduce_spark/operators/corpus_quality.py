@@ -1202,3 +1202,247 @@ def distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("n_tokens", "exact_distinct", "bits_set", est.alias("lc_estimate"))
     )
+
+
+# --- DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) ------
+
+_DSIR_BUCKETS = 1024  # hashed n-gram feature space (the paper uses 10k)
+_DSIR_TARGET = "src0"  # the "target domain" the raw corpus is scored against
+_DSIR_TOPK = 100
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substr(md5(concat('dsir:', term)), 1, 8))
+              AS BIGINT) % {_DSIR_BUCKETS} AS INT) AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+),
+tstats AS (
+  SELECT b, COUNT(*) AS ct FROM tok WHERE source = '{_DSIR_TARGET}' GROUP BY b
+),
+rstats AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+tot AS (
+  SELECT SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS tt,
+         COUNT(*) AS tr
+  FROM tok
+),
+lr AS (
+  SELECT r.b,
+         CAST(round(ln(((COALESCE(t.ct, 0) + 1) * 1.0 / (tot.tt + {_DSIR_BUCKETS}))
+                       * ((tot.tr + {_DSIR_BUCKETS}) * 1.0 / (r.cr + 1))), 9)
+              AS DECIMAL(18,9)) AS logratio
+  FROM rstats r LEFT JOIN tstats t ON r.b = t.b, tot
+),
+w AS (
+  SELECT tok.doc_id, tok.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(lr.logratio) AS lw
+  FROM tok JOIN lr ON tok.b = lr.b
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_tokens,
+       round(CAST(lw AS DOUBLE), 6) AS logweight
+FROM w
+ORDER BY lw DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register("dsir_weights", oracle=_DSIR_ORACLE)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much more
+    likely its hashed-unigram bag is under the TARGET domain's unigram
+    distribution than under the raw corpus's, and keep the top-K.
+    ``log w(x) = sum over tokens of [log p_target(b) - log p_raw(b)]``
+    over ``_DSIR_BUCKETS`` hashed feature buckets with add-1 smoothing
+    — the standard pretraining-data-selection shape (the paper samples
+    by weight; deterministic top-K is the hash-verifiable stand-in).
+
+    Determinism: buckets from portable md5; each bucket's log-ratio is
+    ln of one fixed-shape IEEE expression rounded to the 9dp decimal
+    grid (the ``unigram_logprob`` idiom), so per-doc sums are exact and
+    the top-K frontier is engine-identical. Scale: both distributions
+    are CONSTANT-size (``_DSIR_BUCKETS`` rows — that is the entire
+    point of hashed features), broadcast to a single narrow pass over
+    the token stream; one doc_id-keyed partial-agg shuffle; top-K is
+    TakeOrderedAndProject (per-partition heaps). No vocabulary-sized
+    state anywhere — at 100 TB the only corpus-sized traffic is the
+    one aggregation shuffle.
+    """
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("term"))), 1, 8), 16, 10)
+        .cast("bigint") % _DSIR_BUCKETS
+    ).cast("int")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    ).select("doc_id", "source", bucket.alias("b"))
+    tstats = (
+        tok.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rstats = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tok.agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("tr"),
+    )
+    logratio = F.round(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+             / (F.col("tt") + _DSIR_BUCKETS))
+            * ((F.col("tr") + _DSIR_BUCKETS).cast("double") / (F.col("cr") + 1))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    lr = (
+        rstats.join(tstats, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", logratio.alias("logratio"))
+    )
+    w = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("logratio").alias("lw"),
+        )
+    )
+    return (
+        w.orderBy(F.col("lw").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("lw").cast("double"), 6).alias("logweight"),
+        )
+    )
+
+
+# --- fuzzy (MinHash-LSH) decontamination ------------------------------
+
+# Bench subset for the FUZZY check: denser than contamination_check's
+# exact-8-gram suite (doc_id % 25) so the near-dup verify path is
+# exercised non-vacuously at the sf0.01 driver scale (14 flagged pairs).
+FUZZY_BENCH_MOD = 5
+FUZZY_CONTAM_TAU = 0.5
+
+
+from map_reduce_spark.operators.dedup import _SHINGLE_SQL as _SH_SQL  # noqa: E402
+
+_FUZZY_CONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SH_SQL}) AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+perms AS (SELECT doc_id, r.range AS p, t FROM sh, range(0, 32) r),
+mins AS (
+  SELECT doc_id, p, MIN(substr(md5(concat(p, ':', t)), 1, 8)) AS h
+  FROM perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(h, ',' ORDER BY p)) AS bucket
+  FROM mins GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS train_id, y.doc_id AS bench_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE y.doc_id % {FUZZY_BENCH_MOD} = 0 AND x.doc_id % {FUZZY_BENCH_MOD} <> 0
+),
+sets AS (
+  SELECT doc_id, {_SH_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT train_id, bench_id,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+FROM cand JOIN sets a ON train_id = a.doc_id JOIN sets b ON bench_id = b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= {FUZZY_CONTAM_TAU}
+"""
+
+
+@register("contamination_minhash", oracle=_FUZZY_CONTAM_ORACLE)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: MinHash-LSH candidate
+    generation between the training corpus and the held-out benchmark
+    subset (doc_id % ``FUZZY_BENCH_MOD`` == 0), then exact shingle
+    Jaccard on candidates — flagging train docs whose similarity to
+    any bench doc reaches ``FUZZY_CONTAM_TAU``. This catches the
+    paraphrased/partial contamination that ``contamination_check``'s
+    exact 8-gram overlap misses; together they are the standard
+    two-tier decontamination gate.
+
+    Scale shape (100 TB): the benchmark side's band table is eval-suite
+    sized and BROADCAST, so the corpus is scanned once into a broadcast
+    hash join on (band, bucket) — the corpus never shuffles for
+    candidate generation; exact Jaccard runs on the candidate set only
+    (same two-stage barrier as the minhash-dedup family). Portable md5
+    hash family start-to-finish, so bands, candidates, and verdicts
+    are all reproduced by the DuckDB oracle.
+    """
+    from map_reduce_spark.operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = parallelize_if_narrow(docs, "doc_id").select(
+        "doc_id", F.explode(_shingles()).alias("t")
+    )
+
+    def perm_hash(p: int):
+        return F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("t"))), 1, 8)
+
+    mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(NUM_PERM)]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
+    bench_bands = bands.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "band", "bucket"
+    )
+    cand = (
+        bands.filter(~is_bench)
+        .join(F.broadcast(bench_bands), ["band", "bucket"])
+        .select(F.col("doc_id").alias("train_id"), "bench_id")
+        .distinct()
+        .persist()  # stage barrier: candidates are eval-suite bounded
+    )
+    sets = docs.select("doc_id", _shingles().alias("s"))
+    a = cand.join(
+        sets.withColumnRenamed("doc_id", "train_id").withColumnRenamed("s", "sa"),
+        "train_id",
+    ).join(
+        sets.withColumnRenamed("doc_id", "bench_id").withColumnRenamed("s", "sb"),
+        "bench_id",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    jac = inter.cast("double") / union
+    return (
+        a.withColumn("jac_x", jac)
+        .filter(F.col("jac_x") >= FUZZY_CONTAM_TAU)
+        .select("train_id", "bench_id", F.round("jac_x", 6).alias("jac"))
+    )

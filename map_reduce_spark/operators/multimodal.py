@@ -21,11 +21,14 @@ What is REAL here (no external codec libs needed):
 - all Spark-side structure: binary columns, schema contracts, Arrow
   batch iterators, chained mapInPandas stages.
 
-What remains a STUB: decoding arbitrary NON-PNG/GIF payload bodies
-(JPEG entropy-coded data, video codecs) — ``_fake_decode``
-in ``extract_features`` falls back to deterministic fake geometry for
-unrecognized bytes; a real deployment swaps in PIL/ffmpeg with the
-same schema.
+What is NOT decoded (and says so, instead of faking it): JPEG
+entropy-coded bodies and video codecs. ``extract_features``' ladder is
+full-raster decode (PNG/GIF) → header parse (JPEG + undecodable
+PNG/GIF bodies: true geometry, NULL pixel stats) → opaque (every
+image field NULL) — no fake-geometry rung anywhere. The only stub
+kernels left are the UNREGISTERED operator-shape demos
+``resize_images`` / ``sample_frames`` (their registered counterparts
+``resize_png`` / ``multimodal_pipeline`` use the real codec).
 
 The binary payloads are synthesized from ``documents`` (utf-8 text
 bytes or doc_id-seeded rasters) since the driver tables have no media
@@ -76,8 +79,8 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, width int, height int, channels int, "
-    "mean_byte double"
+    "doc_id long, fmt string, n_bytes long, width int, height int, "
+    "channels int, mean_byte double"
 )
 
 
@@ -87,15 +90,18 @@ def extract_features(df: DataFrame) -> DataFrame:
     ``mapInPandas``: each worker receives pandas batches, decodes each
     payload, emits a typed feature row — the real multimodal operator
     shape (vectorized transfer, per-partition parallelism, no driver
-    involvement). Decode ladder, most-real first:
+    involvement). Decode ladder, most-real first — and HONEST at the
+    bottom (no fake-geometry rung):
 
     1. FULL raster decode for PNG and GIF payloads (the pure-stdlib
        codecs — dimensions, channels, and mean byte computed from the
        actual decoded pixels);
     2. header parse for JPEG (and for PNG/GIF whose bodies the codecs
-       can't handle, e.g. 16-bit or interlaced) — true dimensions,
-       payload-level mean;
-    3. the deterministic stub only for non-image bytes.
+       can't handle, e.g. 16-bit or interlaced) — true dimensions and
+       channels, NULL ``mean_byte`` (pixel stats come only from
+       pixels actually decoded);
+    3. opaque for non-image bytes — ``fmt``/``width``/``height``/
+       ``channels``/``mean_byte`` all NULL, size still real.
 
     The worker closure is self-contained (codec functions are captured
     by value via the ``_png_tools``/``_gif_tools`` factories) so
@@ -111,14 +117,14 @@ def extract_features(df: DataFrame) -> DataFrame:
         def parse_header(p: bytes):
             """Real container-header parse (pure byte inspection, no
             codec): PNG IHDR, JPEG SOFn, GIF logical screen. Returns
-            (width, height, channels) or None for unrecognized data."""
+            (fmt, width, height, channels) or None."""
             # PNG: 8-byte signature, then the IHDR chunk holds
             # width/height as big-endian u32 and color type at byte 25
             if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 26 and p[12:16] == b"IHDR":
                 w = int.from_bytes(p[16:20], "big")
                 h = int.from_bytes(p[20:24], "big")
                 channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(p[25], 3)
-                return w, h, channels
+                return "png", w, h, channels
             # JPEG: walk the marker stream to the first SOFn segment
             # (not DHT 0xC4 / JPG 0xC8 / DAC 0xCC), which carries
             # height, width (big-endian u16) and component count
@@ -136,7 +142,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                         h = int.from_bytes(p[i + 5 : i + 7], "big")
                         w = int.from_bytes(p[i + 7 : i + 9], "big")
-                        return w, h, int(p[i + 9])
+                        return "jpeg", w, h, int(p[i + 9])
                     i += 2 + seglen
                 return None
             # GIF: width/height are little-endian u16 right after the
@@ -144,67 +150,168 @@ def extract_features(df: DataFrame) -> DataFrame:
             if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
                 w = int.from_bytes(p[6:8], "little")
                 h = int.from_bytes(p[8:10], "little")
-                return w, h, 3
+                return "gif", w, h, 3
             return None
 
-        def fake_decode(payload: bytes) -> tuple[int, int, int]:
-            # STUB fallback for non-image payloads (no media codecs in
-            # this container): derives deterministic fake geometry from
-            # the raw bytes. A real deployment swaps this body for
-            # PIL/ffmpeg, same schema.
-            n = len(payload)
-            width = 16 + (n % 64)
-            height = 16 + (sum(payload[:32]) % 64 if n else 0)
-            return int(width), int(height), 3
-
-        def decode(payload: bytes) -> tuple[int, int, int, float]:
-            """(width, height, channels, mean_byte) via the ladder:
-            full raster decode → header parse → stub."""
+        def decode(payload: bytes):
+            """(fmt, width, height, channels, mean_byte) via the
+            ladder: full raster decode → header parse → opaque (all
+            None). mean_byte is None whenever no pixels were decoded."""
             payload = bytes(payload)
-            for codec, sig_ok in (
-                (png_decode, payload[:8] == b"\x89PNG\r\n\x1a\n"),
-                (gif_decode, payload[:6] in (b"GIF87a", b"GIF89a")),
+            for fmt, codec, sig_ok in (
+                ("png", png_decode, payload[:8] == b"\x89PNG\r\n\x1a\n"),
+                ("gif", gif_decode, payload[:6] in (b"GIF87a", b"GIF89a")),
             ):
                 if not sig_ok:
                     continue
                 try:
                     w, h, c, raster = codec(payload)
                     mean = (sum(raster) / len(raster)) if raster else 0.0
-                    return w, h, c, mean
+                    return fmt, w, h, c, mean
                 except Exception:
                     break  # body undecodable: fall through to header
-            payload_mean = (sum(payload) / len(payload)) if payload else 0.0
             parsed = parse_header(payload)
             if parsed is not None:
-                return (*parsed, payload_mean)
-            return (*fake_decode(payload), payload_mean)
+                return (*parsed, None)
+            return None, None, None, None, None
 
         for pdf in batches:
             feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": [f[0] for f in feats],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "channels": [f[2] for f in feats],
-                    "mean_byte": [f[3] for f in feats],
+                    "width": pd.array([f[1] for f in feats], dtype="Int32"),
+                    "height": pd.array([f[2] for f in feats], dtype="Int32"),
+                    "channels": pd.array([f[3] for f in feats], dtype="Int32"),
+                    "mean_byte": pd.array(
+                        [f[4] for f in feats], dtype="Float64"
+                    ),
                 }
             )
 
     return df.mapInPandas(op, schema=_FEATURE_SCHEMA)
 
 
-@register("multimodal_features", oracle=None)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode + feature extraction via mapInPandas.
+def mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload): deterministic MIXED media — a
+    real full PNG (doc_id%4==0, stdlib encoder, doc_id-seeded pixels),
+    a real full GIF (==1, stdlib LZW encoder, doc_id-seeded palette
+    indices), a JPEG SOF0 header-only container (==2: geometry
+    parseable, entropy-coded body absent), or raw utf-8 text bytes
+    (==3: not an image at all). Every decodable pixel is a pure
+    function of doc_id, so downstream feature extraction is
+    oracle-recomputable from first principles."""
+    png_enc = _png_tools()[0]
+    gif_enc = _gif_tools()[0]
 
-    Rows-only for the driver (the decode stub is engine-side Python);
-    tests assert determinism, schema, and batch behavior. The
-    hash-verified twin is ``multimodal_parse``, which drives the same
-    header parsers over deterministic real-format containers.
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        def make(doc_id: int, text: str) -> bytes:
+            m = doc_id % 4
+            if m == 0:
+                return png_enc(
+                    8,
+                    8,
+                    bytes((doc_id * 7 + k * 13) % 256 for k in range(192)),
+                    3,
+                )
+            if m == 1:
+                pal = [(i * 30, i * 30, i * 30) for i in range(8)]
+                idx = [(doc_id * 5 + k * 3) % 8 for k in range(64)]
+                return gif_enc(8, 8, idx, pal)
+            if m == 2:
+                w, h = 16 + doc_id % 240, 16 + (doc_id * 3) % 240
+                ncomp = 3 if doc_id % 2 == 0 else 1
+                sof = struct.pack(">BHHB", 8, h, w, ncomp) + bytes(
+                    b for i in range(ncomp) for b in (i + 1, 0x11, 0)
+                )
+                return (
+                    b"\xff\xd8\xff\xc0"
+                    + struct.pack(">H", 2 + len(sof))
+                    + sof
+                )
+            return text.encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+_FEATURES_ORACLE = """
+WITH png AS (
+  SELECT doc_id,
+         round(CAST(SUM((doc_id * 7 + k.range * 13) % 256) AS DOUBLE) / 192, 6)
+           AS mean_byte
+  FROM documents, range(0, 192) k
+  WHERE doc_id % 4 = 0 GROUP BY doc_id
+),
+gif AS (
+  SELECT doc_id,
+         round(CAST(SUM(((doc_id * 5 + k.range * 3) % 8) * 30) AS DOUBLE) / 64, 6)
+           AS mean_byte
+  FROM documents, range(0, 64) k
+  WHERE doc_id % 4 = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE d.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'jpeg' END AS fmt,
+       CAST(CASE d.doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
+            WHEN 2 THEN 16 + d.doc_id % 240 END AS INT) AS width,
+       CAST(CASE d.doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
+            WHEN 2 THEN 16 + (d.doc_id * 3) % 240 END AS INT) AS height,
+       CAST(CASE d.doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+            WHEN 2 THEN CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 1 END
+            END AS INT) AS channels,
+       COALESCE(png.mean_byte, gif.mean_byte) AS mean_byte
+FROM documents d
+LEFT JOIN png ON d.doc_id = png.doc_id
+LEFT JOIN gif ON d.doc_id = gif.doc_id
+"""
+
+
+@register("multimodal_features", oracle=_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + feature extraction via mapInPandas —
+    FULLY ORACLED since round 4 (previously rows-only behind a
+    fake-geometry stub): the input is ``mixed_media_table``'s
+    deterministic real-format containers, so every rung of the decode
+    ladder is exercised AND hash-verified — full PNG raster decode
+    (mean over actual decoded pixels), full GIF LZW decode, JPEG
+    header parse (true geometry, NULL pixel stats), and the opaque
+    NULL row for non-image bytes. The DuckDB oracle recomputes decoded
+    means from the pixel formulas alone, so a hash match proves the
+    inflate/unfilter and LZW paths byte-for-byte. Size/fingerprint
+    metadata lives in ``binary_metadata``; n_bytes is omitted here
+    because compressed container size is codec-internal, not
+    first-principles recomputable.
+
+    Narrow two-stage mapInPandas chain — no shuffle; at 100 TB this
+    pipelines per-partition with zero exchange.
     """
-    return extract_features(binary_table(spark, sf_dir))
+    feats = extract_features(mixed_media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
 
 
 def image_header_table(spark: SparkSession, sf_dir: str) -> DataFrame:

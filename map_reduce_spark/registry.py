@@ -90,15 +90,17 @@ def register(name: str, oracle: str | None = None):
 #     interval_overlap_join, doc_chunking, tokenize_to_ids,
 #     winsorize_values, window_analytics, distinct_linear_counting,
 #     topic_tfidf, bigram_lm_score).
-# The remaining 14 never-driver-checked queries are queued for round 5:
+# The remaining never-driver-checked queries are queued for round 5:
 # gap_fill_hourly / interpolate_hourly / udtf_table_polymorphic /
 # arrow_map_stats / bpe_pair_counts / higher_order_funcs /
 # set_intersect_all / set_except_all / bitwise_agg / listagg_funcs /
-# agg_bitmap_distinct / embedding_quantize (all locally hash-verified
-# under the identical DuckDB check) plus the two rows-only sketch
-# estimators agg_hll_sketch_union / agg_theta_sketch_setops
-# (accuracy-bounded in tests/test_sketches.py; a driver row adds only
-# a rows-only check, so they yield their slots to oracled entries).
+# agg_bitmap_distinct / embedding_quantize, the round-4 additions
+# dsir_weights / contamination_minhash / the re-oracled
+# multimodal_features (all locally hash-verified under the identical
+# DuckDB check), plus the two rows-only sketch estimators
+# agg_hll_sketch_union / agg_theta_sketch_setops (accuracy-bounded in
+# tests/test_sketches.py; a driver row adds only a rows-only check, so
+# they yield their slots to oracled entries).
 # Everything else holds a green row from r1-r3 and follows in
 # registration order.
 _PRIORITY: tuple[str, ...] = (

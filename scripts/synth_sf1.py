@@ -65,6 +65,47 @@ COPY (
 ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings", "customer"):
+# fact tables for the full-headline 10x sweep: keys re-based per
+# replica so PK/FK structure is preserved (orders<->lineitem,
+# orders<->customer); dims (part/supplier/nation/region) stay fixed —
+# dim joins simply see 10x fact fan-out, which is what a broadcast
+# join must absorb anyway. Dates/timestamps unchanged: time-windowed
+# aggregates see 10x density per window, the worst case for state.
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + r.range * {BASE} AS o_orderkey,
+         o_custkey + r.range * {BASE} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{SRC}/orders.parquet', range(0, {REPS}) r
+) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT l_orderkey + r.range * {BASE} AS l_orderkey,
+         l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM '{SRC}/lineitem.parquet', range(0, {REPS}) r
+) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT event_id + r.range * {BASE} AS event_id, ts,
+         user_id + r.range * {BASE} AS user_id,
+         event_type, value, props
+  FROM '{SRC}/events.parquet', range(0, {REPS}) r
+) TO '{DST}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("part", "supplier", "nation", "region"):
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet'"
+        " (FORMAT PARQUET)"
+    )
+
+for t in (
+    "documents", "embeddings", "customer", "orders", "lineitem", "events",
+):
     n = con.execute(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
     print(t, n)

@@ -242,21 +242,35 @@ def test_multimodal_features_plumbing(spark, sf_dir):
     rows = feats.collect()
     assert len(rows) == n_docs
     assert feats.schema.simpleString() == (
-        "struct<doc_id:bigint,n_bytes:bigint,width:int,height:int,"
+        "struct<doc_id:bigint,fmt:string,width:int,height:int,"
         "channels:int,mean_byte:double>"
     )
     # deterministic across runs
     again = {r.doc_id: r for r in multimodal_features(spark, sf_dir).collect()}
     for r in rows:
         assert again[r.doc_id] == r
-    # stub geometry is a function of payload bytes only
-    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in rows)
+    # the ladder, per the mixed-media layout: full decode for PNG/GIF
+    # (real pixel mean), header parse for JPEG (geometry, NULL mean),
+    # honest all-NULL for non-image bytes — never fake geometry
+    for r in rows:
+        m = r.doc_id % 4
+        if m == 0:
+            assert (r.fmt, r.width, r.height, r.channels) == ("png", 8, 8, 3)
+            assert r.mean_byte is not None
+        elif m == 1:
+            assert (r.fmt, r.width, r.height, r.channels) == ("gif", 8, 8, 3)
+            assert r.mean_byte is not None
+        elif m == 2:
+            assert r.fmt == "jpeg" and r.width == 16 + r.doc_id % 240
+            assert r.mean_byte is None
+        else:
+            assert r.fmt is None and r.width is None and r.mean_byte is None
 
 
 def test_multimodal_decodes_real_image_headers(spark):
     """extract_features must return TRUE dimensions for real image
-    payloads (PNG IHDR / JPEG SOF0 / GIF), falling back to the
-    deterministic stub only for unrecognized bytes."""
+    payloads (PNG IHDR / JPEG SOF0 / GIF), and honest NULLs — never
+    fake geometry — for unrecognized bytes."""
     from map_reduce_spark.operators.multimodal import extract_features
 
     png = (
@@ -283,7 +297,11 @@ def test_multimodal_decodes_real_image_headers(spark):
     assert (rows[1].width, rows[1].height, rows[1].channels) == (640, 480, 3)
     assert (rows[2].width, rows[2].height, rows[2].channels) == (1920, 1080, 3)
     assert (rows[3].width, rows[3].height) == (320, 200)
-    assert rows[4].width == 16 + len(b"not an image") % 64  # stub fallback
+    # header-parse rung: geometry without decoded pixels → NULL mean
+    assert rows[1].mean_byte is None and rows[2].mean_byte is None
+    # opaque rung: non-image bytes → all image fields NULL
+    assert rows[4].fmt is None and rows[4].width is None
+    assert rows[4].mean_byte is None and rows[4].n_bytes == len(b"not an image")
 
 
 def test_png_codec_property_roundtrip():
