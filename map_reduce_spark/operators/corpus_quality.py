@@ -1211,8 +1211,9 @@ _DSIR_TARGET = "src0"  # the "target domain" the raw corpus is scored against
 _DSIR_TOPK = 100
 
 
-_DSIR_ORACLE = f"""
-WITH tok AS (
+# DSIR per-doc weight CTEs (tok .. w) — shared verbatim by the
+# dsir_weights oracle and the composed select_pretraining_data oracle.
+_DSIR_CTES = f"""tok AS (
   SELECT doc_id, source,
          CAST(CAST(concat('0x', substr(md5(concat('dsir:', term)), 1, 8))
               AS BIGINT) % {_DSIR_BUCKETS} AS INT) AS b
@@ -1241,7 +1242,10 @@ w AS (
          SUM(lr.logratio) AS lw
   FROM tok JOIN lr ON tok.b = lr.b
   GROUP BY 1, 2
-)
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CTES}
 SELECT doc_id, source, n_tokens,
        round(CAST(lw AS DOUBLE), 6) AS logweight
 FROM w
@@ -1250,28 +1254,12 @@ LIMIT {_DSIR_TOPK}
 """
 
 
-@register("dsir_weights", oracle=_DSIR_ORACLE)
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR — Data Selection via Importance Resampling (Xie et al.
-    2023, arXiv:2302.03169): score every raw document by how much more
-    likely its hashed-unigram bag is under the TARGET domain's unigram
-    distribution than under the raw corpus's, and keep the top-K.
-    ``log w(x) = sum over tokens of [log p_target(b) - log p_raw(b)]``
-    over ``_DSIR_BUCKETS`` hashed feature buckets with add-1 smoothing
-    — the standard pretraining-data-selection shape (the paper samples
-    by weight; deterministic top-K is the hash-verifiable stand-in).
-
-    Determinism: buckets from portable md5; each bucket's log-ratio is
-    ln of one fixed-shape IEEE expression rounded to the 9dp decimal
-    grid (the ``unigram_logprob`` idiom), so per-doc sums are exact and
-    the top-K frontier is engine-identical. Scale: both distributions
-    are CONSTANT-size (``_DSIR_BUCKETS`` rows — that is the entire
-    point of hashed features), broadcast to a single narrow pass over
-    the token stream; one doc_id-keyed partial-agg shuffle; top-K is
-    TakeOrderedAndProject (per-partition heaps). No vocabulary-sized
-    state anywhere — at 100 TB the only corpus-sized traffic is the
-    one aggregation shuffle.
-    """
+def dsir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance weights for the WHOLE corpus:
+    (doc_id, source, n_tokens, lw decimal) — the shared core of
+    ``dsir_weights`` (which takes the global top-K) and the composed
+    ``select_pretraining_data`` pipeline (which selects among
+    decontaminated survivors)."""
     docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("term"))), 1, 8), 16, 10)
@@ -1303,7 +1291,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("b", logratio.alias("logratio"))
     )
-    w = (
+    return (
         tok.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(
@@ -1311,8 +1299,33 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logratio").alias("lw"),
         )
     )
+
+
+@register("dsir_weights", oracle=_DSIR_ORACLE)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much more
+    likely its hashed-unigram bag is under the TARGET domain's unigram
+    distribution than under the raw corpus's, and keep the top-K.
+    ``log w(x) = sum over tokens of [log p_target(b) - log p_raw(b)]``
+    over ``_DSIR_BUCKETS`` hashed feature buckets with add-1 smoothing
+    — the standard pretraining-data-selection shape (the paper samples
+    by weight; deterministic top-K is the hash-verifiable stand-in).
+
+    Determinism: buckets from portable md5; each bucket's log-ratio is
+    ln of one fixed-shape IEEE expression rounded to the 9dp decimal
+    grid (the ``unigram_logprob`` idiom), so per-doc sums are exact and
+    the top-K frontier is engine-identical. Scale: both distributions
+    are CONSTANT-size (``_DSIR_BUCKETS`` rows — that is the entire
+    point of hashed features), broadcast to a single narrow pass over
+    the token stream; one doc_id-keyed partial-agg shuffle; top-K is
+    TakeOrderedAndProject (per-partition heaps). No vocabulary-sized
+    state anywhere — at 100 TB the only corpus-sized traffic is the
+    one aggregation shuffle.
+    """
     return (
-        w.orderBy(F.col("lw").desc(), "doc_id")
+        dsir_frame(spark, sf_dir)
+        .orderBy(F.col("lw").desc(), "doc_id")
         .limit(_DSIR_TOPK)
         .select(
             "doc_id",
@@ -1334,42 +1347,51 @@ FUZZY_CONTAM_TAU = 0.5
 
 from map_reduce_spark.operators.dedup import _SHINGLE_SQL as _SH_SQL  # noqa: E402
 
-_FUZZY_CONTAM_ORACLE = f"""
-WITH sh AS (
+# Fuzzy-decontamination CTEs (fsh .. fuzzy) — shared verbatim by the
+# contamination_minhash oracle and the composed
+# select_pretraining_data oracle (names f-prefixed so they compose
+# with the DSIR CTEs without collision).
+_FUZZY_CTES = f"""fsh AS (
   SELECT doc_id, unnest({_SH_SQL}) AS t
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
-perms AS (SELECT doc_id, r.range AS p, t FROM sh, range(0, 32) r),
-mins AS (
+fperms AS (SELECT doc_id, r.range AS p, t FROM fsh, range(0, 32) r),
+fmins AS (
   SELECT doc_id, p, MIN(substr(md5(concat(p, ':', t)), 1, 8)) AS h
-  FROM perms GROUP BY 1, 2
+  FROM fperms GROUP BY 1, 2
 ),
-bands AS (
+fbands AS (
   SELECT doc_id, p // 4 AS band,
          md5(string_agg(h, ',' ORDER BY p)) AS bucket
-  FROM mins GROUP BY doc_id, p // 4
+  FROM fmins GROUP BY doc_id, p // 4
 ),
-cand AS (
+fcand AS (
   SELECT DISTINCT x.doc_id AS train_id, y.doc_id AS bench_id
-  FROM bands x JOIN bands y
+  FROM fbands x JOIN fbands y
     ON x.band = y.band AND x.bucket = y.bucket
   WHERE y.doc_id % {FUZZY_BENCH_MOD} = 0 AND x.doc_id % {FUZZY_BENCH_MOD} <> 0
 ),
-sets AS (
+fsets AS (
   SELECT doc_id, {_SH_SQL} AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-)
-SELECT train_id, bench_id,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
-FROM cand JOIN sets a ON train_id = a.doc_id JOIN sets b ON bench_id = b.doc_id
-WHERE len(list_intersect(a.s, b.s)) * 1.0
-      / len(list_distinct(list_concat(a.s, b.s))) >= {FUZZY_CONTAM_TAU}
+),
+fuzzy AS (
+  SELECT train_id, bench_id,
+         round(len(list_intersect(a.s, b.s)) * 1.0
+               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+  FROM fcand JOIN fsets a ON train_id = a.doc_id
+             JOIN fsets b ON bench_id = b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= {FUZZY_CONTAM_TAU}
+)"""
+
+_FUZZY_CONTAM_ORACLE = f"""
+WITH {_FUZZY_CTES}
+SELECT train_id, bench_id, jac FROM fuzzy
 """
 
 
-@register("contamination_minhash", oracle=_FUZZY_CONTAM_ORACLE)
-def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fuzzy_contaminated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY benchmark decontamination: MinHash-LSH candidate
     generation between the training corpus and the held-out benchmark
     subset (doc_id % ``FUZZY_BENCH_MOD`` == 0), then exact shingle
@@ -1446,3 +1468,13 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac_x") >= FUZZY_CONTAM_TAU)
         .select("train_id", "bench_id", F.round("jac_x", 6).alias("jac"))
     )
+
+
+@register("contamination_minhash", oracle=_FUZZY_CONTAM_ORACLE)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for ``fuzzy_contaminated_pairs`` (see its
+    docstring — MinHash-LSH candidates between corpus and the held-out
+    bench subset, exact shingle Jaccard verify at
+    ``FUZZY_CONTAM_TAU``); also the fuzzy tier of the composed
+    ``select_pretraining_data`` pipeline."""
+    return fuzzy_contaminated_pairs(spark, sf_dir)

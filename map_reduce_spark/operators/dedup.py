@@ -601,71 +601,11 @@ def _idot(a, b):
 
 _IVEC_SQL = "[CAST(round(CAST({v}[i] AS DOUBLE) * 10000000, 0) AS BIGINT) FOR i IN range(1, len({v}) + 1)]"
 
-# near-dup candidate budget: the K highest-cosine label-blocked pairs
-# (keep the literal 50 in the oracle SQL in sync)
+# near-dup candidate budget: the K highest-cosine cell-blocked pairs.
+# The query itself lives in operators/similarity.py since round 4 (it
+# shares the two-level _coarse_cells quantizer, and dedup <- similarity
+# imports would otherwise be circular).
 COSINE_TOPK = 50
-
-
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH iv AS (
-  SELECT vec_id, label, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
-),
-nv AS (
-  SELECT vec_id, label, q,
-         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE)) AS nrm
-  FROM iv
-),
-p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
-             / (a.nrm * b.nrm) AS cos_x
-  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, round(cos_x, 6) AS cos
-FROM p ORDER BY cos_x DESC, vec_a, vec_b LIMIT 50
-""",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup candidates: the ``COSINE_TOPK`` highest-cosine
-    pairs, blocked by label.
-
-    Top-k instead of a fixed threshold keeps the driver verification
-    non-vacuous on any corpus: a cosine>=0.9 filter returns 0 rows when
-    the generated embeddings carry no planted near-dups — which
-    verifies nothing (CORRECTNESS_r02 flagged exactly that). Label
-    blocking stands in for the ANN bucketing that bounds the pairwise
-    term at scale (see similarity.ann_lsh_topk for the unblocked
-    path). Integer-scaled dot products keep both engines
-    bit-identical, so the exact-cosine ordering (tie-broken by pair
-    ids) is deterministic; Spark plans the top-k as
-    TakeOrderedAndProject — no global sort materializes.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    iv = e.select("vec_id", "label", _ivec("embedding").alias("q"))
-    nv = iv.withColumn(
-        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
-    )
-    a, b = nv.alias("a"), nv.alias("b")
-    cos = _idot(F.col("a.q"), F.col("b.q")).cast("double") / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_x"),
-        )
-        .orderBy(F.desc("cos_x"), "vec_a", "vec_b")
-        .limit(COSINE_TOPK)
-        .select("vec_a", "vec_b", F.round("cos_x", 6).alias("cos"))
-    )
 
 
 # --- portable-hash MinHash-LSH (fully oracle-verified variant) --------

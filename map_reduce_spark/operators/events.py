@@ -326,10 +326,17 @@ def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # "next observed" via a RUNNING last() over the DESC order, never
+    # first() over (currentRow, unboundedFollowing): Spark evaluates
+    # unbounded-FOLLOWING frames by re-scanning the partition tail for
+    # EVERY row — O(range^2) per user (measured 22.8 s at sf0.1, the
+    # catalog's most expensive query; 8.8 s cold after this rewrite,
+    # and 10x data now costs 1.8x instead of 11x). The desc running
+    # frame is the streaming O(range) equivalent.
+    wn = (
         Window.partitionBy("user_id")
-        .orderBy("hb")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("hb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hb = F.when(F.col("vi").isNotNull(), F.col("hb"))
     nb = j.select(
@@ -338,8 +345,8 @@ def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vi",
         F.last("vi", ignorenulls=True).over(wp).alias("pv"),
         F.last(obs_hb, ignorenulls=True).over(wp).alias("ph"),
-        F.first("vi", ignorenulls=True).over(wf).alias("nv"),
-        F.first(obs_hb, ignorenulls=True).over(wf).alias("nh"),
+        F.last("vi", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_hb, ignorenulls=True).over(wn).alias("nh"),
     )
     interp_scaled = F.col("pv") + F.floor(
         ((F.col("nv") - F.col("pv")) * (F.col("hb") - F.col("ph"))).cast("double")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
-from map_reduce_spark.operators.dedup import _idot, _ivec, _IVEC_SQL
+from map_reduce_spark.operators.dedup import COSINE_TOPK, _idot, _ivec, _IVEC_SQL
 from map_reduce_spark.registry import register
 
 
@@ -1137,6 +1137,77 @@ cells AS (
                   'L:' || CAST(a.clabel AS VARCHAR)) AS cell
   FROM a1 a LEFT JOIN ref r ON a.vec_id = r.vec_id
 )"""
+
+
+_EMB_COS_ORACLE = _CELLS_SQL + f""",
+iv7 AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nv7 AS (
+  SELECT c.vec_id, c.cell, iv7.q,
+         sqrt(CAST(list_sum([iv7.q[i]*iv7.q[i]
+                             FOR i IN range(1, len(iv7.q)+1)]) AS DOUBLE)) AS nrm
+  FROM cells c JOIN iv7 ON c.vec_id = iv7.vec_id
+),
+p7 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum([a.q[i]*b.q[i] FOR i IN range(1, len(a.q)+1)]) AS DOUBLE)
+             / (a.nrm * b.nrm) AS cos_x
+  FROM nv7 a JOIN nv7 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_x, 6) AS cos
+FROM p7 ORDER BY cos_x DESC, vec_a, vec_b LIMIT {COSINE_TOPK}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates: the ``COSINE_TOPK`` highest-cosine
+    pairs within a coarse cell.
+
+    Top-k instead of a fixed threshold keeps the driver verification
+    non-vacuous on any corpus: a cosine>=0.9 filter returns 0 rows when
+    the generated embeddings carry no planted near-dups — which
+    verifies nothing (CORRECTNESS_r02 flagged exactly that).
+
+    Blocking history: round 3 blocked by LABEL — a fixed-cardinality
+    key, measured QUADRATIC by the round-4 catalog-wide 10x sweep
+    (2.2 s -> 154 s, 69x: O(N^2 / n_labels) pairwise). Now blocked by
+    the two-level ``_coarse_cells`` quantizer shared with
+    ``dedup_semantic``/``knn_graph`` — cell cardinality grows with N,
+    populations stay ~sqrt(cnt), pairwise work O(N^1.5); near-identical
+    vectors share a nearest seed, so true near-dup pairs stay
+    comparable. Integer-scaled dot products keep both engines
+    bit-identical, so the exact-cosine ordering (tie-broken by pair
+    ids) is deterministic; Spark plans the top-k as
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = _coarse_cells(_iv4(e))
+    nv = (
+        cells.join(
+            e.select("vec_id", _ivec("embedding").alias("q")), "vec_id"
+        ).withColumn("nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double")))
+    )
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = _idot(F.col("a.q"), F.col("b.q")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_x"),
+        )
+        .orderBy(F.desc("cos_x"), "vec_a", "vec_b")
+        .limit(COSINE_TOPK)
+        .select("vec_a", "vec_b", F.round("cos_x", 6).alias("cos"))
+    )
 
 
 # --- SemDeDup-style semantic deduplication ----------------------------

@@ -155,3 +155,119 @@ def prepare_training_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pipeline as a registered, fully-oracled query
     (portable-LSH variant so every stage is DuckDB-reproducible)."""
     return prepare_training_data(spark, sf_dir, lsh_fn=dedup_minhash_lsh_portable)
+
+
+# --- composed pipeline #2: decontaminate-and-select -------------------
+
+_SELECT_TOPK = 200
+
+
+def select_pretraining_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA-SELECTION counterpart of ``prepare_training_data``:
+
+        raw documents
+          → drop the held-out benchmark docs themselves
+            (doc_id % FUZZY_BENCH_MOD == 0 — eval data is never
+            training data)
+          → exact decontamination (any shared distinct 8-gram with a
+            bench doc — the GPT-3-style gate, `contamination_check`
+            logic at the fuzzy tier's bench density)
+          → fuzzy decontamination (MinHash-LSH candidates + exact
+            shingle Jaccard >= FUZZY_CONTAM_TAU —
+            `fuzzy_contaminated_pairs`)
+          → DSIR importance ranking of the survivors against the
+            target domain (`dsir_frame`)
+          → budgeted selection: top ``_SELECT_TOPK`` docs.
+
+    Scale shape: both decontamination tiers broadcast the eval-suite
+    side (grams / band table) and anti-join the corpus — the corpus
+    never shuffles for candidate generation; DSIR's distributions are
+    two constant-size broadcast frames; selection is
+    TakeOrderedAndProject. Nothing quadratic, nothing driver-side.
+    """
+    from map_reduce_spark.operators.corpus_quality import (
+        CONTAM_N,
+        FUZZY_BENCH_MOD,
+        _grams,
+        dsir_frame,
+        fuzzy_contaminated_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
+
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(_grams(CONTAM_N))).alias("gram")
+    )
+    bench_g = g.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gram")
+    exact_drop = (
+        g.filter(~is_bench)
+        .join(F.broadcast(bench_g), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    fuzzy_drop = (
+        fuzzy_contaminated_pairs(spark, sf_dir)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = (
+        dsir_frame(spark, sf_dir)
+        .filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
+        .join(F.broadcast(exact_drop), "doc_id", "left_anti")
+        .join(F.broadcast(fuzzy_drop), "doc_id", "left_anti")
+    )
+    return (
+        survivors.orderBy(F.col("lw").desc(), "doc_id")
+        .limit(_SELECT_TOPK)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("lw").cast("double"), 6).alias("logweight"),
+        )
+    )
+
+
+def _select_oracle() -> str:
+    from map_reduce_spark.operators.corpus_quality import (
+        _DSIR_CTES,
+        _FUZZY_CTES,
+        _grams_sql,
+        CONTAM_N,
+        FUZZY_BENCH_MOD,
+    )
+
+    return f"""
+WITH {_DSIR_CTES},
+{_FUZZY_CTES},
+g AS (
+  SELECT doc_id, unnest(list_distinct({_grams_sql(CONTAM_N)})) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+exact_drop AS (
+  SELECT DISTINCT g.doc_id
+  FROM g JOIN (SELECT doc_id AS bench_id, gram FROM g
+               WHERE doc_id % {FUZZY_BENCH_MOD} = 0) b USING (gram)
+  WHERE g.doc_id % {FUZZY_BENCH_MOD} <> 0
+),
+fuzzy_drop AS (SELECT DISTINCT train_id AS doc_id FROM fuzzy)
+SELECT doc_id, source, n_tokens,
+       round(CAST(lw AS DOUBLE), 6) AS logweight
+FROM w
+WHERE doc_id % {FUZZY_BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
+ORDER BY lw DESC, doc_id
+LIMIT {_SELECT_TOPK}
+"""
+
+
+@register("select_pretraining_data", oracle=_select_oracle())
+def select_pretraining_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed decontaminate-and-select pipeline as a registered,
+    fully-oracled query — exact 8-gram gate, portable MinHash-LSH
+    fuzzy gate, and DSIR ranking reproduced end-to-end in one DuckDB
+    statement from the same shared CTE fragments the standalone
+    operators use."""
+    return select_pretraining_data(spark, sf_dir)

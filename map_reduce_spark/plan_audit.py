@@ -76,6 +76,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "bpe_train_merges": "per-round 1-row argmax + scalar vocab-size aggregates (6 rounds)",
     "distinct_linear_counting": "two scalar sketch-summary aggregates (1-row output)",
     "dsir_weights": "scalar corpus-total token counts (1-row frame, broadcast)",
+    "select_pretraining_data": "inherits dsir_frame's scalar corpus-total 1-row frame",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -109,6 +110,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "sorted_neighborhood_pairs": "broadcast partition-offset frame (scale-safe global rank)",
     "distinct_linear_counting": "broadcast 1-row exact-stats frame",
     "dsir_weights": "broadcast 1-row corpus-total frame (hashed-feature smoothing)",
+    "select_pretraining_data": "inherits dsir_frame's broadcast 1-row corpus-total frame",
 }
 
 

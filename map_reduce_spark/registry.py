@@ -94,8 +94,10 @@ def register(name: str, oracle: str | None = None):
 # gap_fill_hourly / interpolate_hourly / udtf_table_polymorphic /
 # arrow_map_stats / bpe_pair_counts / higher_order_funcs /
 # set_intersect_all / set_except_all / bitwise_agg / listagg_funcs /
-# agg_bitmap_distinct / embedding_quantize, the round-4 additions
-# dsir_weights / contamination_minhash / the re-oracled
+# agg_bitmap_distinct / embedding_quantize / window_analytics (yielded
+# its r4 slot to the re-keyed dedup_embedding_cosine), the round-4
+# additions dsir_weights / contamination_minhash /
+# select_pretraining_data (composed pipeline #2) / the re-oracled
 # multimodal_features (all locally hash-verified under the identical
 # DuckDB check), plus the two rows-only sketch estimators
 # agg_hll_sketch_union / agg_theta_sketch_setops (accuracy-bounded in
@@ -159,7 +161,12 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunking",
     "tokenize_to_ids",
     "winsorize_values",
-    "window_analytics",
+    # re-keyed from label blocking onto the two-level quantizer in r4
+    # (the 10x sweep measured the label block quadratic): output
+    # changed, so it re-enters the window; window_analytics yields its
+    # slot to the r5 queue (the window_* family already holds 7 green
+    # rows).
+    "dedup_embedding_cosine",
     "distinct_linear_counting",
     "topic_tfidf",
     "bigram_lm_score",

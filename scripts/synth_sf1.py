@@ -38,10 +38,14 @@ con = duckdb.connect()
 con.execute(f"""
 COPY (
   SELECT doc_id + r.range * {BASE} AS doc_id,
-         source,
          CASE WHEN r.range = 0 THEN text
               ELSE replace(text, ' ', '_' || r.range || ' ') || '_' || r.range
-         END AS text
+         END AS text,
+         lang,
+         source,
+         length(CASE WHEN r.range = 0 THEN text
+                ELSE replace(text, ' ', '_' || r.range || ' ') || '_' || r.range
+                END) AS n_chars
   FROM '{SRC}/documents.parquet', range(0, {REPS}) r
 ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
 """)
