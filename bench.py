@@ -66,10 +66,17 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "winsorize_values",
     "distinct_linear_counting",
-    # round 4 additions: DSIR importance weighting + fuzzy (MinHash)
-    # benchmark decontamination
+    # round 4 additions: DSIR importance weighting, fuzzy (MinHash)
+    # benchmark decontamination, the composed decontaminate-and-select
+    # pipeline, the re-keyed cell-blocked cosine dedup, and the two
+    # hourly resamplers (interpolate carried an O(range^2) window frame
+    # until r4 — keep it visible)
     "dsir_weights",
     "contamination_minhash",
+    "select_pretraining_data",
+    "dedup_embedding_cosine",
+    "gap_fill_hourly",
+    "interpolate_hourly",
 ]
 
 
