@@ -779,3 +779,59 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_md5") != F.col("new_md5"))
         )
     )
+
+
+# --- weighted reservoir sampling (Efraimidis-Spirakis) -----------------
+
+_WRES_K = 150
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars,
+       round(ln((CAST(concat('0x', substr(md5(concat('wres:',
+                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1) * 1.0
+                / 4294967296)
+             / greatest(n_chars, 1), 9) AS wkey
+FROM documents
+ORDER BY wkey DESC, doc_id
+LIMIT {_WRES_K}
+""",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size-K weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES reservoir (2006): each item draws a
+    uniform u and keeps key u^(1/w); the K largest keys are a weighted
+    sample. Ordering by ln(u)/w is the same sample (monotone
+    transform) without the cross-engine pow() hazard. The exact-K
+    complement of ``weighted_sample``'s Bernoulli draw (expected-size),
+    with weight = document length.
+
+    Determinism: u comes from the portable md5-uniform (u32+1)/2^32 in
+    (0, 1], and the key rounds to the 9dp decimal grid (the
+    ``unigram_logprob`` ln idiom) with (key desc, doc_id) tie-break —
+    the selected set is engine-identical. Scale shape: one narrow scan
+    computing a per-row expression, then top-K planned as
+    TakeOrderedAndProject — per-partition heaps ARE the distributed
+    reservoir merge the algorithm calls for; no shuffle of the corpus,
+    no global sort, mergeable across any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wres:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    wkey = F.round(
+        F.log((u32 + 1).cast("double") / F.lit(4294967296.0))
+        / F.greatest(F.col("n_chars"), F.lit(1)),
+        9,
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(_WRES_K)
+    )

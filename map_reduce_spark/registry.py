@@ -97,7 +97,8 @@ def register(name: str, oracle: str | None = None):
 # agg_bitmap_distinct / embedding_quantize / window_analytics (yielded
 # its r4 slot to the re-keyed dedup_embedding_cosine), the round-4
 # additions dsir_weights / contamination_minhash /
-# select_pretraining_data (composed pipeline #2) / the re-oracled
+# select_pretraining_data (composed pipeline #2) /
+# weighted_reservoir_sample / the re-oracled
 # multimodal_features (all locally hash-verified under the identical
 # DuckDB check), plus the two rows-only sketch estimators
 # agg_hll_sketch_union / agg_theta_sketch_setops (accuracy-bounded in
