@@ -64,8 +64,8 @@ def _dec_prod(expr, scale: int = 6):
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_disc_price,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -89,11 +89,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount"))
         * (F.lit(1) + F.col("l_tax"))
     )
+    # sum_disc_price / sum_charge: the exact decimal sum is converted
+    # to double via SCALED-LONG division (micros -> long -> double ->
+    # /1e6) in BOTH engines. At 10x data the 18,6 sums pass 16
+    # significant digits, where engines' native DECIMAL->DOUBLE casts
+    # disagree by one ulp (measured on the 10x slice); long->double is
+    # correctly rounded in hardware on both sides, so this path is
+    # bit-identical at any SF (sums bounded < 2^63 micros).
+    def _d6(col, alias):
+        return (
+            (col * F.lit(1_000_000)).cast("long").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias(alias)
+
     return f.groupBy("l_returnflag", "l_linestatus").agg(
         _sumd("l_quantity", alias="sum_qty"),
         _sumd("l_extendedprice", alias="sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        _d6(F.sum(disc_price), "sum_disc_price"),
+        _d6(F.sum(charge), "sum_charge"),
         (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
         (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
