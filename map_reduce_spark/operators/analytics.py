@@ -422,8 +422,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINSOR_ORACLE = """
 WITH pct AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo,
-         quantile_cont(value, 0.95) AS hi
+         round(quantile_cont(value, 0.05), 4) AS lo,
+         round(quantile_cont(value, 0.95), 4) AS hi
   FROM events GROUP BY event_type
 ),
 cl AS (
@@ -452,10 +452,14 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: Spark ``percentile`` and DuckDB
     ``quantile_cont`` implement the same linear interpolation (proven
-    by ``percentiles_exact``); interpolated thresholds land strictly
-    between adjacent order statistics, so an ulp of difference can
-    never flip a clip verdict, and the mean is summed on the
-    DECIMAL(18,4) grid (NOTES rule 1), not float order.
+    by ``percentiles_exact``) but their interpolation ARITHMETIC can
+    differ by one ulp — and when the interpolated threshold coincides
+    with a repeated data value, that ulp flips the clip verdict for
+    every tied row (caught by the round-4 10x parity pass: 50 flips at
+    a p05 that landed exactly on a 2dp value). Both engines therefore
+    snap the thresholds to the 4dp grid (the ``clipped`` grid) before
+    comparing; the mean is summed on the DECIMAL(18,4) grid (NOTES
+    rule 1), not float order.
 
     Scale shape: one partial-agged percentile pass per type (the
     per-type value lists bound state, or swap in approx_percentile at
@@ -465,8 +469,8 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     pct = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
     )
     clipped = F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 4).cast(
         "decimal(18,4)"

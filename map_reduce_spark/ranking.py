@@ -45,8 +45,19 @@ def global_row_number(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # PERSIST the range-partitioned frame before fanning out: range
+    # boundaries come from runtime SAMPLING, and the two consumers
+    # below (local row_number, per-partition counts) would otherwise
+    # each re-execute the exchange with independently-sampled
+    # boundaries — offsets from one partitioning applied to row
+    # numbers from another (duplicated/shifted global positions).
+    # Invisible at tiny SF (the boundary sample covers the whole
+    # input, so re-samples agree); caught by the round-4 10x PARITY
+    # pass on corpus_shuffle. NOTES rule 11 stage barrier.
+    part = (
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
     local = part.withColumn("_rn", F.row_number().over(w_local))
