@@ -71,106 +71,92 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# After rounds 1-3, 137 distinct queries hold driver rows (132 green,
-# 5 rows-only-by-design, 0 failures) and 62 have never been checked.
-# The round-4 window therefore holds (per the round-3 verdict, item 1):
+# After rounds 1-4, 184 of 203 registered queries hold driver rows and
+# 184/184 pass their latest check; 19 have never been checked.
+# The round-5 window (per the round-4 verdict, item 1) closes the
+# catalog — after this round every registered query holds at least one
+# driver row:
 #   - two anchors (the reference flagship + exact dedup) that stay
 #     continuously verified,
-#   - 48 never-driver-checked queries, whole families front-loaded so
-#     components flip to done: the training-pipeline 13 + the composed
-#     prepare_training_data, graph (textrank/triangle) +
-#     dedup_components_lss (now the documented scale default for
-#     dup-cluster resolution), the modern-SQL five, the Python
-#     DataSource trio, the streaming four, the late-r3 scale operators
-#     (entity_resolution, bpe_train_merges, bpe_encode, count_min_freq,
-#     dedup_semantic + knn_graph — both re-keyed this round onto the
-#     two-level sqrt(N) cell quantizer), and 13 more standalone
-#     operators (dedup_spans, pq_adc_topk, boilerplate_dedup,
-#     multimodal_gif_pipeline, sorted_neighborhood_pairs,
-#     interval_overlap_join, doc_chunking, tokenize_to_ids,
-#     winsorize_values, window_analytics, distinct_linear_counting,
-#     topic_tfidf, bigram_lm_score).
-# The remaining never-driver-checked queries are queued for round 5:
-# gap_fill_hourly / interpolate_hourly / udtf_table_polymorphic /
-# arrow_map_stats / bpe_pair_counts / higher_order_funcs /
-# set_intersect_all / set_except_all / bitwise_agg / listagg_funcs /
-# agg_bitmap_distinct / embedding_quantize / window_analytics (yielded
-# its r4 slot to the re-keyed dedup_embedding_cosine), the round-4
-# additions dsir_weights / contamination_minhash /
-# select_pretraining_data (composed pipeline #2) /
-# weighted_reservoir_sample / the re-oracled
-# multimodal_features (all locally hash-verified under the identical
-# DuckDB check), plus the two rows-only sketch estimators
-# agg_hll_sketch_union / agg_theta_sketch_setops (accuracy-bounded in
-# tests/test_sketches.py; a driver row adds only a rows-only check, so
-# they yield their slots to oracled entries).
-# Everything else holds a green row from r1-r3 and follows in
+#   - all 19 never-driver-checked queries (17 oracled + the 2
+#     rows-only sketch estimators, accuracy-bounded in
+#     tests/test_sketches.py), led by interpolate_hourly /
+#     gap_fill_hourly (interpolate was rewritten in r4, so its row is
+#     the most urgent) and the r4 corpus-curation family,
+#   - 4 stale-row re-entries whose code or oracle changed after their
+#     last driver row: multimodal_features (oracle re-derived in r4;
+#     last row is r2 rows-only) and the r4 persist-barrier inheritors
+#     sort_by_key / sort_multi_col / window_ntile,
+#   - 25 fillers re-certifying the OLDEST green rows (all r1-era):
+#     the reference's own §2.1 surface (scan_dir .. sink_text) plus
+#     the heaviest r1 relational/window queries (TPC-H Q1/Q5, rollup/
+#     cube/grouping-sets, the join family, rank/range-frame windows).
+#     (The r4 verdict dated tpch Q2/Q7-Q22 as r2-era; CORRECTNESS_r03
+#     shows they are r3-era, so the r1 block is the oldest and goes
+#     first.)
+# Everything else holds a green row from r2-r4 and follows in
 # registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # training pipeline (pipeline_ops.py) — the biggest unchecked block
-    "split_train_val_test",
-    "stratified_sample",
-    "mix_temperature",
-    "pii_scrub",
-    "text_normalize",
-    "skew_agg_twophase",
-    "zorder_layout",
-    "dq_checks",
-    "weighted_sample",
-    "quality_classifier",
-    "corpus_shuffle",
-    "domain_cap",
-    "snapshot_diff",
-    # the composed end-to-end engine certification
-    "prepare_training_data",
-    # graph + the scale default for dup-cluster resolution
-    "textrank_keywords",
-    "triangle_count",
-    "dedup_components_lss",
-    # modern SQL five
-    "variant_funcs",
-    "lateral_topn",
-    "sql_udf_funcs",
-    "sql_pipe_syntax",
-    "sql_parameterized",
-    # Spark-4 Python DataSource trio (batch scan, stream, staged write)
-    "python_datasource_scan",
-    "python_datasource_stream",
-    "python_datasource_write",
-    # streaming remainder
-    "streaming_dedup_watermark",
-    "streaming_stateful_counts",
-    "streaming_static_join",
-    "streaming_stream_join",
-    # late-r3 scale operators
-    "entity_resolution",
-    "bpe_train_merges",
-    "bpe_encode",
-    "count_min_freq",
-    "dedup_semantic",
-    "knn_graph",
-    # standalone never-checked operators
-    "dedup_spans",
-    "pq_adc_topk",
-    "boilerplate_dedup",
-    "multimodal_gif_pipeline",
-    "sorted_neighborhood_pairs",
-    "interval_overlap_join",
-    "doc_chunking",
-    "tokenize_to_ids",
-    "winsorize_values",
-    # re-keyed from label blocking onto the two-level quantizer in r4
-    # (the 10x sweep measured the label block quadratic): output
-    # changed, so it re-enters the window; window_analytics yields its
-    # slot to the r5 queue (the window_* family already holds 7 green
-    # rows).
-    "dedup_embedding_cosine",
-    "distinct_linear_counting",
-    "topic_tfidf",
-    "bigram_lm_score",
+    # never-checked: batch resampling (interpolate rewritten in r4)
+    "interpolate_hourly",
+    "gap_fill_hourly",
+    # never-checked: r4 corpus-curation family
+    "dsir_weights",
+    "contamination_minhash",
+    "select_pretraining_data",
+    "weighted_reservoir_sample",
+    "embedding_quantize",
+    # never-checked: UDF/arrow surface
+    "udtf_table_polymorphic",
+    "arrow_map_stats",
+    # never-checked: corpus/functions extras
+    "bpe_pair_counts",
+    "higher_order_funcs",
+    "set_intersect_all",
+    "set_except_all",
+    "bitwise_agg",
+    "listagg_funcs",
+    "agg_bitmap_distinct",
+    "window_analytics",
+    # never-checked: rows-only sketch estimators (no SQL-expressible
+    # oracle; accuracy bounds live in tests/test_sketches.py)
+    "agg_hll_sketch_union",
+    "agg_theta_sketch_setops",
+    # stale-row re-entries (code/oracle changed after last driver row)
+    "multimodal_features",
+    "sort_by_key",
+    "sort_multi_col",
+    "window_ntile",
+    # fillers: re-certify the oldest (r1-era) rows — §2.1 first
+    "scan_dir",
+    "scan_file",
+    "tokenize",
+    "filter_empty",
+    "upper_map",
+    "hash_partition",
+    "group_by_key",
+    "count_reduce",
+    "sink_text",
+    # fillers: heaviest r1-era relational/window queries
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_corr",
+    "join_broadcast_star",
+    "join_fact_fact",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "window_rank",
+    "window_range_frame",
+    "monthly_revenue",
+    "topk_orders",
 )
 
 
