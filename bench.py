@@ -101,7 +101,7 @@ def _calibrate(spark) -> float:
 
 def main() -> None:
     from map_reduce_spark.registry import queries
-    from map_reduce_spark.session import get_spark
+    from map_reduce_spark.session import get_spark, release_caches
 
     spark = get_spark("bench")
     qs = queries()
@@ -115,11 +115,14 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        # each call persists its own frames; drop them outside the timer
-        # so cached frames never accumulate across 4 passes x 35 queries
-        # (GC pressure from that buildup hit the first query of each
-        # pass hardest — the round-3 mr_pipeline outlier)
-        spark.catalog.clearCache()
+        # each call stage_cache()s its own frames; release them outside
+        # the timer so cached frames never accumulate across 4 passes x
+        # 35 queries (GC pressure from that buildup hit the first query
+        # of each pass hardest — the round-3 mr_pipeline outlier). The
+        # tracked release replaces the blanket clearCache() (r4 ADVICE:
+        # library callers get the same hook instead of having to nuke
+        # the whole catalog cache).
+        release_caches()
 
     # three measured passes, min per query — damps scheduler/GC jitter
     # (run-to-run VM noise of up to ~40% observed; min-of-3 keeps the
@@ -131,7 +134,7 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-            spark.catalog.clearCache()
+            release_caches()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 
 from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache, stage_checkpoint
 
 
 def _grams(n: int, col: str = "text"):
@@ -860,11 +861,10 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     error per heavy term instead of asserting it.
     """
     docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
-    cnt = (
+    cnt = stage_cache(  # three consumers: total, grid, heavy-hitter query set
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()  # three consumers: total, grid, heavy-hitter query set
     )
     tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
     rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])).alias("r")
@@ -1014,7 +1014,7 @@ def _bpe_seq0(spark: SparkSession, sf_dir: str, carry_word: bool = False) -> Dat
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
         "c",
     ]
-    return wc.select(*cols).localCheckpoint()
+    return stage_checkpoint(wc.select(*cols))
 
 
 def _bpe_merge_loop(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1052,7 +1052,7 @@ def _bpe_merge_loop(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
         bx, by, bfreq = best[0]["x"], best[0]["y"], int(best[0]["pair_freq"])
         pat = F.lit(f" {bx} {by} ")
         rep = F.lit(f" {bx}{by} ")
-        seqs = (
+        seqs = stage_checkpoint(
             seqs.withColumn("s2", F.concat(F.lit(" "), F.col("seq"), F.lit(" ")))
             .withColumn("s2", F.replace(F.col("s2"), pat, rep))
             .withColumn("s2", F.replace(F.col("s2"), pat, rep))
@@ -1062,7 +1062,6 @@ def _bpe_merge_loop(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
                     for c in keep
                 ]
             )
-            .localCheckpoint()
         )
         row = (
             seqs.select(F.explode(F.split("seq", " ")).alias("sym"))
@@ -1401,13 +1400,19 @@ def fuzzy_contaminated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 8-gram overlap misses; together they are the standard
     two-tier decontamination gate.
 
-    Scale shape (100 TB): the benchmark side's band table is eval-suite
-    sized and BROADCAST, so the corpus is scanned once into a broadcast
-    hash join on (band, bucket) — the corpus never shuffles for
-    candidate generation; exact Jaccard runs on the candidate set only
-    (same two-stage barrier as the minhash-dedup family). Portable md5
-    hash family start-to-finish, so bands, candidates, and verdicts
-    are all reproduced by the DuckDB oracle.
+    Scale shape (100 TB): at a real deployment the benchmark side is a
+    FIXED-SIZE eval suite whose band table broadcasts, so the corpus is
+    scanned once into a broadcast hash join on (band, bucket) and never
+    shuffles for candidate generation. In THESE test tables the bench
+    subset is a mod-``FUZZY_BENCH_MOD`` slice — ~20% of the corpus, a
+    corpus-PROPORTIONAL stand-in — so the join deliberately carries no
+    ``F.broadcast`` hint: AQE broadcasts it while it fits
+    (autoBroadcastJoinThreshold) and falls back to a shuffle hash join
+    when it does not, instead of force-broadcasting a growing side (r4
+    ADVICE). Exact Jaccard runs on the candidate set only (same
+    two-stage barrier as the minhash-dedup family). Portable md5 hash
+    family start-to-finish, so bands, candidates, and verdicts are all
+    reproduced by the DuckDB oracle.
     """
     from map_reduce_spark.operators.dedup import (
         BANDS,
@@ -1445,12 +1450,11 @@ def fuzzy_contaminated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_bands = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band", "bucket"
     )
-    cand = (
+    cand = stage_cache(  # stage barrier: candidates are eval-suite bounded
         bands.filter(~is_bench)
-        .join(F.broadcast(bench_bands), ["band", "bucket"])
+        .join(bench_bands, ["band", "bucket"])  # size-adaptive: see docstring
         .select(F.col("doc_id").alias("train_id"), "bench_id")
         .distinct()
-        .persist()  # stage barrier: candidates are eval-suite bounded
     )
     sets = docs.select("doc_id", _shingles().alias("s"))
     a = cand.join(

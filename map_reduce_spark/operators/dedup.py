@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache, stage_checkpoint
 
 # --- exact dedup ------------------------------------------------------
 
@@ -273,8 +274,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark re-executes that whole subtree per consumer (~4× the work).
     # At cluster scale this is the standard two-stage LSH shape: a
     # checkpoint of candidate pairs between candidate generation and
-    # verify.
-    cand = cand.persist()
+    # verify. Tracked: released by session.release_caches().
+    cand = stage_cache(cand)
 
     # Exact verify only on candidates. Shingle sets are re-derived for
     # candidate doc_ids ONLY, straight from the documents table: the
@@ -329,16 +330,14 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     no-driver-actions rule — it reads one scalar, never rows.
     """
     pairs = pairs.select("doc_a", "doc_b")
-    edges = (
+    edges = stage_cache(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
     )
-    labels = (
+    labels = stage_checkpoint(
         edges.select(F.col("src").alias("v"))
         .distinct()
         .select("v", F.col("v").alias("lbl"))
-        .localCheckpoint()
     )
     for _ in range(_MAX_CC_ITERS):
         msgs = (
@@ -350,9 +349,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             )
             .select(F.col("dst").alias("v"), F.col("src_lbl").alias("lbl"))
         )
-        new_labels = (
+        new_labels = stage_checkpoint(
             labels.union(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.select("v", F.col("lbl").alias("new_lbl"))
             .join(labels, "v")
@@ -406,12 +405,11 @@ def connected_components_lss(pairs: DataFrame) -> DataFrame:
     costs grow linearly).
     """
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    E = (
+    E = stage_checkpoint(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
     )
-    verts = E.select(F.col("u").alias("v0")).distinct().localCheckpoint()
+    verts = stage_checkpoint(E.select(F.col("u").alias("v0")).distinct())
     import math
 
     n_verts = verts.count()  # one metadata-sized action sizes the budget
@@ -425,12 +423,11 @@ def connected_components_lss(pairs: DataFrame) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("mn"))
         )
-        E = (
+        E = stage_checkpoint(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
         # small-star: orient edges larger→smaller; every smaller
         # neighbor (and u itself) re-attaches to the minimum
@@ -443,12 +440,11 @@ def connected_components_lss(pairs: DataFrame) -> DataFrame:
         )
         mins = d.groupBy("u").agg(F.min("v").alias("mn"))
         joined = d.join(mins, "u")
-        E = (
+        E = stage_checkpoint(
             joined.filter(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .union(joined.select("u", F.col("mn").alias("v")))
             .distinct()
-            .localCheckpoint()
         )
     # converged edge set is a star forest pointing at component minima
     lbl = (
@@ -703,9 +699,9 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # same two-stage shape as dedup_minhash_lsh: persist the tiny
+    # same two-stage shape as dedup_minhash_lsh: cache the tiny
     # candidate set (stage barrier), re-shingle candidates only
-    cand = cand.persist()
+    cand = stage_cache(cand)
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -943,9 +939,9 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fp feeds three consumers (band explode + both verify sides):
     # persist it as a stage barrier or the whole explode+65-aggregate
     # pipeline re-executes per consumer (NOTES rule 11)
-    fp = votes.select(
-        "doc_id", F.concat(*[_char(i) for i in range(1, 17)]).alias("fp")
-    ).persist()
+    fp = stage_cache(
+        votes.select("doc_id", F.concat(*[_char(i) for i in range(1, 17)]).alias("fp"))
+    )
 
     bands = fp.select(
         "doc_id",

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache, stage_checkpoint
 
 SCALE = 1_000_000_000
 _ITER = 5
@@ -131,8 +132,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     + localCheckpoints each round (NOTES rule 12); the final top-k is
     a TakeOrderedAndProject with the token tiebreak (NOTES rule 5).
     """
-    arcs = _token_arcs(spark, sf_dir).persist()
-    deg = arcs.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    arcs = stage_cache(_token_arcs(spark, sf_dir))
+    deg = stage_cache(arcs.groupBy("src").agg(F.count("*").alias("outdeg")))
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank")
     )
@@ -152,8 +153,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * s) div 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = stage_checkpoint(ranks, eager=False)
     return (
         ranks.select(F.col("node").alias("token"), "rank")
         .orderBy(F.col("rank").desc(), "token")
@@ -186,7 +187,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented here, unnecessary on a vocabulary graph.
     """
     arcs = _token_arcs(spark, sf_dir)
-    edges = arcs.filter(F.col("src") < F.col("dst")).persist()
+    edges = stage_cache(arcs.filter(F.col("src") < F.col("dst")))
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_spark.io import load_table
 from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache
 
 
 @register(
@@ -111,7 +112,8 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("n_months", F.col("mx_idx") - F.col("mn_idx") + F.lit(1))
-    ).persist()
+    )
+    bounds = stage_cache(bounds)
     bounds.count()  # materialize the single-row cache before recursion
     bounds.createOrReplaceTempView("rc_bounds")
     return spark.sql(

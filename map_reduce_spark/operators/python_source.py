@@ -270,8 +270,10 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
     out_dir = os.path.join(root, uuid.uuid4().hex[:8])
     os.makedirs(os.path.join(out_dir, "_staging"), exist_ok=True)
-    # discoverable by tests/tooling without listing the shared root
-    globals()["LAST_SINK_DIR"] = out_dir
+    # No module-global handoff of out_dir (r4 ADVICE: concurrent
+    # invocations in one process would race on it) — the returned
+    # frame's inputFiles() names the committed files, so callers
+    # recover THIS invocation's sink dir from the result itself.
 
     class _Msg(WriterCommitMessage):
         def __init__(self, filename: str, rows: int):

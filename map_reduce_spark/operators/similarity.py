@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from map_reduce_spark.io import load_table
 from map_reduce_spark.operators.dedup import COSINE_TOPK, _idot, _ivec, _IVEC_SQL
 from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache
 
 
 @register(
@@ -548,8 +549,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # distance table feeds both the corpus assignment and the query
-    # probe list — persist so the explode+centroid subtree runs once
-    d = d.persist()
+    # probe list — cache so the explode+centroid subtree runs once
+    # (tracked: released by session.release_caches())
+    d = stage_cache(d)
     wv = Window.partitionBy("vec_id").orderBy("d2", "clabel")
     assign = (
         d.withColumn("rn", F.row_number().over(wv))
@@ -761,7 +763,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(diff * diff).alias("d2"))
     )
     # distance table feeds both the corpus codes and the query LUT
-    d = d.persist()
+    d = stage_cache(d)
     w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
     codes = (
         d.withColumn("rn", F.row_number().over(w))
@@ -838,9 +840,9 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", F.posexplode(_ivec("embedding")).alias("pos", "v")
-    ).persist()
+    v = stage_cache(
+        e.select("vec_id", F.posexplode(_ivec("embedding")).alias("pos", "v"))
+    )
     cent = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
     )
@@ -970,6 +972,11 @@ def _iv4(e: DataFrame) -> DataFrame:
 # populations there span 44-59); at any real scale every cell refines.
 REFINE_THRESH = 48
 
+# Salt fan-out for the level-2 refine join (clabel is fixed-cardinality;
+# see the comment at the join). 64 × n_labels concurrent partitions is
+# comfortably past any executor count the engine targets per label.
+_REFINE_SALTS = 64
+
 
 def _coarse_cells(iv: DataFrame) -> DataFrame:
     """(vec_id, cell): TWO-LEVEL coarse quantizer — the ONE cell
@@ -1018,11 +1025,16 @@ def _coarse_cells(iv: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    a1 = (
+    # three consumers: counts, the refine join, the final join. Tracked
+    # cache (r4 ADVICE leak): released by session.release_caches() once
+    # the caller has materialized its result — the whole quantizer is
+    # deterministic (md5 coins, exact integer math), so a post-release
+    # recompute cannot diverge.
+    a1 = stage_cache(
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "clabel")
-    ).persist()  # three consumers: counts, the refine join, the final join
+    )
     cntm = a1.groupBy("clabel").agg(F.count("*").alias("cnt")).withColumn(
         "m",
         F.when(
@@ -1050,10 +1062,24 @@ def _coarse_cells(iv: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # The refine join key `clabel` is FIXED-CARDINALITY (NOTES rule 22
+    # / r4 ADVICE): a plain equi-join hash-partitions members onto
+    # n_labels partitions, capping parallelism at the label count and
+    # growing per-partition work as (N/n_labels)^1.5. Salt it: members
+    # take a deterministic salt from vec_id; the small seeds side
+    # (sqrt-sized per label) replicates across all _REFINE_SALTS, so
+    # every (member, same-label seed) pair still appears exactly once
+    # while the shuffle key (clabel, salt) keeps n_labels×64-way
+    # parallelism with bounded per-partition fan-out.
+    salts = F.array(*[F.lit(i) for i in range(_REFINE_SALTS)])
     cand = (
         a2.filter(F.col("m") > 0)
         .select("clabel", "vec_id", "q")
-        .join(seeds, "clabel")
+        .withColumn("salt", F.pmod(F.col("vec_id"), F.lit(_REFINE_SALTS)))
+        .join(
+            seeds.withColumn("salt", F.explode(salts)),
+            ["clabel", "salt"],
+        )
         .select("vec_id", "seed_id", dd2.alias("dd2"))
     )
     w2 = Window.partitionBy("vec_id").orderBy("dd2", "seed_id")

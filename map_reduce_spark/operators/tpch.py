@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from map_reduce_spark.io import load_table
 from map_reduce_spark.operators.relational import _dec, _dec_prod, _sumd
 from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache
 
 _REV6 = "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -373,10 +374,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold); persist the small grouped relation so the fact scan +
     # aggregation run once (NOTES.md #11 — Spark re-executes upstream
     # per consumer unless the subplans are identical).
-    per_part = (
+    per_part = stage_cache(
         shipped.groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
-        .persist()
     )
     threshold = per_part.agg(
         (F.sum("value_dec") * F.lit(0.001)).alias("threshold")
@@ -493,10 +493,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    revenue = (
+    revenue = stage_cache(
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total_rev"))
-        .persist()
     )
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     return (

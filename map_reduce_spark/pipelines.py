@@ -179,10 +179,16 @@ def select_pretraining_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             target domain (`dsir_frame`)
           → budgeted selection: top ``_SELECT_TOPK`` docs.
 
-    Scale shape: both decontamination tiers broadcast the eval-suite
-    side (grams / band table) and anti-join the corpus — the corpus
-    never shuffles for candidate generation; DSIR's distributions are
-    two constant-size broadcast frames; selection is
+    Scale shape: at a real deployment the eval suite is FIXED-SIZE, so
+    its gram/band tables (and the drop-sets derived from them) would
+    broadcast; in these test tables the bench subset is a
+    mod-``FUZZY_BENCH_MOD`` slice (~20% of the corpus — a
+    corpus-PROPORTIONAL stand-in), so none of the joins below carry a
+    forced ``F.broadcast`` hint: AQE broadcasts each side while it fits
+    and falls back to shuffle (anti-)joins when it does not (r4
+    ADVICE — a forced broadcast of a corpus-proportional drop-set would
+    overflow at 100 TB). DSIR's distributions are genuinely
+    constant-size broadcast frames; selection is
     TakeOrderedAndProject. Nothing quadratic, nothing driver-side.
     """
     from map_reduce_spark.operators.corpus_quality import (
@@ -202,7 +208,7 @@ def select_pretraining_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_g = g.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gram")
     exact_drop = (
         g.filter(~is_bench)
-        .join(F.broadcast(bench_g), "gram")
+        .join(bench_g, "gram")  # size-adaptive: see docstring
         .select("doc_id")
         .distinct()
     )
@@ -214,8 +220,8 @@ def select_pretraining_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = (
         dsir_frame(spark, sf_dir)
         .filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
-        .join(F.broadcast(exact_drop), "doc_id", "left_anti")
-        .join(F.broadcast(fuzzy_drop), "doc_id", "left_anti")
+        .join(exact_drop, "doc_id", "left_anti")
+        .join(fuzzy_drop, "doc_id", "left_anti")
     )
     return (
         survivors.orderBy(F.col("lw").desc(), "doc_id")

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from map_reduce_spark.session import stage_cache
+
 
 def global_row_number(
     df: DataFrame,
@@ -54,10 +56,9 @@ def global_row_number(
     # Invisible at tiny SF (the boundary sample covers the whole
     # input, so re-samples agree); caught by the round-4 10x PARITY
     # pass on corpus_shuffle. NOTES rule 11 stage barrier.
-    part = (
+    part = stage_cache(
         df.repartitionByRange(n, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
     local = part.withColumn("_rn", F.row_number().over(w_local))

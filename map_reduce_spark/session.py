@@ -19,9 +19,77 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# --- tracked stage caches -------------------------------------------------
+#
+# Operators persist multi-consumer subtrees (stage barriers). Persisted
+# frames outlive the operator call: Spark has no scope-exit unpersist, so
+# a long-lived session that calls many operators would accumulate cached
+# frames without bound (the r4 ADVICE leak: _coarse_cells / bench had to
+# clearCache() between queries to compensate). The engine-wide convention:
+#
+# - every operator-internal ``persist()`` goes through ``stage_cache``,
+#   which tracks the frame in a session-scoped list;
+# - callers (bench.py, tests, library users) call ``release_caches()``
+#   once the operator's result has been FULLY materialized (collected /
+#   written). Releasing earlier is unsafe for the barriers that guard
+#   nondeterministic subtrees (sampling, repartitionByRange boundary
+#   sampling — NOTES rule 24): an un-persisted nondeterministic frame
+#   recomputed by a later action can diverge from what the first action
+#   saw. After materialization, release is always safe.
+#
+# tests/test_oracle_parity.py asserts the convention catalog-wide: after
+# each query materializes and releases, the JVM reports zero persisted
+# RDDs.
+
+_TRACKED_CACHES: list[object] = []  # DataFrames (caches) or java RDDs (checkpoints)
+
+
+def stage_cache(df: DataFrame) -> DataFrame:
+    """Persist a multi-consumer subtree and track it for ``release_caches``."""
+    df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with tracked release.
+
+    Iterative operators (connected components, PageRank, BPE) checkpoint
+    each round to truncate lineage (NOTES rule 12); the checkpoint blocks
+    are persisted RDDs and would otherwise accumulate exactly like stage
+    caches. ``DataFrame.unpersist`` cannot release them (localCheckpoint
+    persists the internal RDD directly, bypassing the CacheManager), so
+    we track the checkpointed RDD off the returned frame's LogicalRDD
+    plan node and unpersist THAT. NOTE: unlike a released cache, a
+    released checkpoint cannot recompute (lineage is gone) — release
+    only after the operator's result is fully materialized, per the
+    module convention."""
+    out = df.localCheckpoint(eager=eager)
+    _TRACKED_CACHES.append(out._jdf.queryExecution().logical().rdd())
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every frame tracked by ``stage_cache``/``stage_checkpoint``;
+    returns the count. Call after materializing operator results (see
+    module comment). Blocking so callers can assert the JVM cache map is
+    empty immediately after."""
+    n = 0
+    while _TRACKED_CACHES:
+        tracked = _TRACKED_CACHES.pop()
+        try:
+            if isinstance(tracked, DataFrame):
+                tracked.unpersist(blocking=True)
+            else:  # java RDD handle from stage_checkpoint
+                tracked.unpersist(True)
+        except Exception:
+            pass  # session already stopped — nothing to release
+        n += 1
+    return n
 
 
 def _cpus() -> int:

@@ -168,16 +168,20 @@ def test_python_datasource_write_commit_protocol(spark):
     import json
     import os
 
-    from map_reduce_spark.operators import python_source
     from map_reduce_spark.operators.python_source import (
         _N_ROWS,
         python_datasource_write,
     )
 
-    out = python_datasource_write(spark, "unused").collect()
+    df = python_datasource_write(spark, "unused")
+    out = df.collect()
     assert sum(r.cnt for r in out) == _N_ROWS
 
-    sink = python_source.LAST_SINK_DIR  # this run's own uuid dir
+    # this run's own uuid dir, recovered from the result frame itself
+    # (inputFiles of the manifest read-back) — no shared module global
+    committed = [os.path.normpath(f.removeprefix("file:")) for f in df.inputFiles()]
+    assert committed, "result frame must expose the committed files"
+    sink = os.path.dirname(committed[0])
     with open(os.path.join(sink, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     assert manifest["rows"] == _N_ROWS
