@@ -93,13 +93,13 @@ def extract_features(df: DataFrame) -> DataFrame:
     involvement). Decode ladder, most-real first — and HONEST at the
     bottom (no fake-geometry rung):
 
-    1. FULL raster decode for PNG and GIF payloads (the pure-stdlib
-       codecs — dimensions, channels, and mean byte computed from the
-       actual decoded pixels);
-    2. header parse for JPEG (and for PNG/GIF whose bodies the codecs
-       can't handle, e.g. 16-bit or interlaced) — true dimensions and
-       channels, NULL ``mean_byte`` (pixel stats come only from
-       pixels actually decoded);
+    1. FULL raster decode for PNG, GIF, and baseline-JPEG payloads
+       (the in-repo codecs — dimensions, channels, and mean byte
+       computed from the actual decoded pixels);
+    2. header parse for payloads whose bodies the codecs can't handle
+       (16-bit / interlaced PNG, progressive or subsampled JPEG) —
+       true dimensions and channels, NULL ``mean_byte`` (pixel stats
+       come only from pixels actually decoded);
     3. opaque for non-image bytes — ``fmt``/``width``/``height``/
        ``channels``/``mean_byte`` all NULL, size still real.
 
@@ -110,6 +110,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     """
     png_decode = _png_tools()[1]
     gif_decode = _gif_tools()[1]
+    jpeg_decode = _jpeg_tools()[1]
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -161,6 +162,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             for fmt, codec, sig_ok in (
                 ("png", png_decode, payload[:8] == b"\x89PNG\r\n\x1a\n"),
                 ("gif", gif_decode, payload[:6] in (b"GIF87a", b"GIF89a")),
+                ("jpeg", jpeg_decode, payload[:2] == b"\xff\xd8"),
             ):
                 if not sig_ok:
                     continue
@@ -198,17 +200,18 @@ def mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload): deterministic MIXED media — a
     real full PNG (doc_id%4==0, stdlib encoder, doc_id-seeded pixels),
     a real full GIF (==1, stdlib LZW encoder, doc_id-seeded palette
-    indices), a JPEG SOF0 header-only container (==2: geometry
-    parseable, entropy-coded body absent), or raw utf-8 text bytes
-    (==3: not an image at all). Every decodable pixel is a pure
-    function of doc_id, so downstream feature extraction is
+    indices), a real baseline GRAYSCALE JPEG (==2: Annex-K Huffman
+    entropy coding over flat doc_id-seeded 8x8 blocks — flat blocks
+    under a uniform quant of 8 survive the DCT round-trip EXACTLY, so
+    the decoded raster stays a pure function of doc_id), or raw utf-8
+    text bytes (==3: not an image at all). Every decodable pixel is a
+    pure function of doc_id, so downstream feature extraction is
     oracle-recomputable from first principles."""
     png_enc = _png_tools()[0]
     gif_enc = _gif_tools()[0]
+    jpeg_enc = _jpeg_tools()[0]
 
     def synth(batches):
-        import struct
-
         import pandas as pd
 
         def make(doc_id: int, text: str) -> bytes:
@@ -225,16 +228,9 @@ def mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = [(doc_id * 5 + k * 3) % 8 for k in range(64)]
                 return gif_enc(8, 8, idx, pal)
             if m == 2:
-                w, h = 16 + doc_id % 240, 16 + (doc_id * 3) % 240
-                ncomp = 3 if doc_id % 2 == 0 else 1
-                sof = struct.pack(">BHHB", 8, h, w, ncomp) + bytes(
-                    b for i in range(ncomp) for b in (i + 1, 0x11, 0)
-                )
-                return (
-                    b"\xff\xd8\xff\xc0"
-                    + struct.pack(">H", 2 + len(sof))
-                    + sof
-                )
+                bx, by = 2 + doc_id % 29, 2 + (doc_id * 3) % 29
+                vals = [(doc_id * 7 + b * 13) % 256 for b in range(bx * by)]
+                return jpeg_enc(8 * bx, 8 * by, vals)
             return text.encode("utf-8")
 
         for pdf in batches:
@@ -266,21 +262,34 @@ gif AS (
            AS mean_byte
   FROM documents, range(0, 64) k
   WHERE doc_id % 4 = 1 GROUP BY doc_id
+),
+-- JPEG rows are grids of flat 8x8 blocks (block b = (doc_id*7+b*13)%256,
+-- exact DCT round-trip under quant 8), so the raster mean equals the
+-- mean over block values: 64 identical pixels per block cancel.
+jpeg AS (
+  SELECT d.doc_id,
+         round(CAST(SUM(CASE WHEN k.range <
+                   (2 + d.doc_id % 29) * (2 + (d.doc_id * 3) % 29)
+                 THEN (d.doc_id * 7 + k.range * 13) % 256 END) AS DOUBLE)
+               / ((2 + d.doc_id % 29) * (2 + (d.doc_id * 3) % 29)), 6)
+           AS mean_byte
+  FROM documents d, range(0, 900) k   -- 900 = max 30x30 block grid
+  WHERE d.doc_id % 4 = 2 GROUP BY d.doc_id
 )
 SELECT d.doc_id,
        CASE d.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
             WHEN 2 THEN 'jpeg' END AS fmt,
        CAST(CASE d.doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
-            WHEN 2 THEN 16 + d.doc_id % 240 END AS INT) AS width,
+            WHEN 2 THEN 8 * (2 + d.doc_id % 29) END AS INT) AS width,
        CAST(CASE d.doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
-            WHEN 2 THEN 16 + (d.doc_id * 3) % 240 END AS INT) AS height,
+            WHEN 2 THEN 8 * (2 + (d.doc_id * 3) % 29) END AS INT) AS height,
        CAST(CASE d.doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
-            WHEN 2 THEN CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 1 END
-            END AS INT) AS channels,
-       COALESCE(png.mean_byte, gif.mean_byte) AS mean_byte
+            WHEN 2 THEN 1 END AS INT) AS channels,
+       COALESCE(png.mean_byte, gif.mean_byte, jpeg.mean_byte) AS mean_byte
 FROM documents d
 LEFT JOIN png ON d.doc_id = png.doc_id
 LEFT JOIN gif ON d.doc_id = gif.doc_id
+LEFT JOIN jpeg ON d.doc_id = jpeg.doc_id
 """
 
 
@@ -291,11 +300,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake-geometry stub): the input is ``mixed_media_table``'s
     deterministic real-format containers, so every rung of the decode
     ladder is exercised AND hash-verified — full PNG raster decode
-    (mean over actual decoded pixels), full GIF LZW decode, JPEG
-    header parse (true geometry, NULL pixel stats), and the opaque
-    NULL row for non-image bytes. The DuckDB oracle recomputes decoded
-    means from the pixel formulas alone, so a hash match proves the
-    inflate/unfilter and LZW paths byte-for-byte. Size/fingerprint
+    (mean over actual decoded pixels), full GIF LZW decode, full
+    baseline-JPEG Huffman+IDCT decode (round 5 — completing the
+    PNG/GIF/JPEG triad), and the opaque NULL row for non-image bytes.
+    The DuckDB oracle recomputes decoded means from the pixel formulas
+    alone, so a hash match proves the inflate/unfilter, LZW, and
+    entropy-decode/IDCT paths byte-for-byte. Size/fingerprint
     metadata lives in ``binary_metadata``; n_bytes is omitted here
     because compressed container size is codec-internal, not
     first-principles recomputable.
@@ -735,6 +745,346 @@ def _gif_tools():
 
 
 encode_gif, decode_gif = _gif_tools()
+
+
+def _jpeg_tools():
+    """Real baseline-JPEG codec (ITU T.81 Annex F/K, public spec):
+    canonical-Huffman entropy coder + 8x8 IDCT.
+
+    - ``encode_jpeg_gray``: baseline sequential grayscale writer —
+      SOI/DQT/SOF0/DHT(DC+AC, the Annex K luminance tables)/SOS,
+      predictive DC categories, AC run-length (ZRL/EOB) coding, 0xFF
+      byte stuffing. Pixel input is per-8x8-block flat values (the
+      mixed-media synth shape: flat blocks round-trip EXACTLY under a
+      uniform quant of 8, so pixel stats stay first-principles
+      oracle-recomputable); tests inject arbitrary quantized
+      coefficient blocks via ``coeff_blocks`` to exercise the general
+      AC path.
+    - ``decode_jpeg``: full baseline decode — marker walk, DQT/DHT
+      table builds, bit-unstuffing entropy scan with restart-marker
+      handling, DC prediction, AC run-length expansion, dequantize,
+      dezigzag, and a batched float64 IDCT (numpy — the one non-stdlib
+      dependency, already required by the Arrow/pandas worker
+      runtime). Raises on progressive / subsampled streams, so the
+      decode ladder falls back to the honest header-parse rung
+      (geometry real, pixel stats NULL) instead of faking stats.
+
+    Returned as nested functions so cloudpickle ships them by value
+    (NOTES rule 6); module-level aliases below serve driver-side tests.
+    """
+    import struct
+
+    ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    # Annex K.3 typical luminance tables (BITS counts per code length,
+    # then symbol values in code order)
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+    QUANT = 8  # uniform; divides 8*(v-128) exactly -> flat blocks round-trip
+
+    def _canonical_codes(bits, vals):
+        """(symbol -> (code, nbits)) canonical Huffman assignment."""
+        codes, code, k = {}, 0, 0
+        for nbits in range(1, 17):
+            for _ in range(bits[nbits - 1]):
+                codes[vals[k]] = (code, nbits)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
+    AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+
+    def encode_jpeg_gray(width, height, block_values=None, coeff_blocks=None):
+        """Baseline grayscale JPEG. ``block_values``: one flat pixel
+        value per 8x8 block, row-major (width/height multiples of 8).
+        ``coeff_blocks`` (tests): per-block 64 QUANTIZED coefficients
+        in natural order, overriding block_values."""
+        assert width % 8 == 0 and height % 8 == 0
+        if coeff_blocks is None:
+            coeff_blocks = [
+                [(8 * (v - 128)) // QUANT] + [0] * 63 for v in block_values
+            ]
+
+        out = bytearray()
+        acc = [0, 0]  # bit accumulator: value, nbits
+
+        def put(val, nbits):
+            if nbits == 0:
+                return
+            acc[0] = (acc[0] << nbits) | (val & ((1 << nbits) - 1))
+            acc[1] += nbits
+            while acc[1] >= 8:
+                acc[1] -= 8
+                byte = (acc[0] >> acc[1]) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)  # byte stuffing
+            acc[0] &= (1 << acc[1]) - 1
+
+        def put_sym(table, sym):
+            code, nbits = table[sym]
+            put(code, nbits)
+
+        def put_amp(a):
+            """Amplitude bits: magnitude category + one's-complement
+            encoding of negative values (T.81 F.1.2.1)."""
+            s = abs(a).bit_length()
+            return s, (a if a >= 0 else a + (1 << s) - 1)
+
+        pred = 0
+        for blk in coeff_blocks:
+            s, bits_ = put_amp(blk[0] - pred)
+            pred = blk[0]
+            put_sym(DC_ENC, s)
+            put(bits_, s)
+            zz = [blk[ZIGZAG[k]] for k in range(64)]
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put_sym(AC_ENC, 0xF0)  # ZRL: 16 zeros
+                    run -= 16
+                s, bits_ = put_amp(zz[k])
+                put_sym(AC_ENC, (run << 4) | s)
+                put(bits_, s)
+                run = 0
+            if run:
+                put_sym(AC_ENC, 0x00)  # EOB
+        if acc[1] % 8:  # pad to byte boundary with 1-bits (T.81 F.1.2.3)
+            pad = 8 - acc[1] % 8
+            put((1 << pad) - 1, pad)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+        dqt = seg(0xDB, bytes([0x00]) + bytes([QUANT] * 64))
+        sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
+            0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+        )
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+
+    def decode_jpeg(data: bytes):
+        """(width, height, channels, raster): full baseline decode.
+        Supports 8-bit sequential streams with 1x1 sampling on every
+        component (grayscale or 1x1x1 color); raises ValueError on
+        progressive (SOF2) / subsampled streams so callers fall back
+        to the header-parse rung."""
+        import numpy as np
+
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG")
+        quant = {}  # Tq -> natural-order table
+        dec_tables = {}  # (class, id) -> {(nbits, code): symbol}
+        w = h = ncomp = 0
+        comps = []  # (comp_id, quant_id)
+        restart_interval = 0
+        i = 2
+        scan_start = None
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                raise ValueError("marker desync")
+            marker = data[i + 1]
+            if marker == 0xD9:
+                break
+            ln = int.from_bytes(data[i + 2 : i + 4], "big")
+            body = data[i + 4 : i + 2 + ln]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    if pq != 0:
+                        raise ValueError("16-bit quant unsupported")
+                    zz = body[j + 1 : j + 65]
+                    nat = [0] * 64
+                    for k in range(64):
+                        nat[ZIGZAG[k]] = zz[k]
+                    quant[tq] = nat
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    bits = list(body[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17 : j + 17 + nv])
+                    tab, code, k = {}, 0, 0
+                    for nbits in range(1, 17):
+                        for _ in range(bits[nbits - 1]):
+                            tab[(nbits, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    dec_tables[(tc, th)] = tab
+                    j += 17 + nv
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("non-baseline SOF unsupported")
+            elif marker == 0xC0:
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                ncomp = body[5]
+                for c in range(ncomp):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:
+                        raise ValueError("subsampling unsupported")
+                    comps.append((cid, tq))
+            elif marker == 0xDD:
+                restart_interval = int.from_bytes(body[:2], "big")
+            elif marker == 0xDA:
+                ns = body[0]
+                scan_tabs = []  # (dc_table, ac_table, quant_table) per comp
+                for c in range(ns):
+                    cid, tda = body[1 + 2 * c : 3 + 2 * c]
+                    tq = next(q for (i2, q) in comps if i2 == cid)
+                    scan_tabs.append(
+                        (dec_tables[(0, tda >> 4)], dec_tables[(1, tda & 15)], quant[tq])
+                    )
+                scan_start = i + 2 + ln
+                break
+            i += 2 + ln
+        if scan_start is None or not comps:
+            raise ValueError("no scan")
+
+        # --- entropy scan: bit reader with 0xFF00 unstuffing ---------
+        pos, bitbuf, nbits = scan_start, 0, 0
+        pending_restart = [False]
+
+        def fill():
+            nonlocal pos, bitbuf, nbits
+            while nbits <= 24 and pos < len(data):
+                b = data[pos]
+                if b == 0xFF:
+                    if pos + 1 >= len(data):
+                        return
+                    nxt = data[pos + 1]
+                    if nxt == 0x00:
+                        pos += 2
+                    elif 0xD0 <= nxt <= 0xD7:
+                        pending_restart[0] = True
+                        return
+                    else:
+                        return  # EOI or next marker
+                else:
+                    pos += 1
+                bitbuf = (bitbuf << 8) | b
+                nbits += 8
+
+        def read_bits(n):
+            nonlocal bitbuf, nbits
+            if n == 0:
+                return 0
+            fill()
+            if nbits < n:
+                raise ValueError("truncated scan")
+            nbits -= n
+            v = (bitbuf >> nbits) & ((1 << n) - 1)
+            bitbuf &= (1 << nbits) - 1
+            return v
+
+        def read_sym(tab):
+            nonlocal bitbuf, nbits
+            fill()
+            code, length = 0, 0
+            while length < 16:
+                code = (code << 1) | read_bits(1)
+                length += 1
+                if (length, code) in tab:
+                    return tab[(length, code)]
+            raise ValueError("bad huffman code")
+
+        def cross_restart():
+            """Consume the restart marker, realign, reset predictors."""
+            nonlocal pos, bitbuf, nbits
+            bitbuf, nbits = 0, 0
+            pending_restart[0] = False
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7
+            ):
+                pos += 1
+            pos += 2
+
+        def extend(v, s):
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        preds = [0] * len(comps)
+        planes = []
+        coeffs = [np.zeros((bx * by, 64), dtype=np.float64) for _ in comps]
+        for mcu in range(bx * by):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                cross_restart()
+                preds = [0] * len(comps)
+            for ci, (dc_tab, ac_tab, qt) in enumerate(scan_tabs):
+                s = read_sym(dc_tab)
+                diff = extend(read_bits(s), s) if s else 0
+                preds[ci] += diff
+                blk = coeffs[ci][mcu]
+                blk[0] = preds[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    sym = read_sym(ac_tab)
+                    if sym == 0x00:
+                        break  # EOB
+                    run, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC overflow")
+                    blk[ZIGZAG[k]] = extend(read_bits(s), s) * qt[ZIGZAG[k]]
+                    k += 1
+
+        # --- batched IDCT (T.81 A.3.3), level shift, clamp ----------
+        u = np.arange(8)
+        A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+        A[0, :] /= np.sqrt(2)  # c(0) = 1/sqrt(2)
+        for ci in range(len(comps)):
+            F8 = coeffs[ci].reshape(-1, 8, 8)
+            px = np.einsum("ux,nuv,vy->nxy", A, F8, A)
+            px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+            plane = (
+                px.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)[:h, :w]
+            )
+            planes.append(plane)
+        raster = np.stack(planes, axis=-1).reshape(-1)
+        return w, h, len(comps), bytes(raster.tobytes())
+
+    return encode_jpeg_gray, decode_jpeg
+
+
+encode_jpeg_gray, decode_jpeg = _jpeg_tools()
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
