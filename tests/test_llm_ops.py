@@ -249,9 +249,9 @@ def test_multimodal_features_plumbing(spark, sf_dir):
     again = {r.doc_id: r for r in multimodal_features(spark, sf_dir).collect()}
     for r in rows:
         assert again[r.doc_id] == r
-    # the ladder, per the mixed-media layout: full decode for PNG/GIF
-    # (real pixel mean), header parse for JPEG (geometry, NULL mean),
-    # honest all-NULL for non-image bytes — never fake geometry
+    # the ladder, per the mixed-media layout: full decode for PNG/GIF/
+    # baseline-JPEG (real pixel means since round 5), honest all-NULL
+    # for non-image bytes — never fake geometry
     for r in rows:
         m = r.doc_id % 4
         if m == 0:
@@ -261,8 +261,8 @@ def test_multimodal_features_plumbing(spark, sf_dir):
             assert (r.fmt, r.width, r.height, r.channels) == ("gif", 8, 8, 3)
             assert r.mean_byte is not None
         elif m == 2:
-            assert r.fmt == "jpeg" and r.width == 16 + r.doc_id % 240
-            assert r.mean_byte is None
+            assert r.fmt == "jpeg" and r.width == 8 * (2 + r.doc_id % 29)
+            assert r.channels == 1 and r.mean_byte is not None
         else:
             assert r.fmt is None and r.width is None and r.mean_byte is None
 
