@@ -42,7 +42,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_spark.io import load_table
+from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
 
 
@@ -244,7 +244,12 @@ def mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # codec work is compute-heavy per row: widen a single-file scan to
+    # the core count or the whole encode+decode chain serializes
+    # (no-op on production multi-file inputs — io.py:109)
+    docs = parallelize_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(synth, "doc_id long, payload binary")
 
 
@@ -942,7 +947,8 @@ def _jpeg_tools():
                             code += 1
                             k += 1
                         code <<= 1
-                    dec_tables[(tc, th)] = tab
+                    lengths = sorted({ln for (ln, _) in tab})
+                    dec_tables[(tc, th)] = (tab, lengths)
                     j += 17 + nv
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError("non-baseline SOF unsupported")
@@ -972,63 +978,74 @@ def _jpeg_tools():
         if scan_start is None or not comps:
             raise ValueError("no scan")
 
-        # --- entropy scan: bit reader with 0xFF00 unstuffing ---------
-        pos, bitbuf, nbits = scan_start, 0, 0
-        pending_restart = [False]
+        # --- entropy scan ------------------------------------------
+        # Unstuff ONCE up front into per-restart-interval segments
+        # (0xFF00 -> 0xFF; RSTn markers split segments; any other
+        # marker ends the scan), then read by bit POSITION into the
+        # contiguous buffer — no per-byte marker checks in the hot
+        # loop. ~2x over an incremental fill()-based reader.
+        segments = []
+        parts, i2 = [], scan_start
+        while True:
+            j = data.find(b"\xff", i2)
+            if j < 0:
+                parts.append(data[i2:])
+                break
+            nxt = data[j + 1] if j + 1 < len(data) else None
+            if nxt == 0x00:
+                parts.append(data[i2 : j + 1])  # keep FF, drop stuffed 00
+                i2 = j + 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                parts.append(data[i2:j])
+                segments.append(b"".join(parts))
+                parts, i2 = [], j + 2
+            else:
+                parts.append(data[i2:j])  # EOI or next marker: scan ends
+                break
+        segments.append(b"".join(parts))
 
-        def fill():
-            nonlocal pos, bitbuf, nbits
-            while nbits <= 24 and pos < len(data):
-                b = data[pos]
-                if b == 0xFF:
-                    if pos + 1 >= len(data):
-                        return
-                    nxt = data[pos + 1]
-                    if nxt == 0x00:
-                        pos += 2
-                    elif 0xD0 <= nxt <= 0xD7:
-                        pending_restart[0] = True
-                        return
-                    else:
-                        return  # EOI or next marker
-                else:
-                    pos += 1
-                bitbuf = (bitbuf << 8) | b
-                nbits += 8
+        seg_state = [0, segments[0] + b"\xff\xff\xff\xff", 0, len(segments[0]) * 8 + 16]
+        # [segment index, padded buffer, bit position, max readable bits]
+        # (the 0xFF pad emulates F.1.2.3 1-padding; maxbits caps how far
+        # into the pad a final code's amplitude may legitimately reach)
+
+        def next_segment():
+            idx = seg_state[0] + 1
+            if idx >= len(segments):
+                raise ValueError("missing restart segment")
+            seg_state[:] = [idx, segments[idx] + b"\xff\xff\xff\xff", 0, len(segments[idx]) * 8 + 16]
 
         def read_bits(n):
-            nonlocal bitbuf, nbits
             if n == 0:
                 return 0
-            fill()
-            if nbits < n:
+            bitpos = seg_state[2]
+            if bitpos + n > seg_state[3]:
                 raise ValueError("truncated scan")
-            nbits -= n
-            v = (bitbuf >> nbits) & ((1 << n) - 1)
-            bitbuf &= (1 << nbits) - 1
-            return v
+            buf = seg_state[1]
+            byte0 = bitpos >> 3
+            chunk = int.from_bytes(buf[byte0 : byte0 + 4], "big")
+            seg_state[2] = bitpos + n
+            return (chunk >> (32 - (bitpos & 7) - n)) & ((1 << n) - 1)
 
-        def read_sym(tab):
-            nonlocal bitbuf, nbits
-            fill()
-            code, length = 0, 0
-            while length < 16:
-                code = (code << 1) | read_bits(1)
-                length += 1
-                if (length, code) in tab:
-                    return tab[(length, code)]
+        def read_sym(table):
+            """One Huffman symbol: a single 16-bit peek + one dict
+            probe per distinct code length (the scan's hot loop)."""
+            tab, lengths = table
+            bitpos = seg_state[2]
+            if bitpos >= seg_state[3]:
+                raise ValueError("truncated scan")
+            buf = seg_state[1]
+            byte0 = bitpos >> 3
+            peek = (
+                int.from_bytes(buf[byte0 : byte0 + 4], "big")
+                >> (16 - (bitpos & 7))
+            ) & 0xFFFF
+            for ln in lengths:
+                sym = tab.get((ln, peek >> (16 - ln)))
+                if sym is not None:
+                    seg_state[2] = bitpos + ln
+                    return sym
             raise ValueError("bad huffman code")
-
-        def cross_restart():
-            """Consume the restart marker, realign, reset predictors."""
-            nonlocal pos, bitbuf, nbits
-            bitbuf, nbits = 0, 0
-            pending_restart[0] = False
-            while pos + 1 < len(data) and not (
-                data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7
-            ):
-                pos += 1
-            pos += 2
 
         def extend(v, s):
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -1039,7 +1056,7 @@ def _jpeg_tools():
         coeffs = [np.zeros((bx * by, 64), dtype=np.float64) for _ in comps]
         for mcu in range(bx * by):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                cross_restart()
+                next_segment()
                 preds = [0] * len(comps)
             for ci, (dc_tab, ac_tab, qt) in enumerate(scan_tabs):
                 s = read_sym(dc_tab)
@@ -1070,7 +1087,9 @@ def _jpeg_tools():
         A[0, :] /= np.sqrt(2)  # c(0) = 1/sqrt(2)
         for ci in range(len(comps)):
             F8 = coeffs[ci].reshape(-1, 8, 8)
-            px = np.einsum("ux,nuv,vy->nxy", A, F8, A)
+            # f = A^T F A, batched over blocks (BLAS matmul beats the
+            # equivalent einsum contraction ~10x here)
+            px = A.T @ F8 @ A
             px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
             plane = (
                 px.reshape(by, bx, 8, 8)
