@@ -823,11 +823,15 @@ def _jpeg_tools():
     DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
     AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
 
-    def encode_jpeg_gray(width, height, block_values=None, coeff_blocks=None):
+    def encode_jpeg_gray(
+        width, height, block_values=None, coeff_blocks=None, restart_interval=0
+    ):
         """Baseline grayscale JPEG. ``block_values``: one flat pixel
         value per 8x8 block, row-major (width/height multiples of 8).
         ``coeff_blocks`` (tests): per-block 64 QUANTIZED coefficients
-        in natural order, overriding block_values."""
+        in natural order, overriding block_values. ``restart_interval``
+        > 0 emits a DRI segment and RSTn markers every n MCUs (tests
+        the decoder's segment realignment + DC-predictor reset)."""
         assert width % 8 == 0 and height % 8 == 0
         if coeff_blocks is None:
             coeff_blocks = [
@@ -860,8 +864,18 @@ def _jpeg_tools():
             s = abs(a).bit_length()
             return s, (a if a >= 0 else a + (1 << s) - 1)
 
+        def align_pad():
+            if acc[1] % 8:
+                pad = 8 - acc[1] % 8
+                put((1 << pad) - 1, pad)
+
         pred = 0
-        for blk in coeff_blocks:
+        for bi, blk in enumerate(coeff_blocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                align_pad()  # RSTn sits on a byte boundary (T.81 E.1.2)
+                out.append(0xFF)
+                out.append(0xD0 + ((bi // restart_interval - 1) % 8))
+                pred = 0
             s, bits_ = put_amp(blk[0] - pred)
             pred = blk[0]
             put_sym(DC_ENC, s)
@@ -881,9 +895,7 @@ def _jpeg_tools():
                 run = 0
             if run:
                 put_sym(AC_ENC, 0x00)  # EOB
-        if acc[1] % 8:  # pad to byte boundary with 1-bits (T.81 F.1.2.3)
-            pad = 8 - acc[1] % 8
-            put((1 << pad) - 1, pad)
+        align_pad()  # final 1-bit padding (T.81 F.1.2.3)
 
         def seg(marker, body):
             return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
@@ -894,7 +906,8 @@ def _jpeg_tools():
             0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
         )
         sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        return b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+        dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+        return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(out) + b"\xff\xd9"
 
     def decode_jpeg(data: bytes):
         """(width, height, channels, raster): full baseline decode.

@@ -428,3 +428,39 @@ def test_quality_classifier_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\bExchange\b", plan)) <= 2  # agg + AQE read
     assert "Join" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_joins(spark, sf_dir):
+    """Runtime row-level filtering (Spark's bloom-filter join,
+    spark.sql.optimizer.runtime.bloomFilter.*, on by default in this
+    engine's sessions): when a selective build side cannot broadcast,
+    the optimizer builds a bloom_filter_agg over the join key and
+    injects might_contain onto the probe side's scan, cutting shuffle
+    volume before the join. At test scale broadcast always wins, so
+    this locks the capability with broadcast disabled and the
+    application-side size floor lowered — the exact posture a
+    1000-executor fact-fact join at 100 TB relies on."""
+    from map_reduce_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

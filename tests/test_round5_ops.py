@@ -144,3 +144,19 @@ def test_release_caches_idempotent_and_counts(spark):
     assert release_caches() >= 1
     assert release_caches() == 0  # second call: nothing tracked
     assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
+def test_jpeg_restart_markers_round_trip():
+    """DRI + RSTn streams: the decoder must realign to each marker,
+    reset DC prediction per interval, and still reproduce every block
+    (interval 7 deliberately misaligns with the 10-block row)."""
+    vals = [(11 * b + 40) % 256 for b in range(10 * 4)]
+    data = encode_jpeg_gray(80, 32, vals, restart_interval=7)
+    assert b"\xff\xdd" in data  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
+    w, h, c, raster = decode_jpeg(data)
+    assert (w, h, c) == (80, 32, 1)
+    r = np.frombuffer(raster, dtype=np.uint8).reshape(32, 80)
+    for b, v in enumerate(vals):
+        blk = r[(b // 10) * 8 : (b // 10) * 8 + 8, (b % 10) * 8 : (b % 10) * 8 + 8]
+        assert (blk == v).all(), b
