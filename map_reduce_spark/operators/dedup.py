@@ -609,7 +609,10 @@ COSINE_TOPK = 50
 # CTE block ending in `pairs` (the verified near-dup pairs) — shared by
 # the standalone portable-LSH oracle and the end-to-end pipeline oracle
 # (map_reduce_spark.pipelines), so both verify the identical band math.
-PORTABLE_PAIRS_CTES = f"""sh AS (
+# CTE block ending in `bands` (the portable band table) — the prefix
+# shared by the standalone portable-LSH oracle, the pipeline oracle,
+# and the incremental-dedup oracle.
+PORTABLE_BANDS_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLE_SQL}) AS t
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
@@ -623,7 +626,9 @@ bands AS (
   SELECT doc_id, p // 4 AS band,
          md5(string_agg(h, ',' ORDER BY p)) AS bucket
   FROM mins GROUP BY doc_id, p // 4
-),
+)"""
+
+PORTABLE_PAIRS_CTES = f"""{PORTABLE_BANDS_CTES},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
@@ -648,15 +653,11 @@ SELECT doc_a, doc_b, jac FROM pairs
 """
 
 
-@register("dedup_minhash_lsh_portable", oracle=_PORTABLE_LSH_ORACLE)
-def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH with an engine-portable hash family (md5-derived
-    32-bit values), so the ENTIRE pipeline — signatures, band buckets,
-    candidate set, verified pairs — is reproduced exactly by the DuckDB
-    oracle. ``dedup_minhash_lsh`` (xxhash64) is the faster production
-    variant; this one is the correctness witness for the band math.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _portable_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) via the engine-portable md5 hash family —
+    the Spark twin of ``PORTABLE_BANDS_CTES``. Signatures only (32
+    short hex strings per doc); shingle sets are re-derived by callers
+    for candidate docs only."""
     sh = parallelize_if_narrow(docs, "doc_id").select(
         "doc_id", F.explode(_shingles()).alias("t")
     )
@@ -666,8 +667,6 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # base conversion needed (conv() dominated the runtime)
         return F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("t"))), 1, 8)
 
-    # signatures only (32 short hex strings per doc) — shingle sets are
-    # re-derived below for candidate docs only, same as dedup_minhash_lsh
     mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(NUM_PERM)]
     per_doc = sh.groupBy("doc_id").agg(*mins)
 
@@ -683,25 +682,15 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(BANDS)
     ]
-    bands = per_doc.select(
+    return per_doc.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
-    # same two-stage shape as dedup_minhash_lsh: cache the tiny
-    # candidate set (stage barrier), re-shingle candidates only
-    cand = stage_cache(cand)
+def _verify_jaccard(docs: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verify over candidate pairs only: re-shingle just
+    the docs that appear in ``cand`` (columns doc_a, doc_b + any
+    carried columns), keep pairs with jac >= tau as ``jac``."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -719,8 +708,129 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(av, "doc_a")
         .join(bv, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        .filter(jac >= tau)
+        .withColumn("jac", F.round(jac, 6))
+        .drop("sa", "sb")
+    )
+
+
+@register("dedup_minhash_lsh_portable", oracle=_PORTABLE_LSH_ORACLE)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with an engine-portable hash family (md5-derived
+    32-bit values), so the ENTIRE pipeline — signatures, band buckets,
+    candidate set, verified pairs — is reproduced exactly by the DuckDB
+    oracle. ``dedup_minhash_lsh`` (xxhash64) is the faster production
+    variant; this one is the correctness witness for the band math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _portable_bands(docs)
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # same two-stage shape as dedup_minhash_lsh: cache the tiny
+    # candidate set (stage barrier), re-shingle candidates only
+    cand = stage_cache(cand)
+    return _verify_jaccard(docs, cand, 0.5).select("doc_a", "doc_b", "jac")
+
+
+# --- incremental dedup: new batch vs stored corpus index --------------
+
+# The daily-batch production shape at 100 TB: yesterday's corpus is
+# already deduped and its BAND TABLE is stored (a few hundred bytes per
+# doc — signatures, never text); today's batch dedups (a) within itself
+# and (b) against the index by two (band, bucket) equi-joins, and only
+# COLLIDING docs are ever re-read for the exact-Jaccard verify. The
+# full corpus text is never rescanned.
+_INCREMENTAL_MOD = 10  # doc_id % 10 == 0 plays today's batch (~10%)
+
+_INCREMENTAL_ORACLE = f"""
+WITH {PORTABLE_BANDS_CTES},
+newb AS (SELECT * FROM bands WHERE doc_id % {_INCREMENTAL_MOD} = 0),
+oldb AS (SELECT * FROM bands WHERE doc_id % {_INCREMENTAL_MOD} <> 0),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, 'batch' AS scope
+  FROM newb x JOIN newb y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  UNION
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, 'index' AS scope
+  FROM newb x JOIN oldb y ON x.band = y.band AND x.bucket = y.bucket
+),
+sets AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_a AS doc_id, doc_b AS dup_of, scope,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+@register("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: flag each NEW-batch doc that
+    near-dups (Jaccard >= 0.5) another new doc (``scope='batch'``) or
+    an already-indexed corpus doc (``scope='index'``).
+
+    The test-scale stand-in derives both band tables from one
+    ``documents`` scan and splits by doc_id mod 10; in production
+    the old side is the STORED index (signatures only — the scan
+    below stands in for a metadata-sized parquet read), so the
+    incremental cost is O(batch + collisions): two (band, bucket)
+    equi-joins generate candidates, and only colliding doc_ids are
+    re-read for the exact verify. No full-corpus rescan, nothing
+    quadratic — the same two-stage barrier as the minhash family.
+    Portable md5 hash family start-to-finish, so bands, candidates,
+    scopes, and verdicts are all reproduced by the DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = stage_cache(_portable_bands(docs))  # one signature pass, two consumers
+    is_new = F.col("doc_id") % _INCREMENTAL_MOD == 0
+    newb, oldb = bands.filter(is_new), bands.filter(~is_new)
+
+    batch_pairs = (
+        newb.alias("x")
+        .join(
+            newb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit("batch").alias("scope"),
+        )
+        .distinct()
+    )
+    index_pairs = (
+        newb.alias("x")
+        .join(oldb.alias("y"), ["band", "bucket"])
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit("index").alias("scope"),
+        )
+        .distinct()
+    )
+    cand = stage_cache(batch_pairs.union(index_pairs))
+    return _verify_jaccard(docs, cand, 0.5).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("dup_of"),
+        "scope",
+        "jac",
     )
 
 

@@ -155,7 +155,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_range",
     "window_rank",
     "window_range_frame",
-    "monthly_revenue",
+    # registered in r5 (incremental batch-vs-index dedup): takes the
+    # monthly_revenue filler slot so the catalog closes INCLUDING the
+    # round's own addition (monthly_revenue keeps its r1 green row)
+    "dedup_incremental",
     "topk_orders",
 )
 

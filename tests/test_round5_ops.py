@@ -160,3 +160,21 @@ def test_jpeg_restart_markers_round_trip():
     for b, v in enumerate(vals):
         blk = r[(b // 10) * 8 : (b // 10) * 8 + 8, (b % 10) * 8 : (b % 10) * 8 + 8]
         assert (blk == v).all(), b
+
+
+def test_dedup_incremental_scopes_and_direction(spark, sf_dir):
+    """Every flagged pair has a NEW-batch doc on the left; scope says
+    whether the duplicate partner is in the batch or the stored index;
+    batch pairs are oriented a < b so nothing reports twice."""
+    from map_reduce_spark.operators.dedup import _INCREMENTAL_MOD, dedup_incremental
+
+    rows = dedup_incremental(spark, sf_dir).collect()
+    assert rows, "fixture corpus contains planted near-dups"
+    for r in rows:
+        assert r.doc_id % _INCREMENTAL_MOD == 0
+        assert r.jac >= 0.5
+        if r.scope == "index":
+            assert r.dup_of % _INCREMENTAL_MOD != 0
+        else:
+            assert r.scope == "batch"
+            assert r.dup_of % _INCREMENTAL_MOD == 0 and r.doc_id < r.dup_of
