@@ -77,6 +77,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "gap_fill_hourly",
     "interpolate_hourly",
+    # round 5 additions: incremental batch-vs-index dedup, and the
+    # mixed-media decode ladder now that it does real PNG/GIF/JPEG
+    # raster decode (codec throughput belongs in the headline)
+    "dedup_incremental",
+    "multimodal_features",
 ]
 
 
