@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: the flagship pipeline + one representative per operator
@@ -90,7 +92,12 @@ def _calibrate(spark) -> float:
     agg, no testdata, no repo operators) whose cost can only move with
     the machine. Round-over-round, BENCH_rN.calib_sec / BENCH_rM
     .calib_sec measures host drift directly, so query deltas can be
-    normalized instead of asserted away (round-3 verdict item 3)."""
+    normalized instead of asserted away (round-3 verdict item 3).
+
+    This probe is map-only (32 partial aggs, one tiny final reduce):
+    it reads raw per-core CPU speed but is nearly blind to shuffle-
+    machinery pressure and to co-tenant core stealing that shows up
+    only when all 32 cores contend — see ``_calibrate_shuffle``."""
     import time as _t
 
     best = float("inf")
@@ -104,14 +111,71 @@ def _calibrate(spark) -> float:
     return round(best, 3)
 
 
+def _calibrate_shuffle(spark) -> float:
+    """Parallel CONTENTION probe (round-5 verdict item 1): a FROZEN
+    32->32 shuffle + wide hash-agg plan that exercises exactly what the
+    headline queries exercise — all 32 cores at once, exchange
+    serialization, shuffle spill files, and the final-agg fan-in.
+
+    The map-only ``calib_sec`` probe rated the r5 driver VM *faster*
+    than r4's while 40 untouched queries ran 10-30% slower: a co-tenant
+    stealing cores barely moves a 0.2 s map-only burst but stretches
+    every multi-stage query. This probe moves WITH that contention, so
+    BENCH_rN.calib_shuffle_sec / BENCH_rM.calib_shuffle_sec normalizes
+    query deltas for the contention component, not just CPU drift."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        # 50M rows hashed onto 4096 keys, full exchange, 32-way final
+        # agg: partial agg -> shuffle write -> shuffle read -> final agg
+        # is the canonical headline-query stage shape.
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "pmod(xxhash64(id), 4096) AS k", "id"
+        ).groupBy("k").agg(
+            F.expr("bit_xor(xxhash64(id)) AS h")
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _host_load() -> list[float]:
+    """1/5/15-minute load averages — a direct co-tenant/contention
+    reading taken outside Spark entirely. On the 32-core bench host a
+    1-minute load already >5 before the first query is the smoking gun
+    the r5 artifact lacked."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
+
+
+def _proc_stat() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat. The bench host is a
+    shared VM (cumulative steal is nonzero); hypervisor steal accrues
+    exactly when this guest wants cycles it doesn't get, so the steal
+    fraction OVER THE BENCH WINDOW is the definitive co-tenant
+    contention reading — it cannot be confounded by our own load the
+    way load averages can."""
+    try:
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return v[7], sum(v)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     from map_reduce_spark.registry import queries
     from map_reduce_spark.session import get_spark, release_caches
 
+    load_start = _host_load()  # contention reading BEFORE Spark ramps up
+    stat_start = _proc_stat()
     spark = get_spark("bench")
     qs = queries()
 
     calib = _calibrate(spark)  # also serves as JVM/codegen first warm-up
+    calib_shuffle = _calibrate_shuffle(spark)
 
     # pass 1 (cold): JVM JIT + codegen warm-up — recorded separately;
     # pass 2 (warm): steady-state throughput, the headline number.
@@ -121,12 +185,12 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         # each call stage_cache()s its own frames; release them outside
-        # the timer so cached frames never accumulate across 4 passes x
-        # 35 queries (GC pressure from that buildup hit the first query
-        # of each pass hardest — the round-3 mr_pipeline outlier). The
-        # tracked release replaces the blanket clearCache() (r4 ADVICE:
-        # library callers get the same hook instead of having to nuke
-        # the whole catalog cache).
+        # the timer so cached frames never accumulate across the 1 cold
+        # + 3 measured passes over the headline set (GC pressure from
+        # that buildup hit the first query of each pass hardest — the
+        # round-3 mr_pipeline outlier). The tracked release replaces the
+        # blanket clearCache() (r4 ADVICE: library callers get the same
+        # hook instead of having to nuke the whole catalog cache).
         release_caches()
 
     # three measured passes, min per query — damps scheduler/GC jitter
@@ -140,6 +204,13 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             release_caches()
+
+    stat_end = _proc_stat()
+    steal_pct = None
+    if stat_start and stat_end and stat_end[1] > stat_start[1]:
+        steal_pct = round(
+            100.0 * (stat_end[0] - stat_start[0]) / (stat_end[1] - stat_start[1]), 3
+        )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -155,6 +226,11 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "calib_sec": calib,
+                "calib_shuffle_sec": calib_shuffle,
+                "load_avg_start": load_start,
+                "load_avg_end": _host_load(),
+                "steal_pct": steal_pct,
+                "host_cpus": os.cpu_count(),
                 "sf": sf_val,
             }
         )

@@ -798,12 +798,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bands = stage_cache(_portable_bands(docs))  # one signature pass, two consumers
     is_new = F.col("doc_id") % _INCREMENTAL_MOD == 0
-    newb, oldb = bands.filter(is_new), bands.filter(~is_new)
+    return incremental_dedup_frames(bands.filter(is_new), bands.filter(~is_new), docs)
 
+
+def incremental_dedup_frames(
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    text_store: DataFrame,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Library form of ``dedup_incremental``: fold a new batch's band
+    table into a STORED signature index.
+
+    ``new_bands`` is today's batch's (doc_id, band, bucket) table
+    (``_portable_bands`` over the batch docs), ``index_bands`` the
+    stored corpus index — typically a parquet read of signatures
+    persisted by a previous run (tests/test_incremental.py drives that
+    write-then-fold path end-to-end). ``text_store`` is the corpus text
+    store, touched ONLY via a broadcast-semi-join on colliding doc_ids
+    inside the exact-Jaccard verify — so the incremental cost stays
+    O(batch + collisions) however large the stored index grows.
+    """
     batch_pairs = (
-        newb.alias("x")
+        new_bands.alias("x")
         .join(
-            newb.alias("y"),
+            new_bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
@@ -816,8 +835,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     index_pairs = (
-        newb.alias("x")
-        .join(oldb.alias("y"), ["band", "bucket"])
+        new_bands.alias("x")
+        .join(index_bands.alias("y"), ["band", "bucket"])
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
@@ -826,7 +845,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = stage_cache(batch_pairs.union(index_pairs))
-    return _verify_jaccard(docs, cand, 0.5).select(
+    return _verify_jaccard(text_store, cand, tau).select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("dup_of"),
         "scope",

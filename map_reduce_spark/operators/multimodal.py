@@ -1017,16 +1017,22 @@ def _jpeg_tools():
                 break
         segments.append(b"".join(parts))
 
-        seg_state = [0, segments[0] + b"\xff\xff\xff\xff", 0, len(segments[0]) * 8 + 16]
+        _PAD = b"\xff" * 6
         # [segment index, padded buffer, bit position, max readable bits]
         # (the 0xFF pad emulates F.1.2.3 1-padding; maxbits caps how far
-        # into the pad a final code's amplitude may legitimately reach)
+        # into the pad a final code's amplitude may legitimately reach.
+        # 6 pad bytes, not 4: a read may START as deep as bit len*8+15,
+        # i.e. byte len+1, and int.from_bytes below slices 4 bytes from
+        # there — with only 4 pad bytes that slice silently shortens and
+        # misaligns the peek, turning a truncated stream into a garbage
+        # Huffman probe instead of the intended 'truncated scan' error)
+        seg_state = [0, segments[0] + _PAD, 0, len(segments[0]) * 8 + 16]
 
         def next_segment():
             idx = seg_state[0] + 1
             if idx >= len(segments):
                 raise ValueError("missing restart segment")
-            seg_state[:] = [idx, segments[idx] + b"\xff\xff\xff\xff", 0, len(segments[idx]) * 8 + 16]
+            seg_state[:] = [idx, segments[idx] + _PAD, 0, len(segments[idx]) * 8 + 16]
 
         def read_bits(n):
             if n == 0:

@@ -1402,3 +1402,293 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_x", 6).alias("cos"),
         )
     )
+
+
+# --- incremental ANN index maintenance (upsert a batch into IVF/PQ) ---
+
+# The daily-batch production shape, mirroring dedup_incremental
+# (dedup.py): yesterday's ANN index is built and its METADATA is stored
+# (per-cell centroid sums + counts, ~k rows; PQ codebooks, M*K rows) —
+# never the corpus vectors. Today's batch folds in WITHOUT touching
+# indexed vectors: assign each new vector to its nearest STORED
+# centroid, PQ-re-encode ONLY the batch with the STORED codebooks, and
+# flag cells whose centroid the batch dragged past a drift threshold
+# (those get queued for the periodic retrain — the faiss operational
+# pattern). Cost is O(batch): the index side contributes only its
+# broadcast-sized metadata.
+_UPSERT_MOD = 10  # vec_id % 10 == 0 plays today's batch (~10%)
+_RETRAIN_GROWTH_PCT = 15  # flag a cell the batch grew by more than 15%
+
+_ANN_UPSERT_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+bterms AS (SELECT * FROM terms WHERE vec_id % {_UPSERT_MOD} = 0),
+iterms AS (SELECT * FROM terms WHERE vec_id % {_UPSERT_MOD} <> 0),
+cent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM iterms GROUP BY 1, 2
+),
+d AS (
+  SELECT t.vec_id, c.clabel, c.n,
+         SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS num2
+  FROM bterms t JOIN cent c ON t.i = c.i
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, clabel AS cell, n AS n_index,
+         round(CAST(num2 AS DOUBLE) / (n * n) / 100000000, 6) AS dist2
+  FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY CAST(num2 AS DOUBLE) / (n * n), clabel) = 1
+),
+cb AS (
+  SELECT vec_id AS cid, (i - 1) // {PQ_SUBDIM} AS m, i, qi AS ci
+  FROM iterms WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+pqd AS (
+  SELECT t.vec_id, cb.m, cb.cid,
+         SUM((t.qi - cb.ci) * (t.qi - cb.ci)) AS d2
+  FROM bterms t JOIN cb ON (t.i - 1) // {PQ_SUBDIM} = cb.m AND t.i = cb.i
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, m, cid, d2 FROM pqd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+codes AS (
+  SELECT vec_id,
+         CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INT) AS code0,
+         CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INT) AS code1,
+         CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INT) AS code2,
+         CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INT) AS code3,
+         CAST(SUM(d2) AS BIGINT) AS recon_err
+  FROM best GROUP BY vec_id
+),
+bs AS (
+  SELECT a.cell, t.i, SUM(t.qi) AS bsum
+  FROM assign a JOIN bterms t ON a.vec_id = t.vec_id
+  GROUP BY 1, 2
+),
+bn AS (SELECT cell, COUNT(*) AS n_batch FROM assign GROUP BY 1),
+drift AS (
+  SELECT b.cell, c.n AS n_index, bn.n_batch,
+         SUM(CAST(c.n * b.bsum - bn.n_batch * c.s AS HUGEINT)
+             * CAST(c.n * b.bsum - bn.n_batch * c.s AS HUGEINT)) AS dnum
+  FROM bs b
+  JOIN bn ON b.cell = bn.cell
+  JOIN cent c ON b.cell = c.clabel AND b.i = c.i
+  GROUP BY 1, 2, 3
+),
+cellstats AS (
+  SELECT cell, n_index, n_batch,
+         round(n_batch * 100.0 / n_index, 2) AS growth_pct,
+         round(CAST(dnum AS DOUBLE)
+               / (CAST(n_index * (n_index + n_batch) AS DOUBLE)
+                  * CAST(n_index * (n_index + n_batch) AS DOUBLE))
+               / 100000000, 6) AS drift2,
+         CAST(n_batch * 100 > n_index * {_RETRAIN_GROWTH_PCT} AS INT)
+           AS needs_retrain
+  FROM drift
+)
+SELECT a.vec_id, a.cell, a.dist2,
+       k.code0, k.code1, k.code2, k.code3, k.recon_err,
+       s.n_index, s.n_batch, s.growth_pct, s.drift2, s.needs_retrain
+FROM assign a JOIN codes k ON a.vec_id = k.vec_id
+JOIN cellstats s ON a.cell = s.cell
+"""
+
+
+@register("ann_index_upsert", oracle=_ANN_UPSERT_ORACLE)
+def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold a NEW batch of vectors into the stored IVF/PQ index — the
+    daily maintenance operator of a production ANN tier, shaped like
+    ``dedup_incremental`` folds into the stored signature index.
+
+    Per batch vector: (a) assign to the nearest STORED centroid by the
+    exact rational L2 argmin (``ivf_assign`` math — numerator an exact
+    integer sum, so the argmin is deterministic in both engines);
+    (b) PQ-re-encode with the STORED codebooks (the first ``PQ_K``
+    index-side vectors' subvectors; ``PQ_K`` < ``_UPSERT_MOD`` keeps
+    vec_ids 1..PQ_K all index-side), yielding codes + exact integer
+    reconstruction error. Per receiving cell: batch growth, and the
+    squared centroid drift the batch causes —
+    ``|new_mean - old_mean|^2 = sum_i (n*bs_i - bn*s_i)^2 / (n(n+bn))^2``
+    with the numerator summed in decimal(38,0)/HUGEINT so both engines
+    convert the same exact integer to double; cells the batch grows
+    past ``_RETRAIN_GROWTH_PCT``% are flagged for the periodic retrain.
+
+    The test-scale stand-in derives the index side's metadata from one
+    ``embeddings`` scan split by vec_id mod 10; in production the cent/
+    codebook frames are METADATA-SIZED parquet reads (k and M*K rows —
+    broadcast), and indexed vectors are never rescanned: the whole
+    upsert is O(batch). tests/test_incremental.py proves that
+    signatures-only read path end-to-end by writing the index metadata
+    to parquet in round N and folding a batch in round N+1.
+
+    Scale shape: batch explode is narrow; both joins broadcast the
+    metadata side; per-vector rollups partition by vec_id, per-cell
+    drift by cell. No corpus-wide shuffle, nothing proportional to the
+    index size.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = _iv4(e)
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    # In production these two frames come from the stored index's
+    # metadata parquet (see ann_upsert_frames); the mod-split derivation
+    # below is the single-scan test-scale stand-in.
+    cent = _ivf_cell_stats(iv.filter(~is_batch))
+    cb = _pq_codebook(iv.filter(~is_batch))
+    return ann_upsert_frames(iv.filter(is_batch), cent, cb)
+
+
+def _ivf_cell_stats(iv: DataFrame) -> DataFrame:
+    """STORED-index cell metadata: per (clabel, i) component sum ``s``
+    and member count ``n`` — the frame a production index persists
+    (k x dim rows) and ``ann_upsert_frames`` broadcasts."""
+    terms = iv.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("label", (F.col("i0") + 1).alias("i"), "qi")
+    return terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+
+
+def _pq_codebook(iv: DataFrame) -> DataFrame:
+    """STORED PQ codebooks: subvectors of the first ``PQ_K`` index-side
+    vectors (vec_ids 1..PQ_K — deterministic, all index-side because
+    PQ_K < _UPSERT_MOD), as (cid, m, i, ci) rows. M*K*dim rows — the
+    other metadata frame a production index persists."""
+    return (
+        iv.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K))
+        .select(F.col("vec_id").alias("cid"), F.posexplode("q").alias("i0", "ci"))
+        .select(
+            "cid",
+            F.expr(f"i0 div {PQ_SUBDIM}").alias("m"),
+            (F.col("i0") + 1).alias("i"),
+            "ci",
+        )
+    )
+
+
+def ann_upsert_frames(
+    batch_iv: DataFrame, cent: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """Library form of ``ann_index_upsert``: fold ``batch_iv`` (vec_id,
+    label, q — 1e4-scaled integer components) into a stored index given
+    its metadata frames ``cent`` (from ``_ivf_cell_stats``, possibly a
+    parquet read) and ``cb`` (from ``_pq_codebook``). Only the batch is
+    scanned at corpus grain; both metadata frames broadcast."""
+    from pyspark.sql import Window
+
+    bterms = stage_cache(
+        batch_iv.select("vec_id", F.posexplode("q").alias("i0", "qi")).select(
+            "vec_id", (F.col("i0") + 1).alias("i"), "qi"
+        )
+    )
+    # (a) nearest stored centroid, exact rational argmin
+    t, c = bterms.alias("t"), F.broadcast(cent).alias("c")
+    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            "vec_id",
+            "clabel",
+            "n",
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assign = stage_cache(
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "vec_id",
+            F.col("clabel").alias("cell"),
+            F.col("n").alias("n_index"),
+            F.round(F.col("d2") / 1e8, 6).alias("dist2"),
+        )
+    )
+    # (b) PQ re-encode of the batch with the stored codebooks
+    cbm = F.broadcast(cb).alias("cb")
+    diff = F.col("t.qi") - F.col("cb.ci")
+    pqd = (
+        bterms.alias("t")
+        .join(cbm, F.col("t.i") == F.col("cb.i"))
+        .groupBy("t.vec_id", "cb.m", "cb.cid")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    wpq = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("cid"))).cast("int").alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    codes = (
+        pqd.withColumn("rn", F.row_number().over(wpq))
+        .filter("rn = 1")
+        .groupBy("vec_id")
+        .agg(*code_cols, F.sum("d2").cast("long").alias("recon_err"))
+    )
+    # (c) per-cell growth + exact centroid drift
+    bs = (
+        assign.select("vec_id", "cell")
+        .join(bterms, "vec_id")
+        .groupBy("cell", "i")
+        .agg(F.sum("qi").alias("bsum"))
+    )
+    bn = assign.groupBy("cell").agg(F.count("*").alias("n_batch"))
+    dn = (
+        F.col("n") * F.col("bsum") - F.col("n_batch") * F.col("s")
+    ).cast("decimal(18,0)")
+    denom = (F.col("n_index") * (F.col("n_index") + F.col("n_batch"))).cast("double")
+    cellstats = (
+        bs.join(bn, "cell")
+        .join(cent, (F.col("cell") == F.col("clabel")) & (bs["i"] == cent["i"]))
+        .groupBy("cell", F.col("n").alias("n_index"), "n_batch")
+        .agg(F.sum(dn * dn).alias("dnum"))
+        .select(
+            "cell",
+            "n_index",
+            "n_batch",
+            F.round(F.col("n_batch") * F.lit(100.0) / F.col("n_index"), 2).alias(
+                "growth_pct"
+            ),
+            F.round(
+                F.col("dnum").cast("double") / (denom * denom) / 1e8, 6
+            ).alias("drift2"),
+            (F.col("n_batch") * 100 > F.col("n_index") * _RETRAIN_GROWTH_PCT)
+            .cast("int")
+            .alias("needs_retrain"),
+        )
+    )
+    return (
+        assign.select("vec_id", "cell", "dist2")
+        .join(codes, "vec_id")
+        .join(F.broadcast(cellstats), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "dist2",
+            "code0",
+            "code1",
+            "code2",
+            "code3",
+            "recon_err",
+            "n_index",
+            "n_batch",
+            "growth_pct",
+            "drift2",
+            "needs_retrain",
+        )
+    )

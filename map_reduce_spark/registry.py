@@ -71,95 +71,91 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# After rounds 1-4, 184 of 203 registered queries hold driver rows and
-# 184/184 pass their latest check; 19 have never been checked.
-# The round-5 window (per the round-4 verdict, item 1) closes the
-# catalog — after this round every registered query holds at least one
-# driver row:
+# The catalog closed in round 5 (every registered query holds at least
+# one driver row; 48/50 of the r5 window fully green, the 2 non-green
+# being the by-design rows-only sketch estimators). The round-6 window
+# (per the round-5 verdict, item 2) rotates onto STALENESS: every query
+# whose implementing file changed after its latest driver row gets a
+# fresh row this round.
 #   - two anchors (the reference flagship + exact dedup) that stay
 #     continuously verified,
-#   - all 19 never-driver-checked queries (17 oracled + the 2
-#     rows-only sketch estimators, accuracy-bounded in
-#     tests/test_sketches.py), led by interpolate_hourly /
-#     gap_fill_hourly (interpolate was rewritten in r4, so its row is
-#     the most urgent) and the r4 corpus-curation family,
-#   - 4 stale-row re-entries whose code or oracle changed after their
-#     last driver row: multimodal_features (oracle re-derived in r4;
-#     last row is r2 rows-only) and the r4 persist-barrier inheritors
-#     sort_by_key / sort_multi_col / window_ntile,
-#   - 25 fillers re-certifying the OLDEST green rows (all r1-era):
-#     the reference's own §2.1 surface (scan_dir .. sink_text) plus
-#     the heaviest r1 relational/window queries (TPC-H Q1/Q5, rollup/
-#     cube/grouping-sets, the join family, rank/range-frame windows).
-#     (The r4 verdict dated tpch Q2/Q7-Q22 as r2-era; CORRECTNESS_r03
-#     shows they are r3-era, so the r1 block is the oldest and goes
-#     first.)
-# Everything else holds a green row from r2-r4 and follows in
-# registration order.
+#   - the round-6 addition ann_index_upsert (verdict item 4),
+#   - every r5-verdict-named query whose r5 code change postdates its
+#     row: the similarity salting family, triangle_count, the BPE pair,
+#     the multimodal codecs, the Python DataSource trio, the composed
+#     training pipeline, corpus_shuffle, recursive_cte,
+#   - the whole multimodal.py surface (decode_jpeg's bit-reader pad
+#     was widened in r6) and the whole similarity.py surface
+#     (ann_index_upsert landed there in r6) — file-granularity
+#     staleness, so no registered query's latest row predates its
+#     file's last change,
+#   - the tpch.py hint-removal inheritors q3/q10/q18 (q3 also the only
+#     r2-era TPC-H row),
+#   - fillers re-certifying the oldest remaining rows: 17 of the 19
+#     r1-era queries (window_moving_sum and window_row_number_topk
+#     keep their r1 rows this round — both are 10x-parity-covered and
+#     the latter is bench-headline).
+# Deliberately NOT in the window: ann_lsh_topk (rows-only by design;
+# its fully-oracled portable twin IS in the window). Everything else
+# holds a green row from r2-r5 and follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # never-checked: batch resampling (interpolate rewritten in r4)
-    "interpolate_hourly",
-    "gap_fill_hourly",
-    # never-checked: r4 corpus-curation family
-    "dsir_weights",
-    "contamination_minhash",
-    "select_pretraining_data",
-    "weighted_reservoir_sample",
-    "embedding_quantize",
-    # never-checked: UDF/arrow surface
-    "udtf_table_polymorphic",
-    "arrow_map_stats",
-    # never-checked: corpus/functions extras
-    "bpe_pair_counts",
-    "higher_order_funcs",
-    "set_intersect_all",
-    "set_except_all",
-    "bitwise_agg",
-    "listagg_funcs",
-    "agg_bitmap_distinct",
-    "window_analytics",
-    # never-checked: rows-only sketch estimators (no SQL-expressible
-    # oracle; accuracy bounds live in tests/test_sketches.py)
-    "agg_hll_sketch_union",
-    "agg_theta_sketch_setops",
-    # stale-row re-entries (code/oracle changed after last driver row)
+    # round-6 addition: incremental ANN index maintenance
+    "ann_index_upsert",
+    # r5-changed code whose rows predate the change (r5 verdict item 2)
+    "dedup_semantic",
+    "knn_graph",
+    "dedup_embedding_cosine",
+    "triangle_count",
+    "bpe_train_merges",
+    "bpe_encode",
+    "prepare_training_data",
+    "corpus_shuffle",
+    "recursive_cte",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "python_datasource_write",
+    # multimodal.py surface (r5 JPEG codec + r6 bit-reader pad widening)
+    "multimodal_pipeline",
+    "multimodal_gif_pipeline",
     "multimodal_features",
-    "sort_by_key",
-    "sort_multi_col",
-    "window_ntile",
-    # fillers: re-certify the oldest (r1-era) rows — §2.1 first
-    "scan_dir",
-    "scan_file",
-    "tokenize",
-    "filter_empty",
-    "upper_map",
-    "hash_partition",
-    "group_by_key",
-    "count_reduce",
-    "sink_text",
-    # fillers: heaviest r1-era relational/window queries
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_corr",
-    "join_broadcast_star",
-    "join_fact_fact",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_range",
-    "window_rank",
-    "window_range_frame",
-    # registered in r5 (incremental batch-vs-index dedup): takes the
-    # monthly_revenue filler slot so the catalog closes INCLUDING the
-    # round's own addition (monthly_revenue keeps its r1 green row)
-    "dedup_incremental",
-    "topk_orders",
+    "multimodal_parse",
+    "audio_metadata",
+    "binary_metadata",
+    # tpch.py hint-removal inheritors (q3 is also the oldest TPC-H row)
+    "q3_top_revenue_orders",
+    "q10_returned_items",
+    "q18_large_orders",
+    # rest of the similarity.py surface (file changed in r6)
+    "embedding_topk",
+    "ann_lsh_topk_portable",
+    "ivf_assign",
+    "embedding_centroids",
+    "ivf_topk",
+    "pq_encode",
+    "pq_adc_topk",
+    "kmeans_lloyd",
+    "hard_negatives",
+    # fillers: oldest (r1-era) rows
+    "agg_basic",
+    "agg_filtered",
+    "array_funcs",
+    "conditional_funcs",
+    "date_funcs",
+    "distinct_op",
+    "json_funcs",
+    "math_funcs",
+    "monthly_revenue",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sql_api_q6",
+    "string_funcs",
+    "union_by_name",
+    "window_cumulative",
+    "window_lag_lead",
 )
 
 

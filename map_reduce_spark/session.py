@@ -17,9 +17,13 @@ chosen to also hold on a 1000-executor cluster at ~100 TB:
 
 from __future__ import annotations
 
+import logging
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -44,14 +48,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # tests/test_oracle_parity.py asserts the convention catalog-wide: after
 # each query materializes and releases, the JVM reports zero persisted
 # RDDs.
+#
+# The tracked list is THREAD-LOCAL (r5 ADVICE): two concurrent operator
+# invocations sharing one SparkSession each track into their own list,
+# so one caller's release_caches() can never unpersist another caller's
+# still-live stage barrier (which, for barriers guarding
+# nondeterministic subtrees — NOTES rule 24 — could make a post-release
+# recompute silently diverge). The invariant this relies on: an
+# operator's stage_cache/stage_checkpoint calls and the caller's
+# release_caches() happen on the same thread, which holds for every
+# caller in the repo (bench, tests, parity scripts) and is the natural
+# library contract (materialize, then release, in the calling thread).
 
-_TRACKED_CACHES: list[object] = []  # DataFrames (caches) or java RDDs (checkpoints)
+
+class _CacheTracker(threading.local):
+    def __init__(self) -> None:
+        # (handle, SparkContext): the context rides along so release can
+        # distinguish "session stopped" (nothing to do) from a genuine
+        # unpersist failure (logged, counted).
+        self.items: list[tuple[object, object]] = []
+
+
+_TRACKED = _CacheTracker()
 
 
 def stage_cache(df: DataFrame) -> DataFrame:
     """Persist a multi-consumer subtree and track it for ``release_caches``."""
     df.persist()
-    _TRACKED_CACHES.append(df)
+    _TRACKED.items.append((df, df.sparkSession.sparkContext))
     return df
 
 
@@ -69,26 +93,45 @@ def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     only after the operator's result is fully materialized, per the
     module convention."""
     out = df.localCheckpoint(eager=eager)
-    _TRACKED_CACHES.append(out._jdf.queryExecution().logical().rdd())
+    _TRACKED.items.append(
+        (out._jdf.queryExecution().logical().rdd(), out.sparkSession.sparkContext)
+    )
     return out
 
 
 def release_caches() -> int:
-    """Unpersist every frame tracked by ``stage_cache``/``stage_checkpoint``;
-    returns the count. Call after materializing operator results (see
-    module comment). Blocking so callers can assert the JVM cache map is
-    empty immediately after."""
+    """Unpersist every frame tracked by ``stage_cache``/``stage_checkpoint``
+    ON THIS THREAD; returns the count. Call after materializing operator
+    results (see module comment). Blocking so callers can assert the JVM
+    cache map is empty immediately after.
+
+    A stopped session is skipped silently (its JVM cache died with it);
+    any OTHER unpersist failure is logged and counted rather than
+    swallowed (r5 ADVICE), so a py4j/plan-shape regression surfaces in
+    logs instead of masquerading as a clean release."""
     n = 0
-    while _TRACKED_CACHES:
-        tracked = _TRACKED_CACHES.pop()
+    failures = 0
+    items = _TRACKED.items
+    while items:
+        handle, sc = items.pop()
+        if getattr(sc, "_jsc", None) is None:
+            n += 1  # session stopped — nothing left to release
+            continue
         try:
-            if isinstance(tracked, DataFrame):
-                tracked.unpersist(blocking=True)
+            if isinstance(handle, DataFrame):
+                handle.unpersist(blocking=True)
             else:  # java RDD handle from stage_checkpoint
-                tracked.unpersist(True)
-        except Exception:
-            pass  # session already stopped — nothing to release
+                handle.unpersist(True)
+        except Exception as exc:
+            failures += 1
+            _log.warning(
+                "release_caches: unpersist failed for %s: %s",
+                type(handle).__name__,
+                exc,
+            )
         n += 1
+    if failures:
+        _log.warning("release_caches: %d of %d tracked releases failed", failures, n)
     return n
 
 
