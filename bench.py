@@ -84,6 +84,9 @@ HEADLINE = [
     # raster decode (codec throughput belongs in the headline)
     "dedup_incremental",
     "multimodal_features",
+    # round 6 addition: incremental IVF/PQ index maintenance (the other
+    # daily-batch fold; pairs with dedup_incremental)
+    "ann_index_upsert",
 ]
 
 

@@ -1653,7 +1653,10 @@ def ann_upsert_frames(
     ).cast("decimal(18,0)")
     denom = (F.col("n_index") * (F.col("n_index") + F.col("n_batch"))).cast("double")
     cellstats = (
-        bs.join(bn, "cell")
+        # bn and cent are per-cell metadata (k rows) — broadcast both;
+        # bs is per-(cell, i), k*dim rows, also metadata-sized, but it
+        # is the left spine so only the build sides need hints
+        bs.join(F.broadcast(bn), "cell")
         .join(cent, (F.col("cell") == F.col("clabel")) & (bs["i"] == cent["i"]))
         .groupBy("cell", F.col("n").alias("n_index"), "n_batch")
         .agg(F.sum(dn * dn).alias("dnum"))

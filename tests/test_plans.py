@@ -464,3 +464,18 @@ def test_runtime_bloom_filter_injects_on_selective_fact_joins(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ann_upsert_broadcasts_index_metadata(spark, sf_dir):
+    """ann_index_upsert's stored-index side must enter every join as
+    broadcast metadata (centroid stats, PQ codebooks, per-cell batch
+    counts and stats): the batch is the only corpus-grain input, so
+    the fold stays O(batch) at any index size. The ONE allowed
+    sort-merge join is assign-vs-codes — batch grain on BOTH sides,
+    co-partitioned by vec_id from their windows; at a 100 TB daily
+    batch that join must NOT be a broadcast, so the lock permits
+    exactly it and nothing else."""
+    plan = plan_of(spark, sf_dir, "ann_index_upsert")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
