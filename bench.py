@@ -87,6 +87,7 @@ HEADLINE = [
     # round 6 addition: incremental IVF/PQ index maintenance (the other
     # daily-batch fold; pairs with dedup_incremental)
     "ann_index_upsert",
+    "centroid_retrain",
 ]
 
 
@@ -198,15 +199,21 @@ def main() -> None:
 
     # three measured passes, min per query — damps scheduler/GC jitter
     # (run-to-run VM noise of up to ~40% observed; min-of-3 keeps the
-    # headline close to steady-state throughput)
+    # headline close to steady-state throughput). Per-pass totals are
+    # recorded so INTRA-run host drift (a co-tenant arriving mid-run)
+    # is visible in the artifact, not just inferable.
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     for _ in range(3):
+        pass_total = 0.0
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            pass_total += dt
             timings[name] = min(timings.get(name, dt), dt)
             release_caches()
+        pass_totals.append(round(pass_total, 3))
 
     stat_end = _proc_stat()
     steal_pct = None
@@ -228,6 +235,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "pass_totals_sec": pass_totals,
                 "calib_sec": calib,
                 "calib_shuffle_sec": calib_shuffle,
                 "load_avg_start": load_start,

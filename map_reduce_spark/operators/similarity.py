@@ -1419,8 +1419,11 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UPSERT_MOD = 10  # vec_id % 10 == 0 plays today's batch (~10%)
 _RETRAIN_GROWTH_PCT = 15  # flag a cell the batch grew by more than 15%
 
-_ANN_UPSERT_ORACLE = f"""
-WITH iv AS (
+# CTE prefix shared by the upsert and centroid_retrain oracles: the
+# scaled-integer view, the batch/index split, the stored per-cell
+# stats, the exact rational argmin assignment, and the batch's
+# per-cell sums/counts.
+_UPSERT_CTES = f"""iv AS (
   SELECT vec_id, label,
          [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
           FOR i IN range(1, len(embedding) + 1)] AS q
@@ -1449,6 +1452,15 @@ assign AS (
   QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY CAST(num2 AS DOUBLE) / (n * n), clabel) = 1
 ),
+bs AS (
+  SELECT a.cell, t.i, SUM(t.qi) AS bsum
+  FROM assign a JOIN bterms t ON a.vec_id = t.vec_id
+  GROUP BY 1, 2
+),
+bn AS (SELECT cell, COUNT(*) AS n_batch FROM assign GROUP BY 1)"""
+
+_ANN_UPSERT_ORACLE = f"""
+WITH {_UPSERT_CTES},
 cb AS (
   SELECT vec_id AS cid, (i - 1) // {PQ_SUBDIM} AS m, i, qi AS ci
   FROM iterms WHERE vec_id BETWEEN 1 AND {PQ_K}
@@ -1472,12 +1484,6 @@ codes AS (
          CAST(SUM(d2) AS BIGINT) AS recon_err
   FROM best GROUP BY vec_id
 ),
-bs AS (
-  SELECT a.cell, t.i, SUM(t.qi) AS bsum
-  FROM assign a JOIN bterms t ON a.vec_id = t.vec_id
-  GROUP BY 1, 2
-),
-bn AS (SELECT cell, COUNT(*) AS n_batch FROM assign GROUP BY 1),
 drift AS (
   SELECT b.cell, c.n AS n_index, bn.n_batch,
          SUM(CAST(c.n * b.bsum - bn.n_batch * c.s AS HUGEINT)
@@ -1580,22 +1586,21 @@ def _pq_codebook(iv: DataFrame) -> DataFrame:
     )
 
 
-def ann_upsert_frames(
-    batch_iv: DataFrame, cent: DataFrame, cb: DataFrame
-) -> DataFrame:
-    """Library form of ``ann_index_upsert``: fold ``batch_iv`` (vec_id,
-    label, q — 1e4-scaled integer components) into a stored index given
-    its metadata frames ``cent`` (from ``_ivf_cell_stats``, possibly a
-    parquet read) and ``cb`` (from ``_pq_codebook``). Only the batch is
-    scanned at corpus grain; both metadata frames broadcast."""
+def _batch_terms(batch_iv: DataFrame) -> DataFrame:
+    """(vec_id, i, qi): the batch's exploded scaled-integer components —
+    the ONLY corpus-grain frame in the incremental maintenance family."""
+    return batch_iv.select(
+        "vec_id", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "qi")
+
+
+def _upsert_assign(bterms: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, n_index, dist2): nearest STORED centroid per batch
+    vector by the exact rational L2 argmin (``ivf_assign`` math); the
+    centroid-stats side broadcasts. Shared by ``ann_upsert_frames`` and
+    ``centroid_retrain`` so assignment semantics cannot diverge."""
     from pyspark.sql import Window
 
-    bterms = stage_cache(
-        batch_iv.select("vec_id", F.posexplode("q").alias("i0", "qi")).select(
-            "vec_id", (F.col("i0") + 1).alias("i"), "qi"
-        )
-    )
-    # (a) nearest stored centroid, exact rational argmin
     t, c = bterms.alias("t"), F.broadcast(cent).alias("c")
     num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
     d = (
@@ -1610,7 +1615,7 @@ def ann_upsert_frames(
         )
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    assign = stage_cache(
+    return (
         d.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select(
@@ -1620,6 +1625,21 @@ def ann_upsert_frames(
             F.round(F.col("d2") / 1e8, 6).alias("dist2"),
         )
     )
+
+
+def ann_upsert_frames(
+    batch_iv: DataFrame, cent: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """Library form of ``ann_index_upsert``: fold ``batch_iv`` (vec_id,
+    label, q — 1e4-scaled integer components) into a stored index given
+    its metadata frames ``cent`` (from ``_ivf_cell_stats``, possibly a
+    parquet read) and ``cb`` (from ``_pq_codebook``). Only the batch is
+    scanned at corpus grain; both metadata frames broadcast."""
+    from pyspark.sql import Window
+
+    bterms = stage_cache(_batch_terms(batch_iv))
+    # (a) nearest stored centroid, exact rational argmin
+    assign = stage_cache(_upsert_assign(bterms, cent))
     # (b) PQ re-encode of the batch with the stored codebooks
     cbm = F.broadcast(cb).alias("cb")
     diff = F.col("t.qi") - F.col("cb.ci")
@@ -1694,4 +1714,116 @@ def ann_upsert_frames(
             "drift2",
             "needs_retrain",
         )
+    )
+
+
+# --- selective centroid retrain (the step after the upsert flags) -----
+
+_RETRAIN_ORACLE = f"""
+WITH {_UPSERT_CTES},
+ret AS (
+  SELECT c.clabel AS cell, c.i AS dim, c.n, c.s,
+         COALESCE(bn.n_batch, 0) AS nb, COALESCE(b.bsum, 0) AS bsum
+  FROM cent c
+  LEFT JOIN bn ON c.clabel = bn.cell
+  LEFT JOIN bs b ON c.clabel = b.cell AND c.i = b.i
+)
+SELECT cell, dim, CAST(nm AS BIGINT) AS n_members,
+       CAST(sign(num) * ((abs(num) * 200 + nm) // (2 * nm)) AS DOUBLE)
+         / 1000000 AS centroid_ci,
+       retrained
+FROM (
+  SELECT cell, dim,
+         CASE WHEN nb * 100 > n * {_RETRAIN_GROWTH_PCT}
+              THEN n + nb ELSE n END AS nm,
+         CASE WHEN nb * 100 > n * {_RETRAIN_GROWTH_PCT}
+              THEN s + bsum ELSE s END AS num,
+         CAST(nb * 100 > n * {_RETRAIN_GROWTH_PCT} AS INT) AS retrained
+  FROM ret
+)
+"""
+
+
+@register("centroid_retrain", oracle=_RETRAIN_ORACLE)
+def centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective centroid RETRAIN — the maintenance step downstream of
+    ``ann_index_upsert``: only cells the batch grew past
+    ``_RETRAIN_GROWTH_PCT``% recompute their centroid over index AND
+    newly-assigned batch members; every other cell keeps its stored
+    centroid untouched. This is the operational alternative to a full
+    index rebuild: at 100 TB the flagged set is a handful of cells, so
+    the retrain touches O(batch + k*dim metadata), never the corpus.
+
+    Output grain is (cell, dim): the post-maintenance centroid table a
+    production index would write back as its new metadata, with
+    ``n_members`` and a ``retrained`` marker per cell. Exactness: the
+    new component mean is rounded to 6dp on an exact INTEGER micro-unit
+    grid — micro = round-half-away(num * 100 / nm) computed with
+    integer ops only, then one exact-operand IEEE division micro/1e6 —
+    because ``round(double, 6)`` diverges between engines when the
+    true quotient sits on a 5e-7 boundary (NOTES rule 23; a real
+    sf0.01 cell hit it). The flag is pure integer arithmetic. Both
+    engines agree bit-for-bit.
+
+    Scale shape: the batch explode and the shared ``_upsert_assign``
+    argmin are the only corpus-grain work (O(batch), centroid side
+    broadcast); the final three-way join is metadata-sized (k*dim left
+    spine, per-cell build sides broadcast). Shares ``_upsert_assign``
+    and the oracle CTE prefix with ``ann_index_upsert`` so assignment
+    semantics cannot diverge between the flag writer and the retrainer.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = _iv4(e)
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    cent = stage_cache(_ivf_cell_stats(iv.filter(~is_batch)))
+    bterms = stage_cache(_batch_terms(iv.filter(is_batch)))
+    assign = stage_cache(_upsert_assign(bterms, cent))
+    # bs and bn share `assign` lineage — disambiguate their join keys
+    # by renaming rather than relying on frame-qualified references
+    bs = (
+        assign.select("vec_id", "cell")
+        .join(bterms, "vec_id")
+        .groupBy(F.col("cell").alias("bs_cell"), F.col("i").alias("bs_i"))
+        .agg(F.sum("qi").alias("bsum"))
+    )
+    bn = assign.groupBy(F.col("cell").alias("bn_cell")).agg(
+        F.count("*").alias("n_batch")
+    )
+    ret = (
+        cent.join(F.broadcast(bn), cent["clabel"] == bn["bn_cell"], "left")
+        .join(
+            F.broadcast(bs),
+            (cent["clabel"] == bs["bs_cell"]) & (cent["i"] == bs["bs_i"]),
+            "left",
+        )
+        .select(
+            cent["clabel"].alias("cell"),
+            cent["i"].alias("dim"),
+            "n",
+            "s",
+            F.coalesce(F.col("n_batch"), F.lit(0)).alias("nb"),
+            F.coalesce(F.col("bsum"), F.lit(0)).alias("bsum2"),
+        )
+    )
+    flagged = F.col("nb") * 100 > F.col("n") * _RETRAIN_GROWTH_PCT
+    n_members = F.when(flagged, F.col("n") + F.col("nb")).otherwise(F.col("n"))
+    num = F.when(flagged, F.col("s") + F.col("bsum2")).otherwise(F.col("s"))
+    # 6dp on the exact integer micro grid (see docstring); abs(num)*200
+    # stays far inside int64 (num <= n * 1e4-scaled unit components)
+    ret2 = ret.select(
+        "cell",
+        "dim",
+        n_members.cast("long").alias("nm"),
+        num.cast("long").alias("num"),
+        flagged.cast("int").alias("retrained"),
+    )
+    micro = F.signum("num").cast("long") * F.expr(
+        "(abs(num) * 200 + nm) div (2 * nm)"
+    )
+    return ret2.select(
+        "cell",
+        "dim",
+        F.col("nm").alias("n_members"),
+        (micro.cast("double") / F.lit(1000000.0)).alias("centroid_ci"),
+        "retrained",
     )

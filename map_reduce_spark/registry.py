@@ -102,8 +102,12 @@ _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # round-6 addition: incremental ANN index maintenance
+    # round-6 additions: incremental ANN index maintenance + the
+    # selective retrain downstream of its flags (centroid_retrain takes
+    # the window_lag_lead filler slot; that query keeps its r1 green
+    # row and is 10x-parity-covered)
     "ann_index_upsert",
+    "centroid_retrain",
     # r5-changed code whose rows predate the change (r5 verdict item 2)
     "dedup_semantic",
     "knn_graph",
@@ -155,7 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "string_funcs",
     "union_by_name",
     "window_cumulative",
-    "window_lag_lead",
 )
 
 

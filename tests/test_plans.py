@@ -479,3 +479,13 @@ def test_ann_upsert_broadcasts_index_metadata(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_retrain_joins_are_metadata_broadcasts(spark, sf_dir):
+    """centroid_retrain's per-cell frames (batch counts, batch sums,
+    stored stats) must broadcast; the only corpus-grain joins are the
+    batch-side assign/explode pair (vec_id-keyed, O(batch))."""
+    plan = plan_of(spark, sf_dir, "centroid_retrain")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -138,3 +138,28 @@ def test_release_caches_thread_local(spark):
     t.join()
     assert other == [0]  # the other thread tracked nothing
     assert release_caches() >= 1  # ours is still tracked here
+
+
+def test_centroid_retrain_consistent_with_upsert_flags(spark, sf_dir):
+    """The flag writer (ann_index_upsert) and the retrainer must agree:
+    every cell the upsert flags is retrained with exactly its batch
+    members folded in; every other cell keeps its stored centroid."""
+    from map_reduce_spark.operators.similarity import centroid_retrain
+
+    up = ann_index_upsert(spark, sf_dir).collect()
+    release_caches()
+    ret = centroid_retrain(spark, sf_dir).collect()
+    release_caches()
+    flags = {}  # cell -> (needs_retrain, n_index, n_batch)
+    for r in up:
+        flags[r["cell"]] = (r["needs_retrain"], r["n_index"], r["n_batch"])
+    assert ret and len({r["cell"] for r in ret}) * 64 == len(ret)  # (cell, dim) grain
+    for r in ret:
+        got = flags.get(r["cell"])
+        if got is None:  # cell received no batch vectors: never retrained
+            assert r["retrained"] == 0
+            continue
+        needs, n_index, n_batch = got
+        assert r["retrained"] == needs
+        want_members = n_index + n_batch if needs else n_index
+        assert r["n_members"] == want_members, r
