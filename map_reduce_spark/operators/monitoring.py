@@ -1,0 +1,320 @@
+"""Corpus monitoring / observability: the read-only audit queries a
+production training-data pipeline runs on every corpus drop, BEFORE
+admission — distribution drift (PSI), cross-source overlap, and a
+per-source curation funnel with first-drop attribution.
+
+Not in the reference (wordcount only); this family rounds out the
+LLM-pipeline mandate: `dq_checks` (pipeline_ops.py) gates on
+per-table validity rules, these three gate on corpus-level SHAPE —
+did the new drop's length distribution drift, are two sources
+copying each other, and where exactly does each source lose mass in
+the standard filter chain.
+
+Cross-engine determinism notes (the same discipline as
+corpus_quality.py): every count is exact integer arithmetic; the one
+float stage (PSI's (p-q)*ln(p/q)) follows the bm25 pattern — the
+per-bin term is rounded to 9 dp on both engines (cross-library ln()
+ulp kill), the DuckDB side sums DECIMAL(18,9), and the final sum is
+rounded to 6 dp. Binning is integer floor-division (no percentile
+boundaries, no float thresholds), so bin membership can never flip
+with engine or scale (the round-4 winsorize lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table, parallelize_if_narrow
+from map_reduce_spark.registry import register
+from map_reduce_spark.session import stage_cache
+
+# PSI histogram: 10 fixed-width integer bins over n_chars.  Width 64
+# covers the synthetic corpus (48..~550); the LEAST(9, ...) cap makes
+# the top bin open-ended so any scale's tail lands deterministically.
+_PSI_BINS = 10
+_PSI_WIDTH = 64
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT source, LEAST({_PSI_BINS - 1}, n_chars // {_PSI_WIDTH}) AS bin
+  FROM documents
+),
+c AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY source, bin),
+n AS (SELECT source, COUNT(*) AS n FROM b GROUP BY source),
+o AS (SELECT bin, COUNT(*) AS o FROM b GROUP BY bin),
+tot AS (SELECT COUNT(*) AS t FROM b),
+grid AS (
+  SELECT n.source, n.n, g.bin
+  FROM n CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) g
+),
+terms AS (
+  SELECT grid.source, grid.n,
+         CAST(round(
+           ((COALESCE(c.c, 0) + 1.0) / (grid.n + {_PSI_BINS}.0)
+            - (COALESCE(o.o, 0) + 1.0) / (tot.t + {_PSI_BINS}.0))
+           * ln(((COALESCE(c.c, 0) + 1.0) / (grid.n + {_PSI_BINS}.0))
+                / ((COALESCE(o.o, 0) + 1.0) / (tot.t + {_PSI_BINS}.0))),
+           9) AS DECIMAL(18, 9)) AS term
+  FROM grid
+  LEFT JOIN c ON c.source = grid.source AND c.bin = grid.bin
+  LEFT JOIN o ON o.bin = grid.bin
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+FROM terms
+GROUP BY source, n
+"""
+
+
+@register("drift_psi", oracle=_PSI_ORACLE)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of each source's doc-length
+    distribution against the whole corpus — the standard drift alarm
+    (PSI > 0.2 = investigate) run on every incoming drop.
+
+    Laplace-smoothed shares over 10 fixed integer-width bins:
+    p = (c+1)/(n+10) per source, q likewise overall;
+    psi = sum((p - q) * ln(p / q)).
+
+    Scale shape (100 TB): ONE narrow scan -> two partial-aggregated
+    groupBys (source x bin, then the bin marginal derived from the
+    first — bins are re-aggregated from the (source, bin) counts, not
+    a second scan); everything downstream of the counts is
+    constant-size (sources x 10 rows). No percentile pass, no sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.expr(f"n_chars div {_PSI_WIDTH}"),
+        ).alias("bin"),
+    )
+    c = stage_cache(binned.groupBy("source", "bin").agg(F.count("*").alias("c")))
+    n = c.groupBy("source").agg(F.sum("c").alias("n"))
+    o = c.groupBy("bin").agg(F.sum("c").alias("o"))
+    tot = c.agg(F.sum("c").alias("t"))
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = n.crossJoin(F.broadcast(bins))
+    joined = (
+        grid.join(c, ["source", "bin"], "left")
+        .join(F.broadcast(o), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + float(_PSI_BINS))
+    q = (F.coalesce(F.col("o"), F.lit(0)) + 1.0) / (F.col("t") + float(_PSI_BINS))
+    term = F.round((p - q) * F.log(p / q), 9)
+    return (
+        joined.select("source", "n", term.alias("term"))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select("source", F.col("n").cast("long").alias("n_docs"), "psi")
+    )
+
+
+# Shared token stream with positions re-ranked AFTER dropping the
+# empty fragments the [^a-zA-Z] split produces — so "adjacent" means
+# adjacent surviving tokens in BOTH engines regardless of separator
+# runs (the bigram pos+1 join in graph.py only matches this corpus
+# because its separators are single spaces; trigrams re-rank instead
+# of relying on that).
+_TOK_RERANK_CTE = """
+raw AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(text, '[^a-zA-Z]')) AS t,
+         generate_subscripts(regexp_split_to_array(text, '[^a-zA-Z]'), 1) AS pos
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source, t,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
+  FROM raw WHERE t <> ''
+)
+"""
+
+_OVERLAP_ORACLE = (
+    "WITH "
+    + _TOK_RERANK_CTE.strip()
+    + """,
+tri AS (
+  SELECT a.source, a.t || ' ' || b.t || ' ' || c.t AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.rpos = a.rpos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.rpos = a.rpos + 2
+),
+sg AS (SELECT DISTINCT source, gram FROM tri),
+sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       round(COALESCE(i.n_common, 0) * 1.0
+             / (p.na + p.nb - COALESCE(i.n_common, 0)), 9) AS jaccard
+FROM (
+  SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb
+  FROM sz a JOIN sz b ON a.source < b.source
+) p
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+"""
+)
+
+
+def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, word-trigram) pairs under the engine
+    tokenizer contract with re-ranked positions."""
+    docs = parallelize_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", "[^a-zA-Z]")).alias("pos", "t"),
+    ).filter(F.col("t") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("t2", F.lead("t", 1).over(w))
+        .withColumn("t3", F.lead("t", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "source",
+            F.concat_ws(" ", "t", "t2", "t3").alias("gram"),
+        )
+    )
+    return tri.distinct()
+
+
+@register("source_overlap", oracle=_OVERLAP_ORACLE)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-trigram Jaccard between sources — the
+    cross-source contamination audit (is src7 scraping src3?) that
+    complements `contamination_minhash`'s corpus-vs-benchmark check.
+
+    Scale shape (100 TB): the heavy input collapses to DISTINCT
+    (source, gram) first (map-side partial distinct), and the pair
+    join's key fan-out is bounded by the number of SOURCES sharing a
+    gram — never a doc-level cross product. Set sizes are a
+    constant-size frame (one row per source), broadcast onto the
+    pair grid. At open-web scale the documented escalation swaps the
+    exact gram sets for per-source MinHash signatures
+    (`dedup_minhash_lsh`'s machinery) with identical output shape.
+    """
+    sg = stage_cache(_source_grams(spark, sf_dir))
+    sz = sg.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sg.alias("a"), sg.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sz.alias("za"), sz.alias("zb")
+    pairs = (
+        za.crossJoin(F.broadcast(zb))
+        .filter(F.col("za.source") < F.col("zb.source"))
+        .select(
+            F.col("za.source").alias("src_a"),
+            F.col("zb.source").alias("src_b"),
+            F.col("za.n").alias("na"),
+            F.col("zb.n").alias("nb"),
+        )
+    )
+    return pairs.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce("n_common", F.lit(0))
+            / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0))),
+            9,
+        ).alias("jaccard"),
+    )
+
+
+# Funnel gates, applied in THIS order (first failure attributes the
+# doc): length floor, token-diversity floor (Gopher-style repetition
+# gate, integer compare 2*distinct < total), exact-dup loser (md5
+# group, keeper = min doc_id), else kept.  All-integer predicates.
+_FUNNEL_STAGES = ("too_short", "low_diversity", "exact_dup", "kept")
+_MIN_CHARS = 150
+
+_FUNNEL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]'),
+             x -> x <> '')) AS n_tok,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '[^a-zA-Z]'),
+             x -> x <> ''))) AS n_distinct,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+staged AS (
+  SELECT source,
+         CASE WHEN n_chars < {_MIN_CHARS} THEN 'too_short'
+              WHEN 2 * n_distinct < n_tok THEN 'low_diversity'
+              WHEN rn > 1 THEN 'exact_dup'
+              ELSE 'kept' END AS stage
+  FROM d
+),
+c AS (SELECT source, stage, COUNT(*) AS n_docs FROM staged GROUP BY source, stage),
+grid AS (
+  SELECT s.source, st.stage
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(['too_short', 'low_diversity', 'exact_dup',
+                             'kept']) AS stage) st
+)
+SELECT grid.source, grid.stage,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM grid LEFT JOIN c ON c.source = grid.source AND c.stage = grid.stage
+"""
+
+
+@register("curation_funnel", oracle=_FUNNEL_ORACLE)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention funnel: every document attributed to the
+    FIRST curation gate it fails (length -> diversity -> exact-dup),
+    emitted as a dense (source x stage) count grid — the per-drop
+    report that says where each source loses mass.
+
+    Scale shape (100 TB): one scan computes all gate features as
+    narrow array expressions (no explode — token counts come from
+    size()/array_distinct on the split array in place); the only
+    shuffle is the md5(text) window for dup-loser ranking, which is
+    the same hash-partition `dedup_exact` already proves out, then a
+    partial-aggregated groupBy on (source, stage). Output is
+    constant-size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-zA-Z]"), lambda x: x != "")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    staged = docs.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "source",
+        F.when(F.col("n_chars") < _MIN_CHARS, "too_short")
+        .when(2 * F.col("n_distinct") < F.col("n_tok"), "low_diversity")
+        .when(F.col("rn") > 1, "exact_dup")
+        .otherwise("kept")
+        .alias("stage"),
+    )
+    c = staged.groupBy("source", "stage").agg(F.count("*").alias("n_docs"))
+    stages = spark.createDataFrame(
+        [(s,) for s in _FUNNEL_STAGES], ["stage"]
+    )
+    grid = docs.select("source").distinct().crossJoin(F.broadcast(stages))
+    return grid.join(c, ["source", "stage"], "left").select(
+        "source",
+        "stage",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    )

@@ -77,6 +77,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "distinct_linear_counting": "two scalar sketch-summary aggregates (1-row output)",
     "dsir_weights": "scalar corpus-total token counts (1-row frame, broadcast)",
     "select_pretraining_data": "inherits dsir_frame's scalar corpus-total 1-row frame",
+    "drift_psi": "scalar corpus-total doc count (1-row frame, broadcast onto the source x 10-bin grid)",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -111,6 +112,9 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "distinct_linear_counting": "broadcast 1-row exact-stats frame",
     "dsir_weights": "broadcast 1-row corpus-total frame (hashed-feature smoothing)",
     "select_pretraining_data": "inherits dsir_frame's broadcast 1-row corpus-total frame",
+    "drift_psi": "broadcast 10-row bin spine + 1-row corpus-total frame",
+    "source_overlap": "broadcast per-source set-size frame (one row per SOURCE) onto the pair grid",
+    "curation_funnel": "broadcast 4-row stage spine onto the per-source grid",
 }
 
 

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.pipeline_ops",
     "map_reduce_spark.operators.analytics",
     "map_reduce_spark.operators.graph",
+    "map_reduce_spark.operators.monitoring",
     "map_reduce_spark.operators.modern_sql",
     "map_reduce_spark.operators.python_source",
     "map_reduce_spark.streaming.jobs",
@@ -156,9 +157,13 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect",
     "set_union",
     "sql_api_q6",
-    "string_funcs",
-    "union_by_name",
-    "window_cumulative",
+    # round-6 additions: the corpus-monitoring family (monitoring.py)
+    # needs FIRST rows, so it takes the last three filler slots
+    # (string_funcs / union_by_name / window_cumulative keep their r1
+    # green rows — all three are 10x-parity-covered).
+    "drift_psi",
+    "source_overlap",
+    "curation_funnel",
 )
 
 

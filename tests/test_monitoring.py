@@ -1,0 +1,55 @@
+"""Semantic properties of the corpus-monitoring family (monitoring.py)
+beyond the oracle hash-match that test_oracle_parity already replays.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from map_reduce_spark.registry import all_queries
+from map_reduce_spark.session import release_caches
+
+
+def test_funnel_conserves_mass(spark, sf_dir):
+    """Every document lands in exactly one funnel stage: per-source
+    stage counts sum to the source's document count, and the dense
+    grid always carries all four stages per source."""
+    q = all_queries()["curation_funnel"]
+    got = q.fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_source = got.groupby("source")["n_docs"].sum().to_dict()
+    assert per_source == truth
+    assert (got.groupby("source")["stage"].count() == 4).all()
+    release_caches()
+
+
+def test_psi_nonnegative_and_complete(spark, sf_dir):
+    """PSI is a sum of (p-q)*ln(p/q) terms, each individually >= 0, so
+    every source's score is >= 0; one row per source."""
+    q = all_queries()["drift_psi"]
+    got = q.fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(got) == n_sources
+    assert (got["psi"] >= 0).all()
+    assert int(got["n_docs"].sum()) == docs.count()
+    release_caches()
+
+
+def test_source_overlap_bounds(spark, sf_dir):
+    """All C(n,2) ordered pairs present exactly once; Jaccard within
+    [0, 1] and consistent with the intersection count (0 iff no
+    common gram)."""
+    q = all_queries()["source_overlap"]
+    got = q.fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.select("source").distinct().count()
+    assert len(got) == n * (n - 1) // 2
+    assert (got["src_a"] < got["src_b"]).all()
+    assert got["jaccard"].between(0.0, 1.0).all()
+    assert ((got["jaccard"] == 0.0) == (got["n_common"] == 0)).all()
+    release_caches()
