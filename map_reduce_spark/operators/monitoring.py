@@ -69,6 +69,19 @@ GROUP BY source, n
 """
 
 
+def psi_bins(df: DataFrame) -> DataFrame:
+    """(source, bin) under the fixed integer binning — shared by the
+    batch query and its streaming twin so bin membership is one
+    definition."""
+    return df.select(
+        "source",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.expr(f"n_chars div {_PSI_WIDTH}"),
+        ).alias("bin"),
+    )
+
+
 @register("drift_psi", oracle=_PSI_ORACLE)
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability index of each source's doc-length
@@ -86,17 +99,31 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size (sources x 10 rows). No percentile pass, no sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    binned = docs.select(
-        "source",
-        F.least(
-            F.lit(_PSI_BINS - 1),
-            F.expr(f"n_chars div {_PSI_WIDTH}"),
-        ).alias("bin"),
-    )
+    binned = psi_bins(docs)
     c = stage_cache(binned.groupBy("source", "bin").agg(F.count("*").alias("c")))
-    n = c.groupBy("source").agg(F.sum("c").alias("n"))
-    o = c.groupBy("bin").agg(F.sum("c").alias("o"))
-    tot = c.agg(F.sum("c").alias("t"))
+    return psi_from_counts(c)
+
+
+def psi_from_counts(c: DataFrame) -> DataFrame:
+    """PSI finish over a (source, bin, c) counts frame — everything
+    here is constant-size (sources x 10 rows). The streaming twin
+    (streaming/jobs.py streaming_drift_psi) feeds it the state-store
+    counts its incremental aggregation maintains; the batch query
+    feeds it the one-scan counts. Same math, one definition.
+
+    The n/o/tot marginals re-alias their grouping keys through fresh
+    expression ids: they all derive from the SAME input plan that is
+    then re-joined against, and a streaming memory-sink View pins its
+    attribute ids, so without the re-alias the grid-side join trips
+    Spark's conflicting-attribute check (batch lineages get
+    auto-disambiguated; View-backed ones do not)."""
+    spark = c.sparkSession
+    base = c.select(
+        F.col("source").alias("src"), F.col("bin").alias("b"), F.col("c").alias("cnt")
+    )
+    n = base.groupBy(F.col("src").alias("source")).agg(F.sum("cnt").alias("n"))
+    o = base.groupBy(F.col("b").alias("bin")).agg(F.sum("cnt").alias("o"))
+    tot = base.agg(F.sum("cnt").alias("t"))
     bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
     grid = n.crossJoin(F.broadcast(bins))
     joined = (

@@ -156,14 +156,15 @@ _PRIORITY: tuple[str, ...] = (
     "set_except",
     "set_intersect",
     "set_union",
-    "sql_api_q6",
-    # round-6 additions: the corpus-monitoring family (monitoring.py)
-    # needs FIRST rows, so it takes the last three filler slots
-    # (string_funcs / union_by_name / window_cumulative keep their r1
-    # green rows — all three are 10x-parity-covered).
+    # round-6 additions: the corpus-monitoring family (monitoring.py +
+    # its streaming twin) needs FIRST rows, so it takes the last four
+    # filler slots (sql_api_q6 / string_funcs / union_by_name /
+    # window_cumulative keep their r1 green rows — all four are
+    # 10x-parity-covered).
     "drift_psi",
     "source_overlap",
     "curation_funnel",
+    "streaming_drift_psi",
 )
 
 

@@ -655,3 +655,43 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("batch=")
     )
     return spark.read.parquet(os.path.join(out, f"batch={last}"))
+
+
+def streaming_psi_counts_plan(src: DataFrame) -> DataFrame:
+    """Incremental (source, bin) histogram under the batch binning
+    contract (monitoring.psi_bins) — the stateful half of the drift
+    monitor. State is sources x 10 rows regardless of stream volume."""
+    from map_reduce_spark.operators.monitoring import psi_bins
+
+    return psi_bins(src).groupBy("source", "bin").agg(F.count("*").alias("c"))
+
+
+def _psi_oracle() -> str:
+    from map_reduce_spark.operators.monitoring import _PSI_ORACLE
+
+    return _PSI_ORACLE
+
+
+@register("streaming_drift_psi", oracle=_psi_oracle())
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift alarm deployed on the ingest stream: the (source, bin)
+    length histogram is maintained INCREMENTALLY by the state store
+    (complete-mode aggregation — constant-size state, sources x 10
+    rows), and each trigger a constant-size downstream job rescales it
+    into per-source PSI vs the running whole-corpus distribution
+    (monitoring.psi_from_counts — the identical math the batch
+    `drift_psi` runs, so after draining the stream the emitted table
+    must equal the batch result, which is what the shared oracle
+    checks).
+
+    Scale shape: the per-batch input is the only corpus-grain work
+    (narrow select + partial agg into the state store); everything
+    downstream of the state is sources x 10 rows. On a real cluster
+    the same plan runs off Kafka with a processing-time trigger, and
+    the PSI finish reads the state snapshot each interval.
+    """
+    from map_reduce_spark.operators.monitoring import psi_from_counts
+
+    plan = streaming_psi_counts_plan(stream_documents(spark, sf_dir))
+    counts = _run_to_table(plan, "stream_psi_counts", "complete")
+    return psi_from_counts(counts)

@@ -140,3 +140,19 @@ def test_stateful_agg_on_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_drift_psi_equals_batch(spark, sf_dir):
+    from map_reduce_spark.operators.monitoring import drift_psi
+    from map_reduce_spark.session import release_caches
+    from map_reduce_spark.streaming.jobs import streaming_drift_psi
+
+    got = {
+        (r.source, r.n_docs, r.psi)
+        for r in streaming_drift_psi(spark, sf_dir).collect()
+    }
+    want = {
+        (r.source, r.n_docs, r.psi) for r in drift_psi(spark, sf_dir).collect()
+    }
+    assert got == want
+    release_caches()
