@@ -88,6 +88,11 @@ HEADLINE = [
     # daily-batch fold; pairs with dedup_incremental)
     "ann_index_upsert",
     "centroid_retrain",
+    # round 6 additions: the corpus-monitoring family (per-drop PSI
+    # drift, cross-source trigram overlap, first-drop curation funnel)
+    "drift_psi",
+    "source_overlap",
+    "curation_funnel",
 ]
 
 

@@ -1,14 +1,18 @@
 """Corpus monitoring / observability: the read-only audit queries a
 production training-data pipeline runs on every corpus drop, BEFORE
-admission — distribution drift (PSI), cross-source overlap, and a
-per-source curation funnel with first-drop attribution.
+admission — distribution drift (PSI), cross-source overlap, a
+per-source curation funnel with first-drop attribution, and a
+k-anonymity privacy audit. The PSI alarm also ships as a streaming
+twin (streaming/jobs.py streaming_drift_psi) via the shared
+``psi_bins``/``psi_from_counts`` split.
 
 Not in the reference (wordcount only); this family rounds out the
 LLM-pipeline mandate: `dq_checks` (pipeline_ops.py) gates on
-per-table validity rules, these three gate on corpus-level SHAPE —
+per-table validity rules, these gate on corpus-level SHAPE —
 did the new drop's length distribution drift, are two sources
-copying each other, and where exactly does each source lose mass in
-the standard filter chain.
+copying each other, where exactly does each source lose mass in
+the standard filter chain, and what re-identification floor does
+the release satisfy.
 
 Cross-engine determinism notes (the same discipline as
 corpus_quality.py): every count is exact integer arithmetic; the one
@@ -344,4 +348,55 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "stage",
         F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+# k-anonymity audit: quasi-identifier = (lang, 64-char length bucket) —
+# attributes a release would expose even after scrubbing direct
+# identifiers (pii_scrub, pipeline_ops.py). A release satisfies
+# k-anonymity at k = the SMALLEST QI-group size: any group below the
+# policy floor _K_ANON re-identifies its members by attribute
+# intersection. All-integer (group sizes, floor-division buckets).
+_K_ANON = 5
+_QI_WIDTH = 64
+
+_K_ANON_ORACLE = f"""
+WITH g AS (
+  SELECT lang, n_chars // {_QI_WIDTH} AS qb, COUNT(*) AS sz
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS k_of_release,
+       CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS risky_groups,
+       CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+         AS risky_docs
+FROM g GROUP BY lang
+"""
+
+
+@register("k_anonymity", oracle=_K_ANON_ORACLE)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language k-anonymity audit of the corpus under the
+    (lang, length-bucket) quasi-identifier: the k the release actually
+    satisfies (its smallest QI-group size) plus how many groups/docs
+    fall below the policy floor k={_K_ANON} — the privacy gate run
+    after PII scrubbing, before a corpus ships.
+
+    Scale shape (100 TB): one narrow scan -> partial-aggregated
+    groupBy on the QI (group count), then a second groupBy on lang
+    over the QI-GRAIN frame (|langs x buckets| rows, tiny). No joins,
+    no window, output one row per language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", F.expr(f"n_chars div {_QI_WIDTH}").alias("qb")
+    ).agg(F.count("*").alias("sz"))
+    risky = F.col("sz") < _K_ANON
+    return g.groupBy("lang").agg(
+        F.count("*").alias("n_groups"),
+        F.min("sz").alias("k_of_release"),
+        F.sum(risky.cast("long")).alias("risky_groups"),
+        F.sum(F.when(risky, F.col("sz")).otherwise(F.lit(0))).alias("risky_docs"),
     )

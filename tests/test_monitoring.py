@@ -53,3 +53,19 @@ def test_source_overlap_bounds(spark, sf_dir):
     assert got["jaccard"].between(0.0, 1.0).all()
     assert ((got["jaccard"] == 0.0) == (got["n_common"] == 0)).all()
     release_caches()
+
+
+def test_k_anonymity_floor_consistency(spark, sf_dir):
+    """k_of_release is the min QI-group size, so risky counts are zero
+    exactly when the release's k meets the policy floor; risky_docs
+    can never exceed (risky_groups * (K-1))."""
+    from map_reduce_spark.operators.monitoring import _K_ANON
+
+    q = all_queries()["k_anonymity"]
+    got = q.fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(got) == docs.select("lang").distinct().count()
+    meets = got["k_of_release"] >= _K_ANON
+    assert ((got["risky_groups"] == 0) == meets).all()
+    assert (got["risky_docs"] <= got["risky_groups"] * (_K_ANON - 1)).all()
+    release_caches()
