@@ -156,7 +156,7 @@ def _host_load() -> list[float]:
     the r5 artifact lacked."""
     try:
         return [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # platform without getloadavg
+    except (OSError, AttributeError):  # platform without getloadavg
         return []
 
 

@@ -813,7 +813,7 @@ def incremental_dedup_frames(
     ``new_bands`` is today's batch's (doc_id, band, bucket) table
     (``_portable_bands`` over the batch docs), ``index_bands`` the
     stored corpus index — typically a parquet read of signatures
-    persisted by a previous run (tests/test_incremental.py drives that
+    persisted by a previous run (tests/test_round6_ops.py drives that
     write-then-fold path end-to-end). ``text_store`` is the corpus text
     store, touched ONLY via a broadcast-semi-join on colliding doc_ids
     inside the exact-Jaccard verify — so the incremental cost stays

@@ -339,11 +339,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("stage"),
     )
-    c = staged.groupBy("source", "stage").agg(F.count("*").alias("n_docs"))
+    c = stage_cache(
+        staged.groupBy("source", "stage").agg(F.count("*").alias("n_docs"))
+    )
     stages = spark.createDataFrame(
         [(s,) for s in _FUNNEL_STAGES], ["stage"]
     )
-    grid = docs.select("source").distinct().crossJoin(F.broadcast(stages))
+    # the source spine comes from the counts frame, NOT a second
+    # documents scan — keeps the one-corpus-scan shape the docstring
+    # promises (every source has >=1 doc, so no source is lost)
+    grid = (
+        c.select(F.col("source").alias("src")).distinct()
+        .select(F.col("src").alias("source"))
+        .crossJoin(F.broadcast(stages))
+    )
     return grid.join(c, ["source", "stage"], "left").select(
         "source",
         "stage",
@@ -381,7 +390,7 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language k-anonymity audit of the corpus under the
     (lang, length-bucket) quasi-identifier: the k the release actually
     satisfies (its smallest QI-group size) plus how many groups/docs
-    fall below the policy floor k={_K_ANON} — the privacy gate run
+    fall below the ``_K_ANON``=5 policy floor — the privacy gate run
     after PII scrubbing, before a corpus ships.
 
     Scale shape (100 TB): one narrow scan -> partial-aggregated

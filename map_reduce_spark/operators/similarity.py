@@ -1486,8 +1486,9 @@ codes AS (
 ),
 drift AS (
   SELECT b.cell, c.n AS n_index, bn.n_batch,
-         SUM(CAST(c.n * b.bsum - bn.n_batch * c.s AS HUGEINT)
-             * CAST(c.n * b.bsum - bn.n_batch * c.s AS HUGEINT)) AS dnum
+         SUM((CAST(c.n AS HUGEINT) * b.bsum - CAST(bn.n_batch AS HUGEINT) * c.s)
+             * (CAST(c.n AS HUGEINT) * b.bsum - CAST(bn.n_batch AS HUGEINT) * c.s))
+           AS dnum
   FROM bs b
   JOIN bn ON b.cell = bn.cell
   JOIN cent c ON b.cell = c.clabel AND b.i = c.i
@@ -1527,7 +1528,7 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction error. Per receiving cell: batch growth, and the
     squared centroid drift the batch causes —
     ``|new_mean - old_mean|^2 = sum_i (n*bs_i - bn*s_i)^2 / (n(n+bn))^2``
-    with the numerator summed in decimal(38,0)/HUGEINT so both engines
+    with the products and numerator in decimal/HUGEINT so both engines
     convert the same exact integer to double; cells the batch grows
     past ``_RETRAIN_GROWTH_PCT``% are flagged for the periodic retrain.
 
@@ -1535,8 +1536,8 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embeddings`` scan split by vec_id mod 10; in production the cent/
     codebook frames are METADATA-SIZED parquet reads (k and M*K rows —
     broadcast), and indexed vectors are never rescanned: the whole
-    upsert is O(batch). tests/test_incremental.py proves that
-    signatures-only read path end-to-end by writing the index metadata
+    upsert is O(batch). tests/test_round6_ops.py proves that
+    metadata-only read path end-to-end by writing the index metadata
     to parquet in round N and folding a batch in round N+1.
 
     Scale shape: batch explode is narrow; both joins broadcast the
@@ -1592,6 +1593,24 @@ def _batch_terms(batch_iv: DataFrame) -> DataFrame:
     return batch_iv.select(
         "vec_id", F.posexplode("q").alias("i0", "qi")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), "qi")
+
+
+def _batch_cell_sums(
+    assign: DataFrame, bterms: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Per-receiving-cell batch component sums ``bs`` (cell, i, bsum)
+    and member counts ``bn`` (cell, n_batch). Shared by
+    ``ann_upsert_frames`` (drift stats) and ``centroid_retrain`` (the
+    retrain fold) so the flag writer and the retrainer can never
+    aggregate the batch differently."""
+    bs = (
+        assign.select("vec_id", "cell")
+        .join(bterms, "vec_id")
+        .groupBy("cell", "i")
+        .agg(F.sum("qi").alias("bsum"))
+    )
+    bn = assign.groupBy("cell").agg(F.count("*").alias("n_batch"))
+    return bs, bn
 
 
 def _upsert_assign(bterms: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1661,15 +1680,18 @@ def ann_upsert_frames(
         .agg(*code_cols, F.sum("d2").cast("long").alias("recon_err"))
     )
     # (c) per-cell growth + exact centroid drift
-    bs = (
-        assign.select("vec_id", "cell")
-        .join(bterms, "vec_id")
-        .groupBy("cell", "i")
-        .agg(F.sum("qi").alias("bsum"))
-    )
-    bn = assign.groupBy("cell").agg(F.count("*").alias("n_batch"))
+    bs, bn = _batch_cell_sums(assign, bterms)
+    # products in decimal BEFORE multiplying: n*bsum / n_batch*s can
+    # exceed int64 at large n (n~1e9 members x nb~1e8 batch x 1e4-unit
+    # components), and an int64 product would WRAP silently under
+    # ANSI-off while the DuckDB side (BIGINT mult) errors — the engines
+    # would diverge instead of agreeing. decimal keeps the multiply
+    # exact to 1e38; the difference itself is bounded by
+    # |new_mean-old_mean| * n(n+nb) and fits decimal(18,0) for any
+    # plausible drift.
     dn = (
-        F.col("n") * F.col("bsum") - F.col("n_batch") * F.col("s")
+        F.col("n").cast("decimal(38,0)") * F.col("bsum")
+        - F.col("n_batch").cast("decimal(38,0)") * F.col("s")
     ).cast("decimal(18,0)")
     denom = (F.col("n_index") * (F.col("n_index") + F.col("n_batch"))).cast("double")
     cellstats = (
@@ -1677,7 +1699,10 @@ def ann_upsert_frames(
         # bs is per-(cell, i), k*dim rows, also metadata-sized, but it
         # is the left spine so only the build sides need hints
         bs.join(F.broadcast(bn), "cell")
-        .join(cent, (F.col("cell") == F.col("clabel")) & (bs["i"] == cent["i"]))
+        .join(
+            F.broadcast(cent),
+            (F.col("cell") == F.col("clabel")) & (bs["i"] == cent["i"]),
+        )
         .groupBy("cell", F.col("n").alias("n_index"), "n_batch")
         .agg(F.sum(dn * dn).alias("dnum"))
         .select(
@@ -1780,15 +1805,11 @@ def centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = stage_cache(_upsert_assign(bterms, cent))
     # bs and bn share `assign` lineage — disambiguate their join keys
     # by renaming rather than relying on frame-qualified references
-    bs = (
-        assign.select("vec_id", "cell")
-        .join(bterms, "vec_id")
-        .groupBy(F.col("cell").alias("bs_cell"), F.col("i").alias("bs_i"))
-        .agg(F.sum("qi").alias("bsum"))
+    bs0, bn0 = _batch_cell_sums(assign, bterms)
+    bs = bs0.select(
+        F.col("cell").alias("bs_cell"), F.col("i").alias("bs_i"), "bsum"
     )
-    bn = assign.groupBy(F.col("cell").alias("bn_cell")).agg(
-        F.count("*").alias("n_batch")
-    )
+    bn = bn0.select(F.col("cell").alias("bn_cell"), "n_batch")
     ret = (
         cent.join(F.broadcast(bn), cent["clabel"] == bn["bn_cell"], "left")
         .join(
