@@ -409,3 +409,110 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(risky.cast("long")).alias("risky_groups"),
         F.sum(F.when(risky, F.col("sz")).otherwise(F.lit(0))).alias("risky_docs"),
     )
+
+
+# The documented open-vocabulary escalation of `source_overlap`: at
+# web scale the exact distinct-gram intersection join grows with the
+# vocabulary, so the production path compares per-source MINHASH
+# signatures instead — K portable min-hashes per source (constant-size
+# state, like dedup.py's doc-level signatures but at source grain),
+# pairwise agreement estimating trigram Jaccard. md5 hash family as in
+# dedup._portable_bands, so DuckDB replays every component and the
+# estimator itself is hash-verified, not just bounded. The K=64
+# permutations come from 16 md5 calls per gram, each sliced into 4
+# independent 8-hex-char (32-bit) windows — one md5 is 128 bits = 32
+# hex chars, so slicing buys a 4x cut in per-gram hash work with the
+# same lexicographic-min semantics per component.
+_OVERLAP_PERMS = 64
+_SLICES_PER_MD5 = 4
+
+
+def _perm_expr_sql(p: int) -> str:
+    g, s = p // _SLICES_PER_MD5, p % _SLICES_PER_MD5
+    return f"substr(md5(concat('{g}:', gram)), {1 + 8 * s}, 8)"
+
+
+_OVERLAP_MINHASH_ORACLE = (
+    "WITH "
+    + _TOK_RERANK_CTE.strip()
+    + """,
+tri AS (
+  SELECT DISTINCT a.source, a.t || ' ' || b.t || ' ' || c.t AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.rpos = a.rpos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.rpos = a.rpos + 2
+),
+sig AS (
+  SELECT source, """
+    + ", ".join(
+        f"MIN({_perm_expr_sql(p)}) AS h{p}" for p in range(_OVERLAP_PERMS)
+    )
+    + """
+  FROM tri GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(("""
+    + " + ".join(
+        f"CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END"
+        for p in range(_OVERLAP_PERMS)
+    )
+    + f""") AS BIGINT) AS n_agree,
+       round(("""
+    + " + ".join(
+        f"CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END"
+        for p in range(_OVERLAP_PERMS)
+    )
+    + f""") / {_OVERLAP_PERMS}.0, 9) AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+)
+
+
+@register("source_overlap_minhash", oracle=_OVERLAP_MINHASH_ORACLE)
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`source_overlap`'s open-vocabulary scale path, shipped: each
+    source's trigram set collapses to a K=64-component portable
+    MinHash signature (ONE groupBy pass, K min-aggregates with
+    map-side partials — per-source state is constant regardless of
+    vocabulary), and pairwise component agreement estimates the
+    trigram Jaccard. The exact twin stays the ground truth the
+    estimator is property-tested against (tests/test_monitoring.py).
+
+    Scale shape (100 TB): corpus-grain work is the gram explode +
+    K hash-min partial aggregation — NO gram-level join at all (the
+    exact twin's intersection join is the part that grows with open
+    vocabulary); the pair stage is a |sources| x |sources| broadcast
+    self-join over K-column rows. md5 family start-to-finish, fully
+    oracle-verified.
+    """
+    sg = _source_grams(spark, sf_dir)
+
+    def perm_hash(p: int):
+        g, s = p // _SLICES_PER_MD5, p % _SLICES_PER_MD5
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("gram"))), 1 + 8 * s, 8
+        )
+
+    mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(_OVERLAP_PERMS)]
+    sig = sg.groupBy("source").agg(*mins)
+    a, b = sig.alias("a"), F.broadcast(sig).alias("b")
+    n_agree = sum(
+        (F.col(f"a.h{p}") == F.col(f"b.h{p}")).cast("int")
+        for p in range(_OVERLAP_PERMS)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_agree.cast("long").alias("n_agree"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_agree",
+            F.round(F.col("n_agree") / float(_OVERLAP_PERMS), 9).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -114,6 +114,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "select_pretraining_data": "inherits dsir_frame's broadcast 1-row corpus-total frame",
     "drift_psi": "broadcast 10-row bin spine + 1-row corpus-total frame",
     "source_overlap": "broadcast per-source set-size frame (one row per SOURCE) onto the pair grid",
+    "source_overlap_minhash": "broadcast per-source signature frame (one K-column row per SOURCE) self-paired on source<source",
     "curation_funnel": "broadcast 4-row stage spine onto the per-source grid",
 }
 

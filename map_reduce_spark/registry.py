@@ -154,14 +154,14 @@ _PRIORITY: tuple[str, ...] = (
     "math_funcs",
     "monthly_revenue",
     "set_except",
-    "set_intersect",
     # round-6 additions: the corpus-monitoring family (monitoring.py +
-    # its streaming twin) needs FIRST rows, so it takes the last five
-    # filler slots (set_union / sql_api_q6 / string_funcs /
-    # union_by_name / window_cumulative keep their r1 green rows — all
-    # five are 10x-parity-covered).
+    # its streaming twin) needs FIRST rows, so it takes the last six
+    # filler slots (set_intersect / set_union / sql_api_q6 /
+    # string_funcs / union_by_name / window_cumulative keep their r1
+    # green rows — all six are 10x-parity-covered).
     "drift_psi",
     "source_overlap",
+    "source_overlap_minhash",
     "curation_funnel",
     "streaming_drift_psi",
     "k_anonymity",

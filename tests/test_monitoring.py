@@ -69,3 +69,18 @@ def test_k_anonymity_floor_consistency(spark, sf_dir):
     assert ((got["risky_groups"] == 0) == meets).all()
     assert (got["risky_docs"] <= got["risky_groups"] * (_K_ANON - 1)).all()
     release_caches()
+
+
+def test_overlap_minhash_tracks_exact(spark, sf_dir):
+    """The K=64 MinHash estimator stays within the standard-error
+    envelope of the exact trigram Jaccard on every source pair
+    (se <= 1/(2*sqrt(K)) = 0.0625; test at 4 se), and is exactly 0/1
+    bounded."""
+    qs = all_queries()
+    est = qs["source_overlap_minhash"].fn(spark, sf_dir).toPandas()
+    exact = qs["source_overlap"].fn(spark, sf_dir).toPandas()
+    release_caches()
+    m = est.merge(exact, on=["src_a", "src_b"])
+    assert len(m) == len(est) == len(exact)
+    assert est["est_jaccard"].between(0.0, 1.0).all()
+    assert (m["est_jaccard"] - m["jaccard"]).abs().max() <= 0.25
