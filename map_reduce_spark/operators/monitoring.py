@@ -516,3 +516,76 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# The composed per-drop report: everything an admission decision needs,
+# one row per source. Mirrors pipelines.py's composed entries — each
+# leg is the registered operator itself (not a re-implementation), so
+# the report can never drift from the individual audits, and the
+# oracle nests the legs' oracles as CTEs for the same reason.
+_HEALTH_ORACLE = f"""
+WITH psi AS ({_PSI_ORACLE}),
+fun AS ({_FUNNEL_ORACLE}),
+ov AS ({_OVERLAP_ORACLE})
+SELECT psi.source, psi.n_docs, psi.psi,
+       CAST(MAX(CASE WHEN fun.stage = 'kept' THEN fun.n_docs END) AS BIGINT) AS kept,
+       CAST(MAX(CASE WHEN fun.stage = 'too_short' THEN fun.n_docs END) AS BIGINT) AS too_short,
+       CAST(MAX(CASE WHEN fun.stage = 'low_diversity' THEN fun.n_docs END) AS BIGINT) AS low_diversity,
+       CAST(MAX(CASE WHEN fun.stage = 'exact_dup' THEN fun.n_docs END) AS BIGINT) AS exact_dup,
+       MAX(mj.max_jaccard) AS max_jaccard
+FROM psi
+JOIN fun ON fun.source = psi.source
+JOIN (
+  SELECT source, round(MAX(jaccard), 9) AS max_jaccard
+  FROM (
+    SELECT src_a AS source, jaccard FROM ov
+    UNION ALL
+    SELECT src_b AS source, jaccard FROM ov
+  ) GROUP BY source
+) mj ON mj.source = psi.source
+GROUP BY psi.source, psi.n_docs, psi.psi
+"""
+
+
+@register("corpus_health_report", oracle=_HEALTH_ORACLE)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed admission report, one row per source: PSI drift
+    score, the full curation-funnel breakdown (kept / too_short /
+    low_diversity / exact_dup), and the source's worst cross-source
+    trigram Jaccard — the table a pipeline operator reads before
+    admitting a drop.
+
+    Composes the REGISTERED operators (`drift_psi`, `curation_funnel`,
+    `source_overlap`) rather than re-deriving their logic, so the
+    report and the individual audits cannot diverge; all three legs
+    end constant-size (per-source rows), so the joins here are
+    metadata-sized no matter the corpus.
+    """
+    psi = drift_psi(spark, sf_dir)
+    fun = curation_funnel(spark, sf_dir)
+    ov = source_overlap(spark, sf_dir)
+    fun_wide = (
+        fun.groupBy("source")
+        .pivot("stage", list(_FUNNEL_STAGES))
+        .sum("n_docs")
+    )
+    mj = (
+        ov.select(F.col("src_a").alias("source"), "jaccard")
+        .unionByName(ov.select(F.col("src_b").alias("source"), "jaccard"))
+        .groupBy("source")
+        .agg(F.round(F.max("jaccard"), 9).alias("max_jaccard"))
+    )
+    return (
+        psi.join(fun_wide, "source")
+        .join(F.broadcast(mj), "source")
+        .select(
+            "source",
+            "n_docs",
+            "psi",
+            F.col("kept").cast("long").alias("kept"),
+            F.col("too_short").cast("long").alias("too_short"),
+            F.col("low_diversity").cast("long").alias("low_diversity"),
+            F.col("exact_dup").cast("long").alias("exact_dup"),
+            "max_jaccard",
+        )
+    )

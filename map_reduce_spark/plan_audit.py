@@ -78,6 +78,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "dsir_weights": "scalar corpus-total token counts (1-row frame, broadcast)",
     "select_pretraining_data": "inherits dsir_frame's scalar corpus-total 1-row frame",
     "drift_psi": "scalar corpus-total doc count (1-row frame, broadcast onto the source x 10-bin grid)",
+    "corpus_health_report": "inherits drift_psi's scalar corpus-total 1-row frame (composed leg)",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -116,6 +117,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "source_overlap": "broadcast per-source set-size frame (one row per SOURCE) onto the pair grid",
     "source_overlap_minhash": "broadcast per-source signature frame (one K-column row per SOURCE) self-paired on source<source",
     "curation_funnel": "broadcast 4-row stage spine onto the per-source grid",
+    "corpus_health_report": "inherits its composed legs' broadcast constant-size frames (bin/stage spines, per-source set sizes, 1-row totals)",
 }
 
 

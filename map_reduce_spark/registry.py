@@ -153,18 +153,19 @@ _PRIORITY: tuple[str, ...] = (
     "json_funcs",
     "math_funcs",
     "monthly_revenue",
-    "set_except",
     # round-6 additions: the corpus-monitoring family (monitoring.py +
-    # its streaming twin) needs FIRST rows, so it takes the last six
-    # filler slots (set_intersect / set_union / sql_api_q6 /
-    # string_funcs / union_by_name / window_cumulative keep their r1
-    # green rows — all six are 10x-parity-covered).
+    # its streaming twin + the composed per-drop report) needs FIRST
+    # rows, so it takes the last seven filler slots (set_except /
+    # set_intersect / set_union / sql_api_q6 / string_funcs /
+    # union_by_name / window_cumulative keep their r1 green rows — all
+    # seven are 10x-parity-covered).
     "drift_psi",
     "source_overlap",
     "source_overlap_minhash",
     "curation_funnel",
     "streaming_drift_psi",
     "k_anonymity",
+    "corpus_health_report",
 )
 
 

@@ -84,3 +84,18 @@ def test_overlap_minhash_tracks_exact(spark, sf_dir):
     assert len(m) == len(est) == len(exact)
     assert est["est_jaccard"].between(0.0, 1.0).all()
     assert (m["est_jaccard"] - m["jaccard"]).abs().max() <= 0.25
+
+
+def test_health_report_composes_consistently(spark, sf_dir):
+    """The composed report's funnel columns conserve mass against its
+    own n_docs, and its PSI column equals the standalone drift_psi."""
+    qs = all_queries()
+    rep = qs["corpus_health_report"].fn(spark, sf_dir).toPandas()
+    psi = qs["drift_psi"].fn(spark, sf_dir).toPandas()
+    release_caches()
+    stages = rep["kept"] + rep["too_short"] + rep["low_diversity"] + rep["exact_dup"]
+    assert (stages == rep["n_docs"]).all()
+    m = rep.merge(psi, on="source", suffixes=("", "_solo"))
+    assert len(m) == len(rep) == len(psi)
+    assert (m["psi"] == m["psi_solo"]).all()
+    assert (m["n_docs"] == m["n_docs_solo"]).all()
