@@ -99,3 +99,61 @@ def test_health_report_composes_consistently(spark, sf_dir):
     assert len(m) == len(rep) == len(psi)
     assert (m["psi"] == m["psi_solo"]).all()
     assert (m["n_docs"] == m["n_docs_solo"]).all()
+
+
+def _psi_python(counts):
+    """Sequential PSI oracle replicating psi_from_counts' math exactly
+    (Laplace over 10 bins, 9dp term rounding, 6dp final)."""
+    import math
+
+    from map_reduce_spark.operators.monitoring import _PSI_BINS
+
+    n = {}
+    o = [0] * _PSI_BINS
+    for s, b, c in counts:
+        n[s] = n.get(s, 0) + c
+        o[b] += c
+    t = sum(o)
+    out = {}
+    for s, ns in n.items():
+        psi = 0.0
+        for b in range(_PSI_BINS):
+            cs = sum(c for s2, b2, c in counts if s2 == s and b2 == b)
+            p = (cs + 1.0) / (ns + float(_PSI_BINS))
+            q = (o[b] + 1.0) / (t + float(_PSI_BINS))
+            psi += round((p - q) * math.log(p / q), 9)
+        out[s] = (ns, round(psi, 6))
+    return out
+
+
+def test_psi_from_counts_property(spark):
+    """psi_from_counts on arbitrary counts frames: equals the
+    sequential formula, and every PSI is non-negative."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_spark.operators.monitoring import _PSI_BINS, psi_from_counts
+
+    counts_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(0, _PSI_BINS - 1),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda x: (x[0], x[1]),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(counts_strategy)
+    def run(counts):
+        df = spark.createDataFrame(counts, "source string, bin int, c long")
+        got = {
+            r.source: (r.n_docs, r.psi) for r in psi_from_counts(df).collect()
+        }
+        want = _psi_python(counts)
+        assert got == want
+        assert all(p >= 0 for _, p in got.values())
+
+    run()
