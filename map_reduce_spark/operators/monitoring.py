@@ -196,9 +196,11 @@ LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
 )
 
 
-def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (source, word-trigram) pairs under the engine
-    tokenizer contract with re-ranked positions."""
+def _source_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, word-trigram) rows WITH duplicates, under the engine
+    tokenizer contract with re-ranked positions. Duplicate-insensitive
+    consumers (MIN aggregation) use this directly and skip the
+    gram-grain distinct shuffle."""
     docs = parallelize_if_narrow(
         load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
@@ -208,7 +210,7 @@ def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split("text", "[^a-zA-Z]")).alias("pos", "t"),
     ).filter(F.col("t") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
+    return (
         toks.withColumn("t2", F.lead("t", 1).over(w))
         .withColumn("t3", F.lead("t", 2).over(w))
         .filter(F.col("t3").isNotNull())
@@ -217,7 +219,12 @@ def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "t", "t2", "t3").alias("gram"),
         )
     )
-    return tri.distinct()
+
+
+def _source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, word-trigram) pairs — the set-semantics view
+    the exact overlap needs."""
+    return _source_gram_stream(spark, sf_dir).distinct()
 
 
 @register("source_overlap", oracle=_OVERLAP_ORACLE)
@@ -479,13 +486,20 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator is property-tested against (tests/test_monitoring.py).
 
     Scale shape (100 TB): corpus-grain work is the gram explode +
-    K hash-min partial aggregation — NO gram-level join at all (the
-    exact twin's intersection join is the part that grows with open
-    vocabulary); the pair stage is a |sources| x |sources| broadcast
-    self-join over K-column rows. md5 family start-to-finish, fully
-    oracle-verified.
+    K hash-min aggregation over the RAW gram stream — MIN is
+    duplicate-insensitive, so there is NO gram-grain exchange at all
+    (a distinct-first variant A/B'd equal within noise at sf0.1 and
+    100x on this corpus; raw-stream is kept because eliminating the
+    gram shuffle is the structural win once the vocabulary is open),
+    and NO gram-level join (the exact twin's intersection join is the
+    part that grows with vocabulary). Only sources x K rows ever
+    move. The pair stage is a |sources| x |sources| broadcast
+    self-join over the signature frame, which is stage-cached so the
+    corpus-grain pipeline is guaranteed to run once for both sides
+    (the static plan otherwise duplicates it; AQE exchange reuse is
+    best-effort). md5 family start-to-finish, fully oracle-verified.
     """
-    sg = _source_grams(spark, sf_dir)
+    sg = _source_gram_stream(spark, sf_dir)
 
     def perm_hash(p: int):
         g, s = p // _SLICES_PER_MD5, p % _SLICES_PER_MD5
@@ -494,7 +508,7 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(_OVERLAP_PERMS)]
-    sig = sg.groupBy("source").agg(*mins)
+    sig = stage_cache(sg.groupBy("source").agg(*mins))
     a, b = sig.alias("a"), F.broadcast(sig).alias("b")
     n_agree = sum(
         (F.col(f"a.h{p}") == F.col(f"b.h{p}")).cast("int")
@@ -535,7 +549,7 @@ SELECT psi.source, psi.n_docs, psi.psi,
        MAX(mj.max_jaccard) AS max_jaccard
 FROM psi
 JOIN fun ON fun.source = psi.source
-JOIN (
+LEFT JOIN (
   SELECT source, round(MAX(jaccard), 9) AS max_jaccard
   FROM (
     SELECT src_a AS source, jaccard FROM ov
@@ -575,9 +589,14 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.max("jaccard"), 9).alias("max_jaccard"))
     )
+    # LEFT join: a source whose documents carry no trigram (all docs
+    # <3 alphabetic tokens) never enters the overlap pair frame — it
+    # must still get its report row, with a NULL worst-overlap. An
+    # inner join would also empty the WHOLE report on a single-source
+    # corpus (no pairs at all).
     return (
         psi.join(fun_wide, "source")
-        .join(F.broadcast(mj), "source")
+        .join(F.broadcast(mj), "source", "left")
         .select(
             "source",
             "n_docs",

@@ -1686,13 +1686,17 @@ def ann_upsert_frames(
     # components), and an int64 product would WRAP silently under
     # ANSI-off while the DuckDB side (BIGINT mult) errors — the engines
     # would diverge instead of agreeing. decimal keeps the multiply
-    # exact to 1e38; the difference itself is bounded by
-    # |new_mean-old_mean| * n(n+nb) and fits decimal(18,0) for any
-    # plausible drift.
+    # exact to 1e38. The difference re-narrows to decimal(19,0) — the
+    # widest dn whose square still fits the 38-digit sum BOTH engines
+    # carry (DuckDB squares in int128, max ~1.7e38): dn =
+    # |new_mean-old_mean| * n(n+nb), so 1e19 covers n(n+nb) ~ 1.1e18
+    # (the comment's own extreme) times a ~9-unit mean drift; past that
+    # envelope neither engine can hold the exact square, and Spark
+    # nulls / DuckDB errors rather than silently wrapping.
     dn = (
         F.col("n").cast("decimal(38,0)") * F.col("bsum")
         - F.col("n_batch").cast("decimal(38,0)") * F.col("s")
-    ).cast("decimal(18,0)")
+    ).cast("decimal(19,0)")
     denom = (F.col("n_index") * (F.col("n_index") + F.col("n_batch"))).cast("double")
     cellstats = (
         # bn and cent are per-cell metadata (k rows) — broadcast both;

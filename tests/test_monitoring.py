@@ -153,7 +153,14 @@ def test_psi_from_counts_property(spark):
             r.source: (r.n_docs, r.psi) for r in psi_from_counts(df).collect()
         }
         want = _psi_python(counts)
-        assert got == want
+        assert got.keys() == want.keys()
+        for s in want:
+            assert got[s][0] == want[s][0]
+            # tolerance, not equality: JVM Math.log vs libm log can
+            # differ by 1 ulp and F.round is HALF_UP while CPython
+            # round() is HALF_EVEN — a term sitting on a 5e-10
+            # boundary legitimately rounds apart by 1e-9 per bin
+            assert abs(got[s][1] - want[s][1]) <= 2e-6
         assert all(p >= 0 for _, p in got.values())
 
     run()
