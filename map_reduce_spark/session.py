@@ -71,11 +71,35 @@ class _CacheTracker(threading.local):
 
 _TRACKED = _CacheTracker()
 
+# Every tracked item ALSO enters this lock-guarded global registry so
+# ``release_all_caches`` can free barriers tracked on threads that no
+# longer exist (r6 ADVICE: a pool-thread caller whose worker exits, or
+# a library user releasing from a different thread, would otherwise
+# leak the persisted RDDs for the session's lifetime — the per-thread
+# lists are unreachable from outside their thread).
+_ALL_LOCK = threading.Lock()
+_ALL_TRACKED: dict[int, tuple[object, object]] = {}
+
+
+def _track(handle: object, sc: object) -> None:
+    item = (handle, sc)
+    _TRACKED.items.append(item)
+    with _ALL_LOCK:
+        _ALL_TRACKED[id(item)] = item
+
 
 def stage_cache(df: DataFrame) -> DataFrame:
-    """Persist a multi-consumer subtree and track it for ``release_caches``."""
+    """Persist a multi-consumer subtree and track it for ``release_caches``.
+
+    SAME-THREAD CONTRACT: the tracked list is thread-local, so the
+    ``release_caches()`` that frees this barrier must run on the SAME
+    thread that called ``stage_cache`` (materialize, then release, in
+    the calling thread — the natural library flow). A caller that
+    builds frames on a worker/pool thread but releases elsewhere must
+    use ``release_all_caches()`` instead, or the barrier leaks for the
+    session's lifetime."""
     df.persist()
-    _TRACKED.items.append((df, df.sparkSession.sparkContext))
+    _track(df, df.sparkSession.sparkContext)
     return df
 
 
@@ -93,9 +117,7 @@ def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     only after the operator's result is fully materialized, per the
     module convention."""
     out = df.localCheckpoint(eager=eager)
-    _TRACKED.items.append(
-        (out._jdf.queryExecution().logical().rdd(), out.sparkSession.sparkContext)
-    )
+    _track(out._jdf.queryExecution().logical().rdd(), out.sparkSession.sparkContext)
     return out
 
 
@@ -109,11 +131,38 @@ def release_caches() -> int:
     any OTHER unpersist failure is logged and counted rather than
     swallowed (r5 ADVICE), so a py4j/plan-shape regression surfaces in
     logs instead of masquerading as a clean release."""
+    items = _TRACKED.items
+    popped = []
+    while items:
+        popped.append(items.pop())
+    with _ALL_LOCK:
+        for item in popped:
+            _ALL_TRACKED.pop(id(item), None)
+    return _release(popped, "release_caches")
+
+
+def release_all_caches() -> int:
+    """Cross-thread escape hatch: unpersist EVERY tracked barrier in the
+    session, regardless of which thread tracked it; returns the count.
+
+    For callers that cannot honor ``stage_cache``'s same-thread
+    contract (frames built on a pool thread, released from the main
+    thread, or a worker thread that has exited). Entries stay in their
+    origin thread's local list, but a later same-thread
+    ``release_caches()`` just re-unpersists — a harmless no-op on an
+    already-released frame. Unsafe while ANY thread's operator results
+    are not yet fully materialized (same rule as ``release_caches``,
+    applied globally)."""
+    with _ALL_LOCK:
+        popped = list(_ALL_TRACKED.values())
+        _ALL_TRACKED.clear()
+    return _release(popped, "release_all_caches")
+
+
+def _release(popped: list[tuple[object, object]], who: str) -> int:
     n = 0
     failures = 0
-    items = _TRACKED.items
-    while items:
-        handle, sc = items.pop()
+    for handle, sc in popped:
         if getattr(sc, "_jsc", None) is None:
             n += 1  # session stopped — nothing left to release
             continue
@@ -125,13 +174,11 @@ def release_caches() -> int:
         except Exception as exc:
             failures += 1
             _log.warning(
-                "release_caches: unpersist failed for %s: %s",
-                type(handle).__name__,
-                exc,
+                "%s: unpersist failed for %s: %s", who, type(handle).__name__, exc
             )
         n += 1
     if failures:
-        _log.warning("release_caches: %d of %d tracked releases failed", failures, n)
+        _log.warning("%s: %d of %d tracked releases failed", who, failures, n)
     return n
 
 

@@ -50,3 +50,34 @@ def test_every_registered_query_is_documented():
         if q.oracle is not None:
             head = q.oracle.strip().split(None, 1)[0].upper()
             assert head in ("SELECT", "WITH"), f"{name}: oracle starts {head}"
+
+
+def test_release_all_caches_cross_thread(spark, sf_dir):
+    """A barrier tracked on a worker thread is invisible to the main
+    thread's release_caches (thread-local contract) but freed by the
+    release_all_caches escape hatch (r6 ADVICE)."""
+    import threading
+
+    from map_reduce_spark.session import (
+        release_all_caches,
+        release_caches,
+        stage_cache,
+    )
+    from map_reduce_spark.sources import load_table
+
+    def worker():
+        df = stage_cache(load_table(spark, sf_dir, "region"))
+        df.count()  # materialize so release is safe
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    release_caches()  # main thread: cannot see the worker's barrier
+    assert not spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    assert release_all_caches() >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    # a same-thread barrier still releases through the normal path
+    df = stage_cache(load_table(spark, sf_dir, "nation"))
+    df.count()
+    release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
