@@ -196,14 +196,12 @@ LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
 )
 
 
-def _source_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, word-trigram) rows WITH duplicates, under the engine
-    tokenizer contract with re-ranked positions. Duplicate-insensitive
-    consumers (MIN aggregation) use this directly and skip the
-    gram-grain distinct shuffle."""
-    docs = parallelize_if_narrow(
-        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    )
+def _gram_stream_of(docs: DataFrame) -> DataFrame:
+    """(source, word-trigram) rows WITH duplicates from a documents
+    frame (full corpus or one batch), under the engine tokenizer
+    contract with re-ranked positions. Duplicate-insensitive consumers
+    (MIN aggregation) use this directly and skip the gram-grain
+    distinct shuffle."""
     toks = docs.select(
         "doc_id",
         "source",
@@ -217,6 +215,15 @@ def _source_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.concat_ws(" ", "t", "t2", "t3").alias("gram"),
+        )
+    )
+
+
+def _source_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus gram stream (see ``_gram_stream_of``)."""
+    return _gram_stream_of(
+        parallelize_if_narrow(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
         )
     )
 
@@ -439,6 +446,16 @@ def _perm_expr_sql(p: int) -> str:
     return f"substr(md5(concat('{g}:', gram)), {1 + 8 * s}, 8)"
 
 
+def _perm_hash_col(p: int):
+    """Spark twin of ``_perm_expr_sql`` — ONE definition of the K
+    portable MinHash permutations, shared by ``source_overlap_minhash``
+    and the health-report fold's signature leg."""
+    g, s = p // _SLICES_PER_MD5, p % _SLICES_PER_MD5
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{g}:"), F.col("gram"))), 1 + 8 * s, 8
+    )
+
+
 _OVERLAP_MINHASH_ORACLE = (
     "WITH "
     + _TOK_RERANK_CTE.strip()
@@ -500,14 +517,7 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-effort). md5 family start-to-finish, fully oracle-verified.
     """
     sg = _source_gram_stream(spark, sf_dir)
-
-    def perm_hash(p: int):
-        g, s = p // _SLICES_PER_MD5, p % _SLICES_PER_MD5
-        return F.substring(
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("gram"))), 1 + 8 * s, 8
-        )
-
-    mins = [F.min(perm_hash(p)).alias(f"h{p}") for p in range(_OVERLAP_PERMS)]
+    mins = [F.min(_perm_hash_col(p)).alias(f"h{p}") for p in range(_OVERLAP_PERMS)]
     sig = stage_cache(sg.groupBy("source").agg(*mins))
     a, b = sig.alias("a"), F.broadcast(sig).alias("b")
     n_agree = sum(
@@ -608,3 +618,233 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
     )
+
+
+# --- incremental corpus-health report (the fold twin) -----------------
+
+# corpus_health_report rescans the corpus per drop; the production
+# cadence is daily batches, so the report should be maintained as a
+# FOLD over per-batch states the way drift_psi got streaming_drift_psi.
+# All three legs reduce to mergeable state:
+#   psi      -> (source, bin) counts                     [sum]
+#   funnel   -> local-gate counts [sum] + a per-(text-hash, source)
+#               dup ledger (pass-12 count, min ids)      [sum/min]
+#   overlap  -> per-source K=64 MinHash signatures       [component min]
+# The dup ledger is the only non-constant leg: index-grain (distinct
+# texts), the same scale class as dedup_incremental's signature index.
+# Fold == one-shot in ANY order (tests/test_round7_ops.py, through
+# parquet at rest); the oracle is the one-shot composition below.
+_HEALTH_FOLD_DAYS = 3
+
+_HEALTH_FOLD_ORACLE = f"""
+WITH psi AS ({_PSI_ORACLE}),
+fun AS ({_FUNNEL_ORACLE}),
+ovm AS ({_OVERLAP_MINHASH_ORACLE})
+SELECT psi.source, psi.n_docs, psi.psi,
+       CAST(MAX(CASE WHEN fun.stage = 'kept' THEN fun.n_docs END) AS BIGINT) AS kept,
+       CAST(MAX(CASE WHEN fun.stage = 'too_short' THEN fun.n_docs END) AS BIGINT) AS too_short,
+       CAST(MAX(CASE WHEN fun.stage = 'low_diversity' THEN fun.n_docs END) AS BIGINT) AS low_diversity,
+       CAST(MAX(CASE WHEN fun.stage = 'exact_dup' THEN fun.n_docs END) AS BIGINT) AS exact_dup,
+       MAX(mj.max_est_jaccard) AS max_est_jaccard
+FROM psi
+JOIN fun ON fun.source = psi.source
+LEFT JOIN (
+  SELECT source, round(MAX(est_jaccard), 9) AS max_est_jaccard
+  FROM (
+    SELECT src_a AS source, est_jaccard FROM ovm
+    UNION ALL
+    SELECT src_b AS source, est_jaccard FROM ovm
+  ) GROUP BY source
+) mj ON mj.source = psi.source
+GROUP BY psi.source, psi.n_docs, psi.psi
+"""
+
+_LOCAL_STAGES = ("too_short", "low_diversity")
+
+
+def health_batch_state(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One batch's mergeable health state, four parquet-writable frames:
+
+    - ``psic (source, bin, c)`` — PSI bin counts (``psi_bins``);
+    - ``gate (source, stage, n_docs)`` — counts for the two LOCAL
+      funnel gates (length, diversity) a doc fails without any
+      cross-doc context;
+    - ``dup (h, source, n_pass12, min_id_p12, min_id_all)`` — the dup
+      ledger: per (md5(text), source), how many docs PASSED the local
+      gates, the smallest doc_id among those, and the smallest doc_id
+      among ALL docs (failed ones still hold the first-seen slot that
+      demotes later copies — the funnel's rn is over every doc);
+    - ``sig (source, h0..h63)`` — the portable MinHash signature of
+      the batch's trigrams (``source_overlap_minhash`` permutations).
+
+    One scan computes the first three (narrow array expressions, no
+    explode); the gram explode feeds only the signature leg. All
+    state folds by SUM/MIN — associative, commutative, exact."""
+    toks = F.filter(F.split("text", "[^a-zA-Z]"), lambda x: x != "")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.md5("text").alias("h"),
+    )
+    psic = psi_bins(docs).groupBy("source", "bin").agg(F.count("*").alias("c"))
+    local_stage = (
+        F.when(F.col("n_chars") < _MIN_CHARS, "too_short")
+        .when(2 * F.col("n_distinct") < F.col("n_tok"), "low_diversity")
+    )
+    staged = feats.withColumn("stage", local_stage)
+    gate = (
+        staged.filter(F.col("stage").isNotNull())
+        .groupBy("source", "stage")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    p12 = F.col("stage").isNull()
+    dup = staged.groupBy("h", "source").agg(
+        F.sum(p12.cast("long")).alias("n_pass12"),
+        F.min(F.when(p12, F.col("doc_id"))).alias("min_id_p12"),
+        F.min("doc_id").alias("min_id_all"),
+    )
+    sig = (
+        _gram_stream_of(docs)
+        .groupBy("source")
+        .agg(*[F.min(_perm_hash_col(p)).alias(f"h{p}") for p in range(_OVERLAP_PERMS)])
+    )
+    return psic, gate, dup, sig
+
+
+def merge_health_states(
+    a: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fold two health states (merge_rollup shape: union + keyed
+    SUM/MIN — associative and commutative, so any fold order lands on
+    the identical state). Everything here is state-sized; with both
+    sides bucketed by their keys at rest the merges are shuffle-free."""
+    psic = (
+        a[0].unionByName(b[0]).groupBy("source", "bin").agg(F.sum("c").alias("c"))
+    )
+    gate = (
+        a[1]
+        .unionByName(b[1])
+        .groupBy("source", "stage")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    dup = (
+        a[2]
+        .unionByName(b[2])
+        .groupBy("h", "source")
+        .agg(
+            F.sum("n_pass12").alias("n_pass12"),
+            F.min("min_id_p12").alias("min_id_p12"),
+            F.min("min_id_all").alias("min_id_all"),
+        )
+    )
+    sig = (
+        a[3]
+        .unionByName(b[3])
+        .groupBy("source")
+        .agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(_OVERLAP_PERMS)])
+    )
+    return psic, gate, dup, sig
+
+
+def health_report_from_state(
+    psic: DataFrame, gate: DataFrame, dup: DataFrame, sig: DataFrame
+) -> DataFrame:
+    """Finish the folded state into the per-source admission report —
+    identical columns and semantics to the one-shot oracle. Everything
+    here is state-sized: the PSI finish is sources x 10, the funnel
+    finish groups the dup ledger once (index-grain, keyed), and the
+    overlap finish is the |sources|^2 signature self-join."""
+    psi = psi_from_counts(psic)
+    # dup ledger finish: the global first-seen doc per text keeps its
+    # slot; every other locally-passing copy is an exact_dup
+    w = Window.partitionBy("h")
+    d2 = dup.withColumn("gmin", F.min("min_id_all").over(w))
+    kept_h = F.when(F.col("min_id_p12") == F.col("gmin"), 1).otherwise(0)
+    per_source = d2.groupBy("source").agg(
+        F.sum(kept_h).cast("long").alias("kept"),
+        F.sum(F.col("n_pass12") - kept_h).cast("long").alias("exact_dup"),
+    )
+    gate_wide = gate.groupBy("source").pivot("stage", list(_LOCAL_STAGES)).sum(
+        "n_docs"
+    )
+    # overlap finish: pairwise component agreement on the merged
+    # signatures, worst partner per source, both directions
+    s = stage_cache(sig)
+    a, b = s.alias("a"), F.broadcast(s).alias("b")
+    n_agree = sum(
+        (F.col(f"a.h{p}") == F.col(f"b.h{p}")).cast("int")
+        for p in range(_OVERLAP_PERMS)
+    )
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.round(n_agree / float(_OVERLAP_PERMS), 9).alias("est_jaccard"),
+    )
+    mj = (
+        pairs.select(F.col("src_a").alias("source"), "est_jaccard")
+        .unionByName(pairs.select(F.col("src_b").alias("source"), "est_jaccard"))
+        .groupBy("source")
+        .agg(F.round(F.max("est_jaccard"), 9).alias("max_est_jaccard"))
+    )
+    return (
+        psi.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(gate_wide), "source", "left")
+        .join(F.broadcast(mj), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "psi",
+            "kept",
+            F.coalesce("too_short", F.lit(0)).cast("long").alias("too_short"),
+            F.coalesce("low_diversity", F.lit(0)).cast("long").alias("low_diversity"),
+            "exact_dup",
+            "max_est_jaccard",
+        )
+    )
+
+
+@register("health_report_fold", oracle=_HEALTH_FOLD_ORACLE)
+def health_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_health_report`` maintained INCREMENTALLY: per-batch
+    mergeable states folded into the per-source admission report, so a
+    daily drop costs O(batch + state merge) instead of a corpus rescan
+    — the same promotion ``drift_psi`` got with ``streaming_drift_psi``,
+    here for the whole report (PSI + funnel + overlap) at once.
+
+    The overlap leg uses the MinHash ESTIMATOR (open-vocabulary scale
+    path) rather than the exact trigram Jaccard: exact per-source gram
+    SETS are not boundedly mergeable, signatures are (component MIN).
+    The funnel's dup gate folds exactly via the per-(text-hash, source)
+    ledger — first-seen doc keeps the slot across any batch split,
+    reproducing the one-shot window rank semantics.
+
+    The test-scale stand-in splits the corpus into {_HEALTH_FOLD_DAYS}
+    "days" by doc_id mod; production computes each day's state from
+    that day's batch alone and folds against the state parquet.
+    tests/test_round7_ops.py proves fold == one-shot through parquet
+    at rest in arbitrary fold order.
+
+    Scale shape: per-batch work is one narrow corpus scan (gates +
+    PSI bins, no explode) plus the gram explode for the signature leg;
+    folded state is sources x 10 + sources x 2 + the index-grain dup
+    ledger + sources x 64. The finish is state-sized; with ledger and
+    report bucketed by their keys at rest the merge is shuffle-free.
+    """
+    from functools import reduce
+
+    docs = parallelize_if_narrow(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+    )
+    states = [
+        health_batch_state(docs.filter(F.col("doc_id") % _HEALTH_FOLD_DAYS == d))
+        for d in range(_HEALTH_FOLD_DAYS)
+    ]
+    return health_report_from_state(*reduce(merge_health_states, states))

@@ -591,6 +591,17 @@ PQ_M = 4  # subspaces
 PQ_K = 4  # centroids per subspace
 PQ_SUBDIM = 16  # dims per subspace (4 x 16 = 64)
 
+# code-column lists generated from PQ_M in ONE place, used by the Spark
+# final selects AND the oracle strings of every PQ-code emitter
+# (pq_encode, ann_index_upsert) — r6 ADVICE: hard-coded code0..code3
+# lists would silently desynchronize from a PQ_M change.
+_PQ_CODE_COLS = tuple(f"code{m}" for m in range(PQ_M))
+_PQ_CODE_CASES_SQL = ",\n       ".join(
+    f"CAST(MAX(CASE WHEN m = {m} THEN cid END) AS INT) AS code{m}"
+    for m in range(PQ_M)
+)
+_PQ_CODE_SELECT_SQL = ", ".join(f"k.code{m}" for m in range(PQ_M))
+
 
 @register(
     "pq_encode",
@@ -619,10 +630,7 @@ best AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
 )
 SELECT vec_id,
-       CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INT) AS code0,
-       CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INT) AS code1,
-       CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INT) AS code2,
-       CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INT) AS code3,
+       {_PQ_CODE_CASES_SQL},
        CAST(SUM(d2) AS BIGINT) AS recon_err
 FROM best GROUP BY vec_id
 """,
@@ -1477,10 +1485,7 @@ best AS (
 ),
 codes AS (
   SELECT vec_id,
-         CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INT) AS code0,
-         CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INT) AS code1,
-         CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INT) AS code2,
-         CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INT) AS code3,
+         {_PQ_CODE_CASES_SQL},
          CAST(SUM(d2) AS BIGINT) AS recon_err
   FROM best GROUP BY vec_id
 ),
@@ -1506,7 +1511,7 @@ cellstats AS (
   FROM drift
 )
 SELECT a.vec_id, a.cell, a.dist2,
-       k.code0, k.code1, k.code2, k.code3, k.recon_err,
+       {_PQ_CODE_SELECT_SQL}, k.recon_err,
        s.n_index, s.n_batch, s.growth_pct, s.drift2, s.needs_retrain
 FROM assign a JOIN codes k ON a.vec_id = k.vec_id
 JOIN cellstats s ON a.cell = s.cell
@@ -1690,13 +1695,27 @@ def ann_upsert_frames(
     # widest dn whose square still fits the 38-digit sum BOTH engines
     # carry (DuckDB squares in int128, max ~1.7e38): dn =
     # |new_mean-old_mean| * n(n+nb), so 1e19 covers n(n+nb) ~ 1.1e18
-    # (the comment's own extreme) times a ~9-unit mean drift; past that
-    # envelope neither engine can hold the exact square, and Spark
-    # nulls / DuckDB errors rather than silently wrapping.
-    dn = (
+    # times a ~9-unit mean drift. Past that envelope DuckDB errors
+    # loudly, but ANSI-off Spark would NULL the narrowed term and
+    # F.sum would silently SKIP it — drift2 computed from the
+    # remaining dimensions, a silent wrong answer (r6 ADVICE). The
+    # guard below makes the Spark side equally loud: a term the wide
+    # decimal held but the narrow cast dropped raises at runtime
+    # instead of vanishing into the sum.
+    dn_wide = (
         F.col("n").cast("decimal(38,0)") * F.col("bsum")
         - F.col("n_batch").cast("decimal(38,0)") * F.col("s")
-    ).cast("decimal(19,0)")
+    )
+    dn = F.when(
+        dn_wide.isNotNull() & dn_wide.cast("decimal(19,0)").isNull(),
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "ann_upsert_frames: centroid-drift term exceeds the "
+                "decimal(19,0) envelope — drift2 would drop dimensions"
+            ),
+        ).cast("decimal(19,0)"),
+    ).otherwise(dn_wide.cast("decimal(19,0)"))
     denom = (F.col("n_index") * (F.col("n_index") + F.col("n_batch"))).cast("double")
     cellstats = (
         # bn and cent are per-cell metadata (k rows) — broadcast both;
@@ -1732,10 +1751,7 @@ def ann_upsert_frames(
             "vec_id",
             "cell",
             "dist2",
-            "code0",
-            "code1",
-            "code2",
-            "code3",
+            *_PQ_CODE_COLS,
             "recon_err",
             "n_index",
             "n_batch",
@@ -1852,3 +1868,165 @@ def centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (micro.cast("double") / F.lit(1000000.0)).alias("centroid_ci"),
         "retrained",
     )
+
+
+# --- periodic index-delta compaction (completes the incremental story) -
+
+# Successive ann_index_upsert batches each leave a metadata DELTA
+# (per-cell component sums + member counts for THAT batch); a
+# production index periodically folds N deltas + the stored metadata
+# into one consolidated (cell, dim) table and re-derives the retrain
+# flags from the CUMULATIVE growth. Shaped like merge_rollup
+# (incremental.py): decomposable integer measures only, so folding any
+# subset of deltas in any order equals the one-shot fold — proven
+# through parquet at rest in tests/test_round7_ops.py.
+_COMPACT_DAYS = 3  # the registered query plays 3 accumulated batches
+
+_ANN_COMPACT_ORACLE = f"""
+WITH {_UPSERT_CTES},
+ndel AS (
+  SELECT cell,
+         COUNT(DISTINCT (vec_id // {_UPSERT_MOD}) % {_COMPACT_DAYS}) AS n_deltas
+  FROM assign GROUP BY cell
+),
+comp AS (
+  SELECT c.clabel AS cell, c.i AS dim,
+         c.n + COALESCE(bn.n_batch, 0) AS nm,
+         c.s + COALESCE(b.bsum, 0) AS num,
+         CAST(COALESCE(bn.n_batch, 0) * 100 > c.n * {_RETRAIN_GROWTH_PCT} AS INT)
+           AS needs_retrain,
+         COALESCE(nd.n_deltas, 0) AS n_deltas
+  FROM cent c
+  LEFT JOIN bn ON c.clabel = bn.cell
+  LEFT JOIN bs b ON c.clabel = b.cell AND c.i = b.i
+  LEFT JOIN ndel nd ON c.clabel = nd.cell
+)
+SELECT cell, dim, CAST(nm AS BIGINT) AS n_members,
+       CAST(num AS BIGINT) AS s_total,
+       CAST(sign(num) * ((abs(num) * 200 + nm) // (2 * nm)) AS DOUBLE)
+         / 1000000 AS centroid_ci,
+       needs_retrain,
+       CAST(n_deltas AS BIGINT) AS n_deltas
+FROM comp
+"""
+
+
+def ann_delta_frame(assign: DataFrame, bterms: DataFrame) -> DataFrame:
+    """One batch's metadata DELTA: (cell, i, bsum, nb, nd). ``bsum`` is
+    the batch's per-(cell, dim) component sum, ``nb`` the per-cell
+    batch member count (repeated on each of the cell's dim rows so the
+    delta is ONE parquet-writable frame), ``nd`` = 1 marks "this delta
+    touched the cell". All three fold by plain SUM, which is what
+    makes compaction order-independent. Derives from the SAME
+    ``_upsert_assign``/``_batch_cell_sums`` machinery as the upsert and
+    the retrainer, so the three maintenance operators cannot disagree
+    on how a batch lands in cells."""
+    bs, bn = _batch_cell_sums(assign, bterms)
+    bn2 = bn.select(F.col("cell").alias("bn_cell"), "n_batch")
+    return bs.join(F.broadcast(bn2), bs["cell"] == bn2["bn_cell"]).select(
+        "cell",
+        "i",
+        "bsum",
+        F.col("n_batch").alias("nb"),
+        F.lit(1).alias("nd"),
+    )
+
+
+def merge_ann_deltas(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two deltas (or a delta into an accumulated fold): union +
+    keyed SUM — associative and commutative, the merge_rollup shape.
+    O(metadata): both sides are (cells x dims) frames."""
+    return (
+        a.unionByName(b)
+        .groupBy("cell", "i")
+        .agg(
+            F.sum("bsum").alias("bsum"),
+            F.sum("nb").alias("nb"),
+            F.sum("nd").alias("nd"),
+        )
+    )
+
+
+def ann_compact_frames(cent: DataFrame, delta: DataFrame) -> DataFrame:
+    """Consolidate the stored index metadata with an accumulated delta
+    fold: the new (cell, dim) metadata table a production index writes
+    back — exact component sums and member counts, the 6dp centroid on
+    the exact integer micro grid (centroid_retrain's math, NOTES rule
+    23), the retrain flag from CUMULATIVE growth, and how many deltas
+    touched each cell. Purely metadata-sized: cent is k x dim, the
+    delta fold at most the same."""
+    d2 = delta.select(
+        F.col("cell").alias("d_cell"),
+        F.col("i").alias("d_i"),
+        "bsum",
+        "nb",
+        "nd",
+    )
+    j = cent.join(
+        F.broadcast(d2),
+        (cent["clabel"] == d2["d_cell"]) & (cent["i"] == d2["d_i"]),
+        "left",
+    ).select(
+        cent["clabel"].alias("cell"),
+        cent["i"].alias("dim"),
+        (F.col("n") + F.coalesce(F.col("nb"), F.lit(0))).cast("long").alias("nm"),
+        (F.col("s") + F.coalesce(F.col("bsum"), F.lit(0))).cast("long").alias("num"),
+        (F.coalesce(F.col("nb"), F.lit(0)) * 100 > F.col("n") * _RETRAIN_GROWTH_PCT)
+        .cast("int")
+        .alias("needs_retrain"),
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_deltas"),
+    )
+    micro = F.signum("num").cast("long") * F.expr(
+        "(abs(num) * 200 + nm) div (2 * nm)"
+    )
+    return j.select(
+        "cell",
+        "dim",
+        F.col("nm").alias("n_members"),
+        F.col("num").alias("s_total"),
+        (micro.cast("double") / F.lit(1000000.0)).alias("centroid_ci"),
+        "needs_retrain",
+        "n_deltas",
+    )
+
+
+@register("ann_index_compact", oracle=_ANN_COMPACT_ORACLE)
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic IVF index-delta COMPACTION — the third leg of the
+    incremental ANN maintenance family (upsert -> selective retrain ->
+    compaction): fold the metadata deltas of ``_COMPACT_DAYS``
+    accumulated upsert batches into one consolidated (cell, dim)
+    metadata table, with retrain flags re-derived from the cumulative
+    growth (a cell no single batch tripped can still cross the
+    threshold across batches — the case per-batch flags miss).
+
+    The test-scale stand-in splits the mod-10 batch population into
+    {_COMPACT_DAYS} "days" by ``(vec_id div 10) % {_COMPACT_DAYS}``;
+    each day's delta is computed independently (in production: loaded
+    from the day's delta parquet, metadata-sized) and folded pairwise
+    via ``merge_ann_deltas``. tests/test_round7_ops.py proves fold ==
+    one-shot through parquet at rest in arbitrary fold order.
+
+    Scale shape: the only corpus-grain work is the shared batch
+    explode + ``_upsert_assign`` argmin (O(total batch), centroid side
+    broadcast); every delta, the fold, and the final consolidation
+    join are (cells x dims) metadata frames — broadcast-sized no
+    matter the corpus. No indexed vector is ever rescanned.
+    """
+    from functools import reduce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = _iv4(e)
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    cent = stage_cache(_ivf_cell_stats(iv.filter(~is_batch)))
+    bterms = stage_cache(_batch_terms(iv.filter(is_batch)))
+    assign = stage_cache(_upsert_assign(bterms, cent))
+    day = F.expr(f"(vec_id div {_UPSERT_MOD}) % {_COMPACT_DAYS}")
+    deltas = [
+        ann_delta_frame(
+            assign.filter(day == d), bterms.filter(day == d)
+        )
+        for d in range(_COMPACT_DAYS)
+    ]
+    merged = reduce(merge_ann_deltas, deltas)
+    return ann_compact_frames(cent, merged)

@@ -79,6 +79,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "select_pretraining_data": "inherits dsir_frame's scalar corpus-total 1-row frame",
     "drift_psi": "scalar corpus-total doc count (1-row frame, broadcast onto the source x 10-bin grid)",
     "corpus_health_report": "inherits drift_psi's scalar corpus-total 1-row frame (composed leg)",
+    "health_report_fold": "inherits psi_from_counts' scalar corpus-total 1-row frame (PSI finish leg)",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -118,6 +119,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "source_overlap_minhash": "broadcast per-source signature frame (one K-column row per SOURCE) self-paired on source<source",
     "curation_funnel": "broadcast 4-row stage spine onto the per-source grid",
     "corpus_health_report": "inherits its composed legs' broadcast constant-size frames (bin/stage spines, per-source set sizes, 1-row totals)",
+    "health_report_fold": "broadcast per-source merged-signature frame self-paired on source<source + the PSI finish's bin spine / 1-row total",
 }
 
 

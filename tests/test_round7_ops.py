@@ -1,0 +1,180 @@
+"""Round-7 operators: periodic ANN index-delta compaction
+(``ann_index_compact``) and the incremental corpus-health report
+(``health_report_fold``) — both MERGE-shaped (merge_rollup,
+incremental.py): decomposable state folded through parquet at rest,
+any fold order == the one-shot computation (r6 verdict items 2, 3)."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from map_reduce_spark.io import load_table
+from map_reduce_spark.operators.similarity import (
+    _COMPACT_DAYS,
+    _UPSERT_MOD,
+    _batch_terms,
+    _iv4,
+    _ivf_cell_stats,
+    _upsert_assign,
+    ann_compact_frames,
+    ann_delta_frame,
+    ann_index_compact,
+    merge_ann_deltas,
+)
+from map_reduce_spark.session import release_caches
+from tests.oracle import assert_frames_match
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# --- ann_index_compact -------------------------------------------------
+
+
+def test_ann_compact_matches_oracle(spark, duck, sf_dir):
+    from map_reduce_spark.registry import all_queries
+
+    q = all_queries()["ann_index_compact"]
+    got = q.fn(spark, sf_dir)
+    assert_frames_match(got, duck.execute(q.oracle).fetchdf(), "ann_index_compact")
+    release_caches()
+
+
+def test_ann_compact_fold_order_through_parquet(spark, sf_dir, tmp_path):
+    """The deployment shape: each day's upsert leaves a delta parquet;
+    compaction loads N deltas and folds them. Folding in ANY order —
+    including the reversed order and a one-shot single delta over the
+    whole accumulated batch — must consolidate to the identical
+    metadata table."""
+    iv = _iv4(load_table(spark, sf_dir, "embeddings"))
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    cent = _ivf_cell_stats(iv.filter(~is_batch))
+    bterms = _batch_terms(iv.filter(is_batch))
+    assign = _upsert_assign(bterms, cent)
+    day = F.expr(f"(vec_id div {_UPSERT_MOD}) % {_COMPACT_DAYS}")
+
+    paths = []
+    for d in range(_COMPACT_DAYS):
+        p = str(tmp_path / f"delta_{d}")
+        ann_delta_frame(
+            assign.filter(day == d), bterms.filter(day == d)
+        ).write.parquet(p)
+        paths.append(p)
+
+    stored = [spark.read.parquet(p) for p in paths]
+    fwd = ann_compact_frames(cent, reduce(merge_ann_deltas, stored))
+    rev = ann_compact_frames(cent, reduce(merge_ann_deltas, stored[::-1]))
+    want = _rows(ann_index_compact(spark, sf_dir))
+    assert _rows(fwd) == want
+    assert _rows(rev) == want
+    release_caches()
+
+
+def test_ann_compact_one_shot_equals_fold(spark, sf_dir):
+    """A single delta over the whole accumulated batch consolidates to
+    the same sums/counts/flags as the per-day fold (n_deltas aside,
+    which by definition counts contributing deltas)."""
+    iv = _iv4(load_table(spark, sf_dir, "embeddings"))
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    cent = _ivf_cell_stats(iv.filter(~is_batch))
+    bterms = _batch_terms(iv.filter(is_batch))
+    assign = _upsert_assign(bterms, cent)
+    one = ann_compact_frames(cent, ann_delta_frame(assign, bterms)).drop("n_deltas")
+    folded = ann_index_compact(spark, sf_dir).drop("n_deltas")
+    assert _rows(one) == _rows(folded)
+    release_caches()
+
+
+def test_ann_compact_semantics(spark, sf_dir):
+    rows = ann_index_compact(spark, sf_dir).collect()
+    release_caches()
+    assert rows
+    cells = {}
+    for r in rows:
+        assert r["n_members"] > 0 and r["n_deltas"] >= 0
+        assert r["needs_retrain"] in (0, 1)
+        # centroid is the 6dp micro-grid mean of the exact sums:
+        # half-away rounding on the integer grid, recomputed exactly
+        micro = (abs(r["s_total"]) * 200 + r["n_members"]) // (2 * r["n_members"])
+        if r["s_total"] < 0:
+            micro = -micro
+        assert abs(r["centroid_ci"] - micro / 1e6) < 1e-12
+        cells.setdefault(r["cell"], set()).add(
+            (r["needs_retrain"], r["n_deltas"])
+        )
+    # per-cell flags consistent across dims; every stored cell present
+    for cell, s in cells.items():
+        assert len(s) == 1, f"cell {cell}: inconsistent {s}"
+
+
+# --- health_report_fold ------------------------------------------------
+
+
+def test_health_fold_matches_oracle(spark, duck, sf_dir):
+    from map_reduce_spark.registry import all_queries
+
+    q = all_queries()["health_report_fold"]
+    got = q.fn(spark, sf_dir)
+    assert_frames_match(got, duck.execute(q.oracle).fetchdf(), "health_report_fold")
+    release_caches()
+
+
+def test_health_fold_order_through_parquet(spark, sf_dir, tmp_path):
+    """Each day's state written to parquet, reloaded, folded in two
+    different orders AND as one-shot whole-corpus state — all three
+    must finish into the identical report."""
+    from map_reduce_spark.operators.monitoring import (
+        _HEALTH_FOLD_DAYS,
+        health_batch_state,
+        health_report_fold,
+        health_report_from_state,
+        merge_health_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    legs = ("psic", "gate", "dup", "sig")
+    stored = []
+    for d in range(_HEALTH_FOLD_DAYS):
+        state = health_batch_state(docs.filter(F.col("doc_id") % _HEALTH_FOLD_DAYS == d))
+        frames = []
+        for leg, frame in zip(legs, state):
+            p = str(tmp_path / f"{leg}_{d}")
+            frame.write.parquet(p)
+            frames.append(spark.read.parquet(p))
+        stored.append(tuple(frames))
+
+    fwd = health_report_from_state(*reduce(merge_health_states, stored))
+    rev = health_report_from_state(*reduce(merge_health_states, stored[::-1]))
+    one = health_report_from_state(*health_batch_state(docs))
+    want = _rows(health_report_fold(spark, sf_dir))
+    got_fwd = _rows(fwd)
+    release_caches()
+    got_rev = _rows(rev)
+    release_caches()
+    got_one = _rows(one)
+    release_caches()
+    assert got_fwd == want
+    assert got_rev == want
+    assert got_one == want
+
+
+def test_health_fold_consistent_with_one_shot_report(spark, sf_dir):
+    """The fold twin agrees with corpus_health_report on every shared
+    column (the overlap leg differs by design: estimator vs exact)."""
+    from map_reduce_spark.operators.monitoring import (
+        corpus_health_report,
+        health_report_fold,
+    )
+
+    shared = ["source", "n_docs", "psi", "kept", "too_short", "low_diversity", "exact_dup"]
+    a = _rows(health_report_fold(spark, sf_dir).select(*shared))
+    release_caches()
+    b = _rows(corpus_health_report(spark, sf_dir).select(*shared))
+    release_caches()
+    assert a == b
