@@ -72,68 +72,49 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# The catalog closed in round 5 (every registered query holds at least
-# one driver row; 48/50 of the r5 window fully green, the 2 non-green
-# being the by-design rows-only sketch estimators). The round-6 window
-# (per the round-5 verdict, item 2) rotates onto STALENESS: every query
-# whose implementing file changed after its latest driver row gets a
-# fresh row this round.
+# The round-7 window applies the file-granularity staleness rule (a
+# query is stale when its implementing file changed after its latest
+# driver row) to everything the r6/r7 commits touched:
 #   - two anchors (the reference flagship + exact dedup) that stay
 #     continuously verified,
-#   - the round-6 addition ann_index_upsert (verdict item 4),
-#   - every r5-verdict-named query whose r5 code change postdates its
-#     row: the similarity salting family, triangle_count, the BPE pair,
-#     the multimodal codecs, the Python DataSource trio, the composed
-#     training pipeline, corpus_shuffle, recursive_cte,
-#   - the whole multimodal.py surface (decode_jpeg's bit-reader pad
-#     was widened in r6) and the whole similarity.py surface
-#     (ann_index_upsert landed there in r6) — file-granularity
-#     staleness, so no registered query's latest row predates its
-#     file's last change,
-#   - the tpch.py hint-removal inheritors q3/q10/q18 (q3 also the only
-#     r2-era TPC-H row),
-#   - fillers re-certifying the oldest remaining rows: 17 of the 19
-#     r1-era queries (window_moving_sum and window_row_number_topk
-#     keep their r1 rows this round — both are 10x-parity-covered and
-#     the latter is bench-headline).
-# Deliberately NOT in the window: ann_lsh_topk (rows-only by design;
-# its fully-oracled portable twin IS in the window). Everything else
-# holds a green row from r2-r5 and follows in registration order.
+#   - the two round-7 additions (ann_index_compact completing the
+#     incremental ANN story, health_report_fold completing the
+#     incremental monitoring story),
+#   - the whole similarity.py surface (r7: upsert drift-overflow
+#     guard + PQ_M-derived code columns + the compaction landed
+#     there) and the whole monitoring.py surface (r7: gram-stream /
+#     perm-hash refactor shared with the health fold),
+#   - the oracled dedup.py surface (r6: dedup_incremental library-form
+#     refactor postdates most of the file's rows, five r2-era),
+#   - the streaming/jobs.py family (r6: streaming_drift_psi landed
+#     there; the other ten rows predate the change;
+#     streaming_drift_psi itself holds a green r6 row and stays out),
+#   - contamination_minhash as the heaviest session.py stage_cache
+#     inheritor not already in the window (session.py's cross-thread
+#     registry rewrite touches every operator; the similarity/dedup
+#     members above cover the rest of the heavy users),
+#   - fillers re-certifying seven of the ten remaining r1-era rows,
+#     including the two r6-verdict-named holdouts (window_moving_sum,
+#     window_row_number_topk).
+# Deliberately NOT in the window: ann_lsh_topk / dedup_minhash_lsh /
+# dedup_simhash (rows-only by design; their fully-oracled portable
+# twins ARE in the window), and set_intersect / set_except /
+# union_by_name (r1 rows, unchanged files, 10x-parity-covered — the
+# three lowest-risk rows in the catalog). Everything else holds a
+# green row from r2-r6 and follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # round-6 additions: incremental ANN index maintenance + the
-    # selective retrain downstream of its flags (centroid_retrain takes
-    # the window_lag_lead filler slot; that query keeps its r1 green
-    # row and is 10x-parity-covered)
+    # round-7 additions
+    "ann_index_compact",
+    "health_report_fold",
+    # similarity.py surface (file changed r7)
     "ann_index_upsert",
     "centroid_retrain",
-    # r5-changed code whose rows predate the change (r5 verdict item 2)
     "dedup_semantic",
     "knn_graph",
     "dedup_embedding_cosine",
-    "triangle_count",
-    "bpe_train_merges",
-    "bpe_encode",
-    "prepare_training_data",
-    "corpus_shuffle",
-    "recursive_cte",
-    "python_datasource_scan",
-    "python_datasource_stream",
-    "python_datasource_write",
-    # multimodal.py surface (r5 JPEG codec + r6 bit-reader pad widening)
-    "multimodal_pipeline",
-    "multimodal_gif_pipeline",
-    "multimodal_features",
-    "multimodal_parse",
-    "audio_metadata",
-    "binary_metadata",
-    # tpch.py hint-removal inheritors (q3 is also the oldest TPC-H row)
-    "q3_top_revenue_orders",
-    "q10_returned_items",
-    "q18_large_orders",
-    # rest of the similarity.py surface (file changed in r6)
     "embedding_topk",
     "ann_lsh_topk_portable",
     "ivf_assign",
@@ -143,29 +124,43 @@ _PRIORITY: tuple[str, ...] = (
     "pq_adc_topk",
     "kmeans_lloyd",
     "hard_negatives",
-    # fillers: oldest (r1-era) rows
-    "agg_basic",
-    "agg_filtered",
-    "array_funcs",
-    "conditional_funcs",
-    "date_funcs",
-    "distinct_op",
-    "json_funcs",
-    "math_funcs",
-    "monthly_revenue",
-    # round-6 additions: the corpus-monitoring family (monitoring.py +
-    # its streaming twin + the composed per-drop report) needs FIRST
-    # rows, so it takes the last seven filler slots (set_except /
-    # set_intersect / set_union / sql_api_q6 / string_funcs /
-    # union_by_name / window_cumulative keep their r1 green rows — all
-    # seven are 10x-parity-covered).
+    # monitoring.py surface (file changed r7)
     "drift_psi",
     "source_overlap",
     "source_overlap_minhash",
     "curation_funnel",
-    "streaming_drift_psi",
     "k_anonymity",
     "corpus_health_report",
+    # oracled dedup.py surface (file changed r6; rows r2-r5)
+    "dedup_exact_survivors",
+    "ngram_jaccard_dupes",
+    "dedup_components",
+    "dedup_components_lss",
+    "dedup_minhash_lsh_portable",
+    "dedup_incremental",
+    "dedup_simhash_portable",
+    "dedup_spans",
+    # streaming/jobs.py family (file changed r6; rows r2-r5)
+    "streaming_word_count",
+    "streaming_tumbling_watermark",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "streaming_dedup_exact",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "streaming_stateful_counts",
+    "streaming_dedup_watermark",
+    "streaming_foreach_batch",
+    # heaviest session.py stage_cache inheritor outside the above
+    "contamination_minhash",
+    # fillers: oldest (r1-era) rows, incl. the two r6-named holdouts
+    "window_moving_sum",
+    "window_row_number_topk",
+    "window_lag_lead",
+    "window_cumulative",
+    "sql_api_q6",
+    "set_union",
+    "string_funcs",
 )
 
 

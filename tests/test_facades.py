@@ -81,3 +81,21 @@ def test_release_all_caches_cross_thread(spark, sf_dir):
     df.count()
     release_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
+def test_coverage_header_counts():
+    """COVERAGE.md's header counts must equal the live registry (the
+    r6 verdict caught them drifting; this pins them)."""
+    import re
+
+    from map_reduce_spark import registry
+
+    qs = registry.all_queries()
+    n_oracled = sum(1 for q in qs.values() if q.oracle)
+    head = open("COVERAGE.md").read(400)
+    m = re.search(r"(\d+) registered queries, (\d+) with DuckDB oracles", head)
+    assert m, "COVERAGE.md header count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qs), n_oracled), (
+        f"COVERAGE.md header says {m.group(0)}; registry has "
+        f"{len(qs)}/{n_oracled} — update the header"
+    )
