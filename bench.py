@@ -93,6 +93,11 @@ HEADLINE = [
     "drift_psi",
     "source_overlap",
     "curation_funnel",
+    # round 7 additions: the two fold operators completing the
+    # incremental stories (N-delta ANN metadata compaction; the
+    # admission report as a fold over per-batch state)
+    "ann_index_compact",
+    "health_report_fold",
 ]
 
 

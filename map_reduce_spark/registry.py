@@ -77,9 +77,10 @@ def register(name: str, oracle: str | None = None):
 # driver row) to everything the r6/r7 commits touched:
 #   - two anchors (the reference flagship + exact dedup) that stay
 #     continuously verified,
-#   - the two round-7 additions (ann_index_compact completing the
+#   - the three round-7 additions (ann_index_compact completing the
 #     incremental ANN story, health_report_fold completing the
-#     incremental monitoring story),
+#     incremental monitoring story, streaming_health_report running
+#     that fold on the ingest stream),
 #   - the whole similarity.py surface (r7: upsert drift-overflow
 #     guard + PQ_M-derived code columns + the compaction landed
 #     there) and the whole monitoring.py surface (r7: gram-stream /
@@ -99,8 +100,10 @@ def register(name: str, oracle: str | None = None):
 # Deliberately NOT in the window: ann_lsh_topk / dedup_minhash_lsh /
 # dedup_simhash (rows-only by design; their fully-oracled portable
 # twins ARE in the window), and set_intersect / set_except /
-# union_by_name (r1 rows, unchanged files, 10x-parity-covered — the
-# three lowest-risk rows in the catalog). Everything else holds a
+# union_by_name / string_funcs (r1 rows, unchanged files,
+# 10x-parity-covered — the four lowest-risk rows in the catalog;
+# string_funcs ceded its filler slot to streaming_health_report's
+# first row). Everything else holds a
 # green row from r2-r6 and follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
@@ -109,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-7 additions
     "ann_index_compact",
     "health_report_fold",
+    "streaming_health_report",
     # similarity.py surface (file changed r7)
     "ann_index_upsert",
     "centroid_retrain",
@@ -160,7 +164,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_cumulative",
     "sql_api_q6",
     "set_union",
-    "string_funcs",
 )
 
 

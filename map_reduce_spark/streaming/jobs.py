@@ -695,3 +695,110 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = streaming_psi_counts_plan(stream_documents(spark, sf_dir))
     counts = _run_to_table(plan, "stream_psi_counts", "complete")
     return psi_from_counts(counts)
+
+
+# --- the health report maintained ON the ingest stream ----------------
+
+
+def run_streaming_health_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """foreachBatch maintenance of the corpus-health state
+    (monitoring.health_batch_state legs) as parquet-at-rest tables:
+    each micro-batch computes its own mergeable state and folds it
+    into the stored legs via the SAME merge_health_states the batch
+    fold uses, with an epoch marker making the fold idempotent under
+    micro-batch replay (a retried epoch must not double-count — the
+    streaming analog of the staged-commit sink; the reference's
+    append-mode retry bug, worker.ex:124,147, is exactly this class).
+    After the stream drains, the stored state finishes into the
+    per-source report with health_report_from_state."""
+    import shutil
+
+    from map_reduce_spark.operators.monitoring import (
+        health_batch_state,
+        health_report_from_state,
+        merge_health_states,
+    )
+
+    legs = ("psic", "gate", "dup", "sig")
+    epoch_marker = os.path.join(state_dir, "_last_epoch")
+
+    def fold_batch(df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(epoch_marker):
+            with open(epoch_marker) as fh:
+                if epoch_id <= int(fh.read().strip()):
+                    return  # replayed epoch: already folded
+        batch_state = health_batch_state(df)
+        have_state = os.path.exists(os.path.join(state_dir, legs[0]))
+        if have_state:
+            stored = tuple(
+                spark.read.parquet(os.path.join(state_dir, leg)) for leg in legs
+            )
+            merged = merge_health_states(stored, batch_state)
+        else:
+            merged = batch_state
+        # write-then-swap: the new state materializes (reading the old
+        # parquet) BEFORE the old directory is replaced, then the epoch
+        # marker commits the fold
+        for leg, frame in zip(legs, merged):
+            nxt = os.path.join(state_dir, leg + "_next")
+            shutil.rmtree(nxt, ignore_errors=True)
+            frame.write.parquet(nxt)
+            cur = os.path.join(state_dir, leg)
+            shutil.rmtree(cur, ignore_errors=True)
+            os.rename(nxt, cur)
+        with open(epoch_marker, "w") as fh:
+            fh.write(str(epoch_id))
+
+    if source is None:
+        source = stream_documents(spark, sf_dir)
+    q = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    stored = tuple(
+        spark.read.parquet(os.path.join(state_dir, leg)) for leg in legs
+    )
+    return health_report_from_state(*stored)
+
+
+def _health_fold_oracle() -> str:
+    from map_reduce_spark.operators.monitoring import _HEALTH_FOLD_ORACLE
+
+    return _HEALTH_FOLD_ORACLE
+
+
+@register("streaming_health_report", oracle=_health_fold_oracle())
+def streaming_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """health_report_fold deployed ON the ingest stream: foreachBatch
+    folds each micro-batch's mergeable health state into parquet-at-
+    rest state tables (epoch-idempotent write-then-swap commit), and
+    draining the stream finishes the stored state into the identical
+    per-source admission report — same merge, same finish, same oracle
+    as the batch fold, so the continuously-maintained report can never
+    drift from the per-drop recomputation.
+
+    Scale shape: per micro-batch the corpus-grain work is that batch's
+    one-scan state computation; the stored legs are state-sized
+    (sources x 10 / x 2 / x 64 + the index-grain dup ledger), so each
+    fold moves state, never history. On a real cluster the same
+    foreachBatch runs off Kafka with a processing-time trigger and the
+    state legs live as bucketed tables, making the merge shuffle-free.
+    """
+    import shutil
+    import tempfile
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"mr_spark_health_state_{os.getpid()}"
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.makedirs(state_dir)
+    return run_streaming_health_fold(spark, sf_dir, state_dir)

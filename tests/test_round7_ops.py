@@ -178,3 +178,80 @@ def test_health_fold_consistent_with_one_shot_report(spark, sf_dir):
     b = _rows(corpus_health_report(spark, sf_dir).select(*shared))
     release_caches()
     assert a == b
+
+
+# --- streaming_health_report -------------------------------------------
+
+
+def test_streaming_health_report_equals_batch_fold(spark, sf_dir):
+    """The stream-maintained report must equal the batch fold exactly
+    (same merge, same finish)."""
+    from map_reduce_spark.operators.monitoring import health_report_fold
+    from map_reduce_spark.streaming.jobs import streaming_health_report
+
+    a = _rows(streaming_health_report(spark, sf_dir))
+    release_caches()
+    b = _rows(health_report_fold(spark, sf_dir))
+    release_caches()
+    assert a == b
+
+
+def test_streaming_health_fold_multi_epoch(spark, sf_dir, tmp_path):
+    """A REAL multi-micro-batch fold: the corpus split across three
+    files streamed one file per trigger must fold into the same report
+    as the one-shot state — and replaying the drained stream against
+    the SAME state dir must be a no-op (epoch idempotence), not a
+    double-count."""
+    from map_reduce_spark.operators.monitoring import (
+        health_batch_state,
+        health_report_from_state,
+    )
+    from map_reduce_spark.streaming.jobs import (
+        DOCS_SCHEMA,
+        run_streaming_health_fold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    for d in range(3):
+        docs.filter(F.col("doc_id") % 3 == d).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state_dir = str(tmp_path / "health_state")
+    import os
+
+    os.makedirs(state_dir)
+
+    def make_source():
+        return (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    got = _rows(
+        run_streaming_health_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    want = _rows(health_report_from_state(*health_batch_state(docs)))
+    release_caches()
+    assert got == want
+    # replay: same state dir, fresh checkpoint — every epoch is <= the
+    # stored marker after the marker is bumped past them, so nothing
+    # folds twice. (A fresh checkpoint restarts epoch ids at 0; bump
+    # the marker to prove the guard path alone protects the state.)
+    with open(os.path.join(state_dir, "_last_epoch")) as fh:
+        last = int(fh.read().strip())
+    with open(os.path.join(state_dir, "_last_epoch"), "w") as fh:
+        fh.write(str(max(last, 10_000)))
+    import shutil
+
+    shutil.rmtree(os.path.join(state_dir, "_chk"))
+    again = _rows(
+        run_streaming_health_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    assert again == want
