@@ -663,7 +663,7 @@ _LOCAL_STAGES = ("too_short", "low_diversity")
 
 
 def health_batch_state(
-    docs: DataFrame,
+    docs: DataFrame, cache=None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """One batch's mergeable health state, four parquet-writable frames:
 
@@ -681,7 +681,13 @@ def health_batch_state(
 
     One scan computes the first three (narrow array expressions, no
     explode); the gram explode feeds only the signature leg. All
-    state folds by SUM/MIN — associative, commutative, exact."""
+    state folds by SUM/MIN — associative, commutative, exact.
+
+    ``cache`` (optional callable, e.g. ``stage_cache`` or a local
+    persist hook) is applied to the tokenize-derived feature frame so
+    the gate and dup legs share ONE tokenize pass instead of
+    recomputing the split per consuming leg; callers own the release
+    (the usual stage-cache contract)."""
     toks = F.filter(F.split("text", "[^a-zA-Z]"), lambda x: x != "")
     feats = docs.select(
         "doc_id",
@@ -691,6 +697,8 @@ def health_batch_state(
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.md5("text").alias("h"),
     )
+    if cache is not None:
+        feats = cache(feats)
     psic = psi_bins(docs).groupBy("source", "bin").agg(F.count("*").alias("c"))
     local_stage = (
         F.when(F.col("n_chars") < _MIN_CHARS, "too_short")
@@ -835,16 +843,25 @@ def health_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded state is sources x 10 + sources x 2 + the index-grain dup
     ledger + sources x 64. The finish is state-sized; with ledger and
     report bucketed by their keys at rest the merge is shuffle-free.
+    The test-scale stand-in stage-caches the one corpus scan (the
+    day-splits all filter it) and each day's tokenize pass (gate and
+    dup legs share it) so simulating {_HEALTH_FOLD_DAYS} days costs
+    one scan + one tokenize per day, like real per-day batches would.
     """
     from functools import reduce
 
-    docs = parallelize_if_narrow(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "text", "n_chars"
+    docs = stage_cache(
+        parallelize_if_narrow(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text", "n_chars"
+            )
         )
     )
     states = [
-        health_batch_state(docs.filter(F.col("doc_id") % _HEALTH_FOLD_DAYS == d))
+        health_batch_state(
+            docs.filter(F.col("doc_id") % _HEALTH_FOLD_DAYS == d),
+            cache=stage_cache,
+        )
         for d in range(_HEALTH_FOLD_DAYS)
     ]
     return health_report_from_state(*reduce(merge_health_states, states))

@@ -1696,23 +1696,25 @@ def ann_upsert_frames(
     # carry (DuckDB squares in int128, max ~1.7e38): dn =
     # |new_mean-old_mean| * n(n+nb), so 1e19 covers n(n+nb) ~ 1.1e18
     # times a ~9-unit mean drift. Past that envelope DuckDB errors
-    # loudly, but ANSI-off Spark would NULL the narrowed term and
-    # F.sum would silently SKIP it — drift2 computed from the
-    # remaining dimensions, a silent wrong answer (r6 ADVICE). The
-    # guard below makes the Spark side equally loud: a term the wide
-    # decimal held but the narrow cast dropped raises at runtime
-    # instead of vanishing into the sum.
+    # loudly, but ANSI-off Spark would NULL the term (wide-multiply
+    # overflow OR narrow-cast overflow) and F.sum would silently SKIP
+    # it — drift2 computed from the remaining dimensions, a silent
+    # wrong answer (r6 ADVICE). The guard below makes the Spark side
+    # equally loud: every input to dn is non-null by construction
+    # (aggregates over non-null integers), so a NULL narrowed term can
+    # ONLY mean overflow at either width — raise at runtime instead of
+    # letting it vanish into the sum.
     dn_wide = (
         F.col("n").cast("decimal(38,0)") * F.col("bsum")
         - F.col("n_batch").cast("decimal(38,0)") * F.col("s")
     )
     dn = F.when(
-        dn_wide.isNotNull() & dn_wide.cast("decimal(19,0)").isNull(),
+        dn_wide.cast("decimal(19,0)").isNull(),
         F.assert_true(
             F.lit(False),
             F.lit(
                 "ann_upsert_frames: centroid-drift term exceeds the "
-                "decimal(19,0) envelope — drift2 would drop dimensions"
+                "exact-decimal envelope — drift2 would drop dimensions"
             ),
         ).cast("decimal(19,0)"),
     ).otherwise(dn_wide.cast("decimal(19,0)"))

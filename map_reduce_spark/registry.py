@@ -87,24 +87,26 @@ def register(name: str, oracle: str | None = None):
 #     perm-hash refactor shared with the health fold),
 #   - the oracled dedup.py surface (r6: dedup_incremental library-form
 #     refactor postdates most of the file's rows, five r2-era),
-#   - the streaming/jobs.py family (r6: streaming_drift_psi landed
-#     there; the other ten rows predate the change;
-#     streaming_drift_psi itself holds a green r6 row and stays out),
+#   - the whole streaming/jobs.py family including streaming_drift_psi
+#     (the file changed again in r7 — the health-fold foreachBatch
+#     runner landed there — so its green r6 row is stale by the same
+#     rule as everything else),
 #   - contamination_minhash as the heaviest session.py stage_cache
 #     inheritor not already in the window (session.py's cross-thread
 #     registry rewrite touches every operator; the similarity/dedup
 #     members above cover the rest of the heavy users),
-#   - fillers re-certifying seven of the ten remaining r1-era rows,
+#   - fillers re-certifying five of the ten remaining r1-era rows,
 #     including the two r6-verdict-named holdouts (window_moving_sum,
 #     window_row_number_topk).
 # Deliberately NOT in the window: ann_lsh_topk / dedup_minhash_lsh /
 # dedup_simhash (rows-only by design; their fully-oracled portable
 # twins ARE in the window), and set_intersect / set_except /
-# union_by_name / string_funcs (r1 rows, unchanged files,
-# 10x-parity-covered — the four lowest-risk rows in the catalog;
-# string_funcs ceded its filler slot to streaming_health_report's
-# first row). Everything else holds a
-# green row from r2-r6 and follows in registration order.
+# union_by_name / string_funcs / set_union (r1 rows, unchanged files,
+# 10x-parity-covered — the five lowest-risk rows in the catalog;
+# string_funcs and set_union ceded their filler slots to the first
+# rows of streaming_health_report and the re-certification of
+# streaming_drift_psi). Everything else holds a green row from r2-r6
+# and follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
@@ -144,7 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_simhash_portable",
     "dedup_spans",
-    # streaming/jobs.py family (file changed r6; rows r2-r5)
+    # streaming/jobs.py family (file changed r6 and again r7)
+    "streaming_drift_psi",
     "streaming_word_count",
     "streaming_tumbling_watermark",
     "streaming_session_window",
@@ -163,7 +166,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_cumulative",
     "sql_api_q6",
-    "set_union",
 )
 
 

@@ -700,6 +700,21 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- the health report maintained ON the ingest stream ----------------
 
 
+def _chk_lineage_id(chk_dir: str) -> str | None:
+    """The checkpoint's persistent query id (written by Spark at query
+    start; stable across restarts of the SAME checkpoint, different for
+    a fresh one) — the token that ties a state commit to its stream."""
+    import json as _json
+
+    path = os.path.join(chk_dir, "metadata")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        raw = fh.read()
+    # v1 metadata files carry a "v1\n" header line before the JSON
+    return _json.loads(raw.splitlines()[-1])["id"]
+
+
 def run_streaming_health_fold(
     spark: SparkSession,
     sf_dir: str,
@@ -707,15 +722,32 @@ def run_streaming_health_fold(
     source: DataFrame | None = None,
 ) -> DataFrame:
     """foreachBatch maintenance of the corpus-health state
-    (monitoring.health_batch_state legs) as parquet-at-rest tables:
-    each micro-batch computes its own mergeable state and folds it
+    (monitoring.health_batch_state legs) as parquet-at-rest tables.
+
+    Each micro-batch computes its own mergeable state and folds it
     into the stored legs via the SAME merge_health_states the batch
-    fold uses, with an epoch marker making the fold idempotent under
-    micro-batch replay (a retried epoch must not double-count — the
-    streaming analog of the staged-commit sink; the reference's
-    append-mode retry bug, worker.ex:124,147, is exactly this class).
-    After the stream drains, the stored state finishes into the
+    fold uses. The commit protocol makes the fold exactly-once under
+    every failure the streaming runtime can replay (the streaming
+    analog of the staged-commit sink; the reference's append-mode
+    retry bug, worker.ex:124,147, is exactly this class):
+
+    - all four legs of epoch N are written under ONE fresh version
+      directory ``v<N>/`` derived from the previous committed version;
+    - a single marker file (``_commit``, atomic ``os.replace``) then
+      commits ``{lineage, epoch}`` — so a crash anywhere mid-write
+      leaves the previous commit fully intact (no per-leg torn state),
+      and a replay of epoch N after a crash-before-commit re-folds
+      from the old version onto a fresh ``v<N>/``;
+    - a replay of epoch N after the commit is skipped by the epoch
+      guard;
+    - the marker records the checkpoint's persistent query id: folding
+      a DIFFERENT stream lineage (a reset/relocated checkpoint, which
+      would re-deliver already-folded data) into existing state raises
+      loudly instead of silently double-counting or skipping.
+
+    After the stream drains, the committed state finishes into the
     per-source report with health_report_from_state."""
+    import json as _json
     import shutil
 
     from map_reduce_spark.operators.monitoring import (
@@ -725,34 +757,70 @@ def run_streaming_health_fold(
     )
 
     legs = ("psic", "gate", "dup", "sig")
-    epoch_marker = os.path.join(state_dir, "_last_epoch")
+    chk_dir = os.path.join(state_dir, "_chk")
+    marker = os.path.join(state_dir, "_commit")
+
+    def read_marker() -> dict | None:
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return _json.loads(fh.read())
 
     def fold_batch(df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(epoch_marker):
-            with open(epoch_marker) as fh:
-                if epoch_id <= int(fh.read().strip()):
-                    return  # replayed epoch: already folded
-        batch_state = health_batch_state(df)
-        have_state = os.path.exists(os.path.join(state_dir, legs[0]))
-        if have_state:
-            stored = tuple(
-                spark.read.parquet(os.path.join(state_dir, leg)) for leg in legs
-            )
-            merged = merge_health_states(stored, batch_state)
-        else:
-            merged = batch_state
-        # write-then-swap: the new state materializes (reading the old
-        # parquet) BEFORE the old directory is replaced, then the epoch
-        # marker commits the fold
-        for leg, frame in zip(legs, merged):
-            nxt = os.path.join(state_dir, leg + "_next")
-            shutil.rmtree(nxt, ignore_errors=True)
-            frame.write.parquet(nxt)
-            cur = os.path.join(state_dir, leg)
-            shutil.rmtree(cur, ignore_errors=True)
-            os.rename(nxt, cur)
-        with open(epoch_marker, "w") as fh:
-            fh.write(str(epoch_id))
+        cur = read_marker()
+        lineage = _chk_lineage_id(chk_dir)
+        if cur is not None:
+            if cur["lineage"] != lineage:
+                raise RuntimeError(
+                    "streaming health state at "
+                    f"{state_dir} was committed under stream lineage "
+                    f"{cur['lineage']}, but this query runs lineage "
+                    f"{lineage} (a fresh/relocated checkpoint re-delivers "
+                    "already-folded data): reset the state dir with the "
+                    "checkpoint, or restore the original checkpoint"
+                )
+            if epoch_id <= cur["epoch"]:
+                return  # post-commit replay of this epoch: already folded
+        # share one source scan + one tokenize pass across the four leg
+        # jobs; purely local lifecycle (persist and release inside this
+        # call, after the writes materialize) so nothing leaks past the
+        # micro-batch regardless of which thread runs it
+        local = [df]
+        df.persist()
+
+        def lcache(frame: DataFrame) -> DataFrame:
+            frame.persist()
+            local.append(frame)
+            return frame
+
+        try:
+            batch_state = health_batch_state(df, cache=lcache)
+            if cur is not None:
+                stored = tuple(
+                    spark.read.parquet(
+                        os.path.join(state_dir, f"v{cur['epoch']}", leg)
+                    )
+                    for leg in legs
+                )
+                merged = merge_health_states(stored, batch_state)
+            else:
+                merged = batch_state
+            vdir = os.path.join(state_dir, f"v{epoch_id}")
+            shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt
+            for leg, frame in zip(legs, merged):
+                frame.write.parquet(os.path.join(vdir, leg))
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(_json.dumps({"lineage": lineage, "epoch": epoch_id}))
+            os.replace(tmp, marker)  # THE commit point, atomic
+            # post-commit cleanup of superseded versions (crash here is
+            # harmless — orphans are swept on the next fold)
+            for d in os.listdir(state_dir):
+                if d.startswith("v") and d != f"v{epoch_id}":
+                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        finally:
+            for frame in local:
+                frame.unpersist()
 
     if source is None:
         source = stream_documents(spark, sf_dir)
@@ -760,13 +828,15 @@ def run_streaming_health_fold(
         source.writeStream.outputMode("append")
         .foreachBatch(fold_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(state_dir, "_chk"))
+        .option("checkpointLocation", chk_dir)
         .start()
     )
     q.awaitTermination()
-    stored = tuple(
-        spark.read.parquet(os.path.join(state_dir, leg)) for leg in legs
-    )
+    committed = read_marker()
+    if committed is None:
+        raise RuntimeError(f"stream drained without committing state at {state_dir}")
+    vdir = os.path.join(state_dir, f"v{committed['epoch']}")
+    stored = tuple(spark.read.parquet(os.path.join(vdir, leg)) for leg in legs)
     return health_report_from_state(*stored)
 
 
@@ -780,11 +850,12 @@ def _health_fold_oracle() -> str:
 def streaming_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """health_report_fold deployed ON the ingest stream: foreachBatch
     folds each micro-batch's mergeable health state into parquet-at-
-    rest state tables (epoch-idempotent write-then-swap commit), and
-    draining the stream finishes the stored state into the identical
-    per-source admission report — same merge, same finish, same oracle
-    as the batch fold, so the continuously-maintained report can never
-    drift from the per-drop recomputation.
+    rest state tables (single-marker atomic commit, epoch- and
+    lineage-guarded — see run_streaming_health_fold), and draining the
+    stream finishes the stored state into the identical per-source
+    admission report — same merge, same finish, same oracle as the
+    batch fold, so the continuously-maintained report can never drift
+    from the per-drop recomputation.
 
     Scale shape: per micro-batch the corpus-grain work is that batch's
     one-scan state computation; the stored legs are state-sized
@@ -793,12 +864,10 @@ def streaming_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch runs off Kafka with a processing-time trigger and the
     state legs live as bucketed tables, making the merge shuffle-free.
     """
-    import shutil
     import tempfile
 
-    state_dir = os.path.join(
-        tempfile.gettempdir(), f"mr_spark_health_state_{os.getpid()}"
-    )
-    shutil.rmtree(state_dir, ignore_errors=True)
-    os.makedirs(state_dir)
+    # fresh dir per invocation: concurrent or repeated calls in one
+    # process must not clobber each other's live state (the returned
+    # frame stays lazy over these parquet legs)
+    state_dir = tempfile.mkdtemp(prefix="mr_spark_health_state_")
     return run_streaming_health_fold(spark, sf_dir, state_dir)

@@ -239,19 +239,32 @@ def test_streaming_health_fold_multi_epoch(spark, sf_dir, tmp_path):
     want = _rows(health_report_from_state(*health_batch_state(docs)))
     release_caches()
     assert got == want
-    # replay: same state dir, fresh checkpoint — every epoch is <= the
-    # stored marker after the marker is bumped past them, so nothing
-    # folds twice. (A fresh checkpoint restarts epoch ids at 0; bump
-    # the marker to prove the guard path alone protects the state.)
-    with open(os.path.join(state_dir, "_last_epoch")) as fh:
-        last = int(fh.read().strip())
-    with open(os.path.join(state_dir, "_last_epoch"), "w") as fh:
-        fh.write(str(max(last, 10_000)))
-    import shutil
-
-    shutil.rmtree(os.path.join(state_dir, "_chk"))
+    # restart against the SAME checkpoint: the drained lineage has no
+    # new files, so zero epochs fold and the committed state is served
+    # unchanged — the normal resume path
     again = _rows(
         run_streaming_health_fold(spark, sf_dir, state_dir, source=make_source())
     )
     release_caches()
     assert again == want
+
+
+def test_streaming_health_fold_rejects_foreign_lineage(spark, sf_dir, tmp_path):
+    """Folding a fresh checkpoint (which re-delivers already-folded
+    data from epoch 0) into existing state must raise loudly, not
+    silently double-count or skip."""
+    import os
+    import shutil
+
+    import pytest
+
+    from map_reduce_spark.streaming.jobs import run_streaming_health_fold
+
+    state_dir = str(tmp_path / "health_state")
+    os.makedirs(state_dir)
+    run_streaming_health_fold(spark, sf_dir, state_dir)
+    release_caches()
+    shutil.rmtree(os.path.join(state_dir, "_chk"))  # "reset the stream"
+    with pytest.raises(Exception, match="lineage"):
+        run_streaming_health_fold(spark, sf_dir, state_dir)
+    release_caches()
