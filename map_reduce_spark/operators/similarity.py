@@ -1884,33 +1884,48 @@ def centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through parquet at rest in tests/test_round7_ops.py.
 _COMPACT_DAYS = 3  # the registered query plays 3 accumulated batches
 
-_ANN_COMPACT_ORACLE = f"""
-WITH {_UPSERT_CTES},
+
+def _compact_oracle(include_deltas: bool = True) -> str:
+    """The consolidated-metadata oracle, shared by ``ann_index_compact``
+    and its streaming twin. ``include_deltas=False`` drops the
+    ``n_deltas`` column: how many deltas touched a cell depends on how
+    the runtime micro-batched the stream (trigger-dependent), so the
+    streaming query's certified output carries only the
+    batching-invariant columns — everything that folds by plain SUM of
+    vector-grain measures."""
+    ndel_cte = f""",
 ndel AS (
   SELECT cell,
          COUNT(DISTINCT (vec_id // {_UPSERT_MOD}) % {_COMPACT_DAYS}) AS n_deltas
   FROM assign GROUP BY cell
-),
+)"""
+    ndel_col = ",\n         COALESCE(nd.n_deltas, 0) AS n_deltas"
+    ndel_join = "\n  LEFT JOIN ndel nd ON c.clabel = nd.cell"
+    ndel_out = ",\n       CAST(n_deltas AS BIGINT) AS n_deltas"
+    if not include_deltas:
+        ndel_cte = ndel_col = ndel_join = ndel_out = ""
+    return f"""
+WITH {_UPSERT_CTES}{ndel_cte},
 comp AS (
   SELECT c.clabel AS cell, c.i AS dim,
          c.n + COALESCE(bn.n_batch, 0) AS nm,
          c.s + COALESCE(b.bsum, 0) AS num,
          CAST(COALESCE(bn.n_batch, 0) * 100 > c.n * {_RETRAIN_GROWTH_PCT} AS INT)
-           AS needs_retrain,
-         COALESCE(nd.n_deltas, 0) AS n_deltas
+           AS needs_retrain{ndel_col}
   FROM cent c
   LEFT JOIN bn ON c.clabel = bn.cell
-  LEFT JOIN bs b ON c.clabel = b.cell AND c.i = b.i
-  LEFT JOIN ndel nd ON c.clabel = nd.cell
+  LEFT JOIN bs b ON c.clabel = b.cell AND c.i = b.i{ndel_join}
 )
 SELECT cell, dim, CAST(nm AS BIGINT) AS n_members,
        CAST(num AS BIGINT) AS s_total,
        CAST(sign(num) * ((abs(num) * 200 + nm) // (2 * nm)) AS DOUBLE)
          / 1000000 AS centroid_ci,
-       needs_retrain,
-       CAST(n_deltas AS BIGINT) AS n_deltas
+       needs_retrain{ndel_out}
 FROM comp
 """
+
+
+_ANN_COMPACT_ORACLE = _compact_oracle(include_deltas=True)
 
 
 def ann_delta_frame(assign: DataFrame, bterms: DataFrame) -> DataFrame:

@@ -95,16 +95,17 @@ def register(name: str, oracle: str | None = None):
 #     inheritor not already in the window (session.py's cross-thread
 #     registry rewrite touches every operator; the similarity/dedup
 #     members above cover the rest of the heavy users),
-#   - fillers re-certifying five of the ten remaining r1-era rows,
+#   - fillers re-certifying four of the ten remaining r1-era rows,
 #     including the two r6-verdict-named holdouts (window_moving_sum,
 #     window_row_number_topk).
 # Deliberately NOT in the window: ann_lsh_topk / dedup_minhash_lsh /
 # dedup_simhash (rows-only by design; their fully-oracled portable
 # twins ARE in the window), and set_intersect / set_except /
-# union_by_name / string_funcs / set_union (r1 rows, unchanged files,
-# 10x-parity-covered — the five lowest-risk rows in the catalog;
-# string_funcs and set_union ceded their filler slots to the first
-# rows of streaming_health_report and the re-certification of
+# union_by_name / string_funcs / set_union / sql_api_q6 (r1 rows,
+# unchanged files, 10x-parity-covered — the six lowest-risk rows in
+# the catalog; string_funcs, set_union and sql_api_q6 ceded their
+# filler slots to the first rows of streaming_health_report and
+# streaming_ann_upsert and the re-certification of
 # streaming_drift_psi). Everything else holds a green row from r2-r6
 # and follows in registration order.
 _PRIORITY: tuple[str, ...] = (
@@ -115,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_index_compact",
     "health_report_fold",
     "streaming_health_report",
+    "streaming_ann_upsert",
     # similarity.py surface (file changed r7)
     "ann_index_upsert",
     "centroid_retrain",
@@ -165,7 +167,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_row_number_topk",
     "window_lag_lead",
     "window_cumulative",
-    "sql_api_q6",
 )
 
 

@@ -697,7 +697,7 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(counts)
 
 
-# --- the health report maintained ON the ingest stream ----------------
+# --- exactly-once state folds maintained ON the ingest stream ---------
 
 
 def _chk_lineage_id(chk_dir: str) -> str | None:
@@ -715,24 +715,33 @@ def _chk_lineage_id(chk_dir: str) -> str | None:
     return _json.loads(raw.splitlines()[-1])["id"]
 
 
-def run_streaming_health_fold(
+def run_stream_state_fold(
     spark: SparkSession,
-    sf_dir: str,
     state_dir: str,
-    source: DataFrame | None = None,
-) -> DataFrame:
-    """foreachBatch maintenance of the corpus-health state
-    (monitoring.health_batch_state legs) as parquet-at-rest tables.
+    source: DataFrame,
+    legs: tuple[str, ...],
+    batch_state,
+    merge,
+) -> tuple[DataFrame, ...]:
+    """Generic foreachBatch maintenance of mergeable state as
+    parquet-at-rest tables — the engine's reusable exactly-once fold
+    primitive (instantiated by the corpus-health report and the ANN
+    index-delta fold).
 
-    Each micro-batch computes its own mergeable state and folds it
-    into the stored legs via the SAME merge_health_states the batch
-    fold uses. The commit protocol makes the fold exactly-once under
-    every failure the streaming runtime can replay (the streaming
-    analog of the staged-commit sink; the reference's append-mode
-    retry bug, worker.ex:124,147, is exactly this class):
+    ``batch_state(df, cache)`` computes one micro-batch's state as a
+    tuple of frames aligned with ``legs`` (``cache`` persists a shared
+    subframe for the duration of the fold; the runner releases it).
+    ``merge(stored, batch)`` folds two such tuples — it must be
+    associative/commutative so replays and arbitrary micro-batch splits
+    cannot change the result.
 
-    - all four legs of epoch N are written under ONE fresh version
-      directory ``v<N>/`` derived from the previous committed version;
+    The commit protocol makes the fold exactly-once under every failure
+    the streaming runtime can replay (the streaming analog of the
+    staged-commit sink; the reference's append-mode retry bug,
+    worker.ex:124,147, is exactly this class):
+
+    - all legs of epoch N are written under ONE fresh version directory
+      ``v<N>/`` derived from the previous committed version;
     - a single marker file (``_commit``, atomic ``os.replace``) then
       commits ``{lineage, epoch}`` — so a crash anywhere mid-write
       leaves the previous commit fully intact (no per-leg torn state),
@@ -745,18 +754,11 @@ def run_streaming_health_fold(
       would re-deliver already-folded data) into existing state raises
       loudly instead of silently double-counting or skipping.
 
-    After the stream drains, the committed state finishes into the
-    per-source report with health_report_from_state."""
+    Runs the stream to exhaustion (AvailableNow) and returns the
+    committed state tuple, read from the final version directory."""
     import json as _json
     import shutil
 
-    from map_reduce_spark.operators.monitoring import (
-        health_batch_state,
-        health_report_from_state,
-        merge_health_states,
-    )
-
-    legs = ("psic", "gate", "dup", "sig")
     chk_dir = os.path.join(state_dir, "_chk")
     marker = os.path.join(state_dir, "_commit")
 
@@ -772,7 +774,7 @@ def run_streaming_health_fold(
         if cur is not None:
             if cur["lineage"] != lineage:
                 raise RuntimeError(
-                    "streaming health state at "
+                    "stream state at "
                     f"{state_dir} was committed under stream lineage "
                     f"{cur['lineage']}, but this query runs lineage "
                     f"{lineage} (a fresh/relocated checkpoint re-delivers "
@@ -781,10 +783,11 @@ def run_streaming_health_fold(
                 )
             if epoch_id <= cur["epoch"]:
                 return  # post-commit replay of this epoch: already folded
-        # share one source scan + one tokenize pass across the four leg
-        # jobs; purely local lifecycle (persist and release inside this
-        # call, after the writes materialize) so nothing leaks past the
-        # micro-batch regardless of which thread runs it
+        # share one source scan (+ whatever subframes batch_state
+        # registers) across the leg jobs; purely local lifecycle
+        # (persist and release inside this call, after the writes
+        # materialize) so nothing leaks past the micro-batch regardless
+        # of which thread runs it
         local = [df]
         df.persist()
 
@@ -794,7 +797,7 @@ def run_streaming_health_fold(
             return frame
 
         try:
-            batch_state = health_batch_state(df, cache=lcache)
+            state = batch_state(df, lcache)
             if cur is not None:
                 stored = tuple(
                     spark.read.parquet(
@@ -802,9 +805,9 @@ def run_streaming_health_fold(
                     )
                     for leg in legs
                 )
-                merged = merge_health_states(stored, batch_state)
+                merged = merge(stored, state)
             else:
-                merged = batch_state
+                merged = state
             vdir = os.path.join(state_dir, f"v{epoch_id}")
             shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt
             for leg, frame in zip(legs, merged):
@@ -822,8 +825,6 @@ def run_streaming_health_fold(
             for frame in local:
                 frame.unpersist()
 
-    if source is None:
-        source = stream_documents(spark, sf_dir)
     q = (
         source.writeStream.outputMode("append")
         .foreachBatch(fold_batch)
@@ -836,7 +837,38 @@ def run_streaming_health_fold(
     if committed is None:
         raise RuntimeError(f"stream drained without committing state at {state_dir}")
     vdir = os.path.join(state_dir, f"v{committed['epoch']}")
-    stored = tuple(spark.read.parquet(os.path.join(vdir, leg)) for leg in legs)
+    return tuple(spark.read.parquet(os.path.join(vdir, leg)) for leg in legs)
+
+
+def run_streaming_health_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """foreachBatch maintenance of the corpus-health state
+    (monitoring.health_batch_state legs) as parquet-at-rest tables:
+    ``run_stream_state_fold`` instantiated with the health legs, each
+    micro-batch folding its own mergeable state into the stored legs
+    via the SAME merge_health_states the batch fold uses. After the
+    stream drains, the committed state finishes into the per-source
+    report with health_report_from_state."""
+    from map_reduce_spark.operators.monitoring import (
+        health_batch_state,
+        health_report_from_state,
+        merge_health_states,
+    )
+
+    if source is None:
+        source = stream_documents(spark, sf_dir)
+    stored = run_stream_state_fold(
+        spark,
+        state_dir,
+        source,
+        legs=("psic", "gate", "dup", "sig"),
+        batch_state=lambda df, cache: health_batch_state(df, cache=cache),
+        merge=merge_health_states,
+    )
     return health_report_from_state(*stored)
 
 
@@ -871,3 +903,107 @@ def streaming_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame stays lazy over these parquet legs)
     state_dir = tempfile.mkdtemp(prefix="mr_spark_health_state_")
     return run_streaming_health_fold(spark, sf_dir, state_dir)
+
+
+# --- the ANN index maintained ON the ingest stream --------------------
+
+EMBEDDINGS_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_streaming_ann_delta_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """The incremental-ANN maintenance loop deployed ON the ingest
+    stream: each micro-batch of new vectors becomes a metadata DELTA
+    (similarity.ann_delta_frame — exact assignment to the STORED
+    centroids, per-cell sums/counts) folded into the parquet-at-rest
+    accumulated delta by ``run_stream_state_fold``; draining the stream
+    consolidates stored metadata + fold with ann_compact_frames, the
+    identical finish the periodic batch compaction uses.
+
+    The certified output drops ``n_deltas`` (how many micro-batches
+    touched a cell is trigger-dependent; every other column folds by
+    SUM of vector-grain measures, so the result is invariant to how the
+    runtime split the stream). Scale shape: per micro-batch the only
+    corpus-grain work is that batch's explode + broadcast argmin
+    (O(batch)); the stored accumulated delta and the index metadata are
+    both (cells x dims) frames, so the fold and the finish move
+    metadata, never the corpus."""
+    from map_reduce_spark.io import load_table
+    from map_reduce_spark.operators.similarity import (
+        _UPSERT_MOD,
+        _batch_terms,
+        _iv4,
+        _ivf_cell_stats,
+        _upsert_assign,
+        ann_compact_frames,
+        ann_delta_frame,
+        merge_ann_deltas,
+    )
+
+    # the stored index's metadata table, written once at rest (a
+    # production index already persists this); every fold reads and
+    # broadcasts it — the index side never contributes corpus-grain work
+    cent_dir = os.path.join(state_dir, "index_cent")
+    if not os.path.exists(cent_dir):
+        iv = _iv4(load_table(spark, sf_dir, "embeddings")).filter(
+            F.col("vec_id") % _UPSERT_MOD != 0
+        )
+        _ivf_cell_stats(iv).write.parquet(cent_dir)
+    cent = spark.read.parquet(cent_dir)
+
+    def batch_state(df: DataFrame, cache) -> tuple[DataFrame, ...]:
+        bterms = cache(_batch_terms(_iv4(df)))
+        assign = cache(_upsert_assign(bterms, cent))
+        return (ann_delta_frame(assign, bterms),)
+
+    if source is None:
+        # today's arrivals: the batch side of the upsert split
+        source = stream_embeddings(spark, sf_dir).filter(
+            F.col("vec_id") % _UPSERT_MOD == 0
+        )
+    (delta,) = run_stream_state_fold(
+        spark,
+        state_dir,
+        source,
+        legs=("delta",),
+        batch_state=batch_state,
+        merge=lambda a, b: (merge_ann_deltas(a[0], b[0]),),
+    )
+    return ann_compact_frames(cent, delta).drop("n_deltas")
+
+
+def _ann_stream_oracle() -> str:
+    from map_reduce_spark.operators.similarity import _compact_oracle
+
+    return _compact_oracle(include_deltas=False)
+
+
+@register("streaming_ann_upsert", oracle=_ann_stream_oracle())
+def streaming_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_index_upsert/compact deployed ON the ingest stream — the
+    third fold the exactly-once primitive hosts (with the health report
+    and streaming_drift_psi): new vectors arrive as micro-batches, each
+    folds an O(batch) metadata delta into parquet-at-rest state, and
+    the drained stream finishes into the consolidated (cell, dim) index
+    metadata — same assignment, same merge, same finish as the batch
+    maintenance operators, so the continuously-maintained index can
+    never drift from the periodic recomputation. Cites reference
+    worker.ex:124,147 (the append-mode retry class this protocol
+    fixes). See run_streaming_ann_delta_fold for the commit protocol
+    and scale shape."""
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="mr_spark_ann_state_")
+    return run_streaming_ann_delta_fold(spark, sf_dir, state_dir)

@@ -1,8 +1,11 @@
 """Round-7 operators: periodic ANN index-delta compaction
-(``ann_index_compact``) and the incremental corpus-health report
-(``health_report_fold``) — both MERGE-shaped (merge_rollup,
-incremental.py): decomposable state folded through parquet at rest,
-any fold order == the one-shot computation (r6 verdict items 2, 3)."""
+(``ann_index_compact``), the incremental corpus-health report
+(``health_report_fold``), and their stream deployments
+(``streaming_health_report``, ``streaming_ann_upsert``) — all
+MERGE-shaped (merge_rollup, incremental.py): decomposable state folded
+through parquet at rest, any fold order == the one-shot computation
+(r6 verdict items 2, 3), with the exactly-once commit protocol
+(run_stream_state_fold) fault-injected here."""
 
 from __future__ import annotations
 
@@ -268,3 +271,122 @@ def test_streaming_health_fold_rejects_foreign_lineage(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="lineage"):
         run_streaming_health_fold(spark, sf_dir, state_dir)
     release_caches()
+
+
+# --- streaming_ann_upsert ----------------------------------------------
+
+
+def test_streaming_ann_upsert_equals_batch_compact(spark, sf_dir):
+    """The stream-maintained index metadata must equal the periodic
+    batch compaction on its batching-invariant columns (same
+    assignment, same merge, same finish; n_deltas is the one
+    trigger-dependent column and is excluded from the streaming
+    surface)."""
+    from map_reduce_spark.streaming.jobs import streaming_ann_upsert
+
+    a = _rows(streaming_ann_upsert(spark, sf_dir))
+    release_caches()
+    b = _rows(ann_index_compact(spark, sf_dir).drop("n_deltas"))
+    release_caches()
+    assert a == b
+
+
+def test_streaming_ann_fold_multi_epoch(spark, sf_dir, tmp_path):
+    """Batch vectors split across three files streamed one file per
+    trigger must fold into the same consolidated metadata as the
+    one-shot; resuming the drained stream must serve the committed
+    state unchanged."""
+    import os
+
+    from map_reduce_spark.streaming.jobs import (
+        EMBEDDINGS_SCHEMA,
+        run_streaming_ann_delta_fold,
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _UPSERT_MOD == 0)
+        .select("vec_id", "embedding", "label")
+    )
+    src_dir = str(tmp_path / "emb_stream")
+    for d in range(3):
+        batch.filter(F.col("vec_id") % 3 == d).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state_dir = str(tmp_path / "ann_state")
+    os.makedirs(state_dir)
+
+    def make_source():
+        return (
+            spark.readStream.schema(EMBEDDINGS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    got = _rows(
+        run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    want = _rows(ann_index_compact(spark, sf_dir).drop("n_deltas"))
+    release_caches()
+    assert got == want
+    again = _rows(
+        run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    assert again == want
+
+
+def test_stream_fold_ignores_torn_uncommitted_version(spark, sf_dir, tmp_path):
+    """Crash-before-commit recovery: a version directory written by a
+    crashed fold (legs present, marker never moved) must be ignored by
+    the next fold — which folds from the last COMMITTED version — and
+    swept after its commit."""
+    import os
+
+    from map_reduce_spark.streaming.jobs import (
+        EMBEDDINGS_SCHEMA,
+        run_streaming_ann_delta_fold,
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _UPSERT_MOD == 0)
+        .select("vec_id", "embedding", "label")
+    )
+    src_dir = str(tmp_path / "emb_stream")
+    batch.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    state_dir = str(tmp_path / "ann_state")
+    os.makedirs(state_dir)
+
+    def make_source():
+        return (
+            spark.readStream.schema(EMBEDDINGS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
+    release_caches()
+    # fake a crashed fold: a newer version directory with garbage legs
+    # and NO marker move — the commit protocol must treat it as absent
+    torn = os.path.join(state_dir, "v999", "delta")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet")
+    # second drop of vectors arrives; the fold resumes from the
+    # committed version, never reads v999, and sweeps it post-commit
+    batch.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    got = _rows(
+        run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    want = _rows(ann_index_compact(spark, sf_dir).drop("n_deltas"))
+    release_caches()
+    assert got == want
+    assert not os.path.exists(os.path.join(state_dir, "v999"))
