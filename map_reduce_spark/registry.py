@@ -77,10 +77,10 @@ def register(name: str, oracle: str | None = None):
 # driver row) to everything the r6/r7 commits touched:
 #   - two anchors (the reference flagship + exact dedup) that stay
 #     continuously verified,
-#   - the three round-7 additions (ann_index_compact completing the
+#   - the four round-7 additions (ann_index_compact completing the
 #     incremental ANN story, health_report_fold completing the
-#     incremental monitoring story, streaming_health_report running
-#     that fold on the ingest stream),
+#     incremental monitoring story, streaming_health_report and
+#     streaming_ann_upsert running both folds on the ingest stream),
 #   - the whole similarity.py surface (r7: upsert drift-overflow
 #     guard + PQ_M-derived code columns + the compaction landed
 #     there) and the whole monitoring.py surface (r7: gram-stream /

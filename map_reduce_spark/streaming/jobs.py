@@ -748,11 +748,20 @@ def run_stream_state_fold(
       and a replay of epoch N after a crash-before-commit re-folds
       from the old version onto a fresh ``v<N>/``;
     - a replay of epoch N after the commit is skipped by the epoch
-      guard;
+      guard; an epoch OLDER than the committed one raises (a healthy
+      checkpoint never rewinds — it means the offset log was
+      lost/reset while the metadata file survived, and the stream is
+      re-delivering folded data);
     - the marker records the checkpoint's persistent query id: folding
       a DIFFERENT stream lineage (a reset/relocated checkpoint, which
       would re-deliver already-folded data) into existing state raises
       loudly instead of silently double-counting or skipping.
+
+    Durability envelope: the marker is fsynced (file + directory
+    rename), so process crashes are exactly-once unconditionally; the
+    parquet legs are not individually fsynced, so against power loss
+    the immediately previous committed version is retained one extra
+    commit for recovery.
 
     Runs the stream to exhaustion (AvailableNow) and returns the
     committed state tuple, read from the final version directory."""
@@ -781,8 +790,23 @@ def run_stream_state_fold(
                     "already-folded data): reset the state dir with the "
                     "checkpoint, or restore the original checkpoint"
                 )
-            if epoch_id <= cur["epoch"]:
+            if epoch_id == cur["epoch"]:
                 return  # post-commit replay of this epoch: already folded
+            if epoch_id < cur["epoch"]:
+                # a healthy checkpoint never rewinds: Spark re-runs at
+                # most the LAST uncommitted batch (== the marker epoch).
+                # Seeing an OLDER epoch means the checkpoint's offset
+                # log was lost/reset while its metadata file survived —
+                # the stream is re-delivering data this state already
+                # folded, and silently skipping could also drop NEW
+                # rows batched under a recycled epoch id. Refuse.
+                raise RuntimeError(
+                    f"stream state at {state_dir} is committed through "
+                    f"epoch {cur['epoch']} but the stream re-delivered "
+                    f"epoch {epoch_id} under the same lineage (offset "
+                    "log lost/reset?): reset the state dir together "
+                    "with the checkpoint, or restore the full checkpoint"
+                )
         # share one source scan (+ whatever subframes batch_state
         # registers) across the leg jobs; purely local lifecycle
         # (persist and release inside this call, after the writes
@@ -815,11 +839,26 @@ def run_stream_state_fold(
             tmp = marker + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(_json.dumps({"lineage": lineage, "epoch": epoch_id}))
+                fh.flush()
+                os.fsync(fh.fileno())
             os.replace(tmp, marker)  # THE commit point, atomic
+            dirfd = os.open(state_dir, os.O_RDONLY)
+            try:
+                os.fsync(dirfd)  # persist the rename itself
+            finally:
+                os.close(dirfd)
             # post-commit cleanup of superseded versions (crash here is
-            # harmless — orphans are swept on the next fold)
+            # harmless — orphans are swept on the next fold). The
+            # IMMEDIATELY previous committed version is retained one
+            # extra commit: the parquet legs are not individually
+            # fsynced, so on a power loss that persists the marker but
+            # not all of v<N>'s data blocks, the prior version is still
+            # on disk for manual recovery.
+            keep = {f"v{epoch_id}"}
+            if cur is not None:
+                keep.add(f"v{cur['epoch']}")
             for d in os.listdir(state_dir):
-                if d.startswith("v") and d != f"v{epoch_id}":
+                if d.startswith("v") and d not in keep:
                     shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
         finally:
             for frame in local:
@@ -835,7 +874,12 @@ def run_stream_state_fold(
     q.awaitTermination()
     committed = read_marker()
     if committed is None:
-        raise RuntimeError(f"stream drained without committing state at {state_dir}")
+        raise RuntimeError(
+            f"stream drained without committing any state at {state_dir} "
+            "— either the source matched no input files (check the "
+            "path/glob: a zero-batch AvailableNow run commits nothing) "
+            "or every micro-batch failed before its commit"
+        )
     vdir = os.path.join(state_dir, f"v{committed['epoch']}")
     return tuple(spark.read.parquet(os.path.join(vdir, leg)) for leg in legs)
 
@@ -900,9 +944,18 @@ def streaming_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fresh dir per invocation: concurrent or repeated calls in one
     # process must not clobber each other's live state (the returned
-    # frame stays lazy over these parquet legs)
+    # frame stays lazy over these parquet legs, so reap at exit, not
+    # here — bounding the leak to the process lifetime)
     state_dir = tempfile.mkdtemp(prefix="mr_spark_health_state_")
+    _reap_at_exit(state_dir)
     return run_streaming_health_fold(spark, sf_dir, state_dir)
+
+
+def _reap_at_exit(path: str) -> None:
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 # --- the ANN index maintained ON the ingest stream --------------------
@@ -1006,4 +1059,5 @@ def streaming_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     state_dir = tempfile.mkdtemp(prefix="mr_spark_ann_state_")
+    _reap_at_exit(state_dir)
     return run_streaming_ann_delta_fold(spark, sf_dir, state_dir)

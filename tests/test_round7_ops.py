@@ -390,3 +390,51 @@ def test_stream_fold_ignores_torn_uncommitted_version(spark, sf_dir, tmp_path):
     release_caches()
     assert got == want
     assert not os.path.exists(os.path.join(state_dir, "v999"))
+
+
+def test_stream_fold_rejects_rewound_epochs(spark, sf_dir, tmp_path):
+    """A checkpoint whose offset log is lost while its metadata file
+    survives keeps its lineage id but restarts epoch ids at 0,
+    re-delivering data the state already folded — the fold must raise,
+    not silently skip (data batched under a recycled epoch id would be
+    dropped) and not double-count."""
+    import os
+    import shutil
+
+    import pytest
+
+    from map_reduce_spark.streaming.jobs import (
+        EMBEDDINGS_SCHEMA,
+        run_streaming_ann_delta_fold,
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _UPSERT_MOD == 0)
+        .select("vec_id", "embedding", "label")
+    )
+    src_dir = str(tmp_path / "emb_stream")
+    for d in range(2):
+        batch.filter(F.col("vec_id") % 2 == d).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    state_dir = str(tmp_path / "ann_state")
+    os.makedirs(state_dir)
+
+    def make_source():
+        return (
+            spark.readStream.schema(EMBEDDINGS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
+    release_caches()
+    # partial reset: offsets/commits gone, metadata (the lineage id)
+    # survives — the stream re-delivers everything from epoch 0
+    chk = os.path.join(state_dir, "_chk")
+    for sub in ("offsets", "commits"):
+        shutil.rmtree(os.path.join(chk, sub), ignore_errors=True)
+    with pytest.raises(Exception, match="re-delivered"):
+        run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
+    release_caches()
