@@ -98,6 +98,11 @@ HEADLINE = [
     # admission report as a fold over per-batch state)
     "ann_index_compact",
     "health_report_fold",
+    # round 7 additions: signature-index compaction (the dedup mirror
+    # of ann_index_compact) and the IVF recall gate that closes the
+    # maintenance loop
+    "dedup_index_compact",
+    "ann_recall_eval",
 ]
 
 

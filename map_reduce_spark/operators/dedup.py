@@ -1195,3 +1195,156 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), "span_md5")
         .limit(_SPAN_TOPK)
     )
+
+
+# --- signature-index compaction (completes the incremental story) -----
+
+# The production loop around dedup_incremental: batches fold their band
+# tables + collision candidates into stored state; periodically the
+# index is COMPACTED — candidates are Jaccard-verified once, duplicate
+# docs are killed (min-doc_id survives), and the consolidated index
+# carries only canonical survivors. Mirrors ann_index_compact on the
+# ANN side (similarity.py): decomposable state, any fold order == the
+# one-shot computation, proven through parquet at rest.
+
+_DEDUP_COMPACT_BATCHES = 4  # the registered query plays 4 arrival days
+
+_DEDUP_COMPACT_ORACLE = f"""
+WITH {PORTABLE_PAIRS_CTES}
+SELECT b.doc_id, b.band, b.bucket
+FROM bands b
+WHERE b.doc_id NOT IN (SELECT doc_b FROM pairs)
+"""
+
+
+def _collision_pairs(a: DataFrame, b: DataFrame | None = None) -> DataFrame:
+    """Distinct band-bucket collision pairs as (doc_lo, doc_hi) —
+    within one band table (``b`` is None) or across two. Orientation is
+    normalized to least/greatest so the accumulated candidate ledger is
+    invariant to which side of a fold a doc arrived on (NOTES rule 34:
+    nothing trigger- or fold-order-dependent enters certified state).
+    """
+    if b is None:
+        return (
+            a.alias("x")
+            .join(
+                a.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_lo"),
+                F.col("y.doc_id").alias("doc_hi"),
+            )
+            .distinct()
+        )
+    return (
+        a.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_lo"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_hi"),
+        )
+        .distinct()
+    )
+
+
+def dedup_batch_state(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One batch's contribution to the compaction state: its band table
+    (the signature-index delta) and its WITHIN-batch collision pairs.
+    Cross-batch pairs belong to the merge (they need the other side)."""
+    bands = _portable_bands(batch_docs)
+    return bands, _collision_pairs(bands)
+
+
+def merge_dedup_states(
+    stored: tuple[DataFrame, DataFrame],
+    batch: tuple[DataFrame, DataFrame],
+    deltas_only: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch's (bands, cand) state into the stored state.
+
+    Associative and commutative: band tables fold by DISJOINT union
+    (each doc's signatures appear in exactly one batch), and the
+    candidate ledger decomposes pairwise — a cross pair (a, b) is
+    produced exactly once, by whichever fold first has both sides, in
+    the normalized (doc_lo, doc_hi) orientation either way. So any
+    fold order reproduces the one-shot band table and candidate set.
+
+    ``deltas_only=True`` returns only the NEW state (the batch bands
+    and the batch's new pairs) for append-leg storage: because both
+    legs fold by disjoint union, a stream deployment appends O(batch +
+    collisions) per commit instead of rewriting the corpus-sized
+    index (streaming/jobs.py run_streaming_dedup_fold)."""
+    bands_s, cand_s = stored
+    bands_b, cand_b = batch
+    new_pairs = cand_b.unionByName(_collision_pairs(bands_b, bands_s))
+    if deltas_only:
+        return bands_b, new_pairs
+    return bands_s.unionByName(bands_b), cand_s.unionByName(new_pairs)
+
+
+def dedup_compact_finish(
+    bands: DataFrame,
+    cand: DataFrame,
+    text_store: DataFrame,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Compact the accumulated signature index: Jaccard-verify the
+    candidate ledger (the only step that touches text, and only for
+    colliding doc_ids), kill every doc that near-dups a smaller-id doc
+    (keep-first), and emit the consolidated (doc_id, band, bucket)
+    index of canonical survivors — what the next round of
+    ``incremental_dedup_frames`` folds against, now free of dup
+    signatures."""
+    pairs = cand.select(
+        F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b")
+    )
+    killed = _verify_jaccard(text_store, pairs, tau).select("doc_b").distinct()
+    # no broadcast hint: the kill list is dup-rate-proportional, not
+    # bounded by construction (NOTES rule 28) — let AQE pick; the
+    # anti-join co-partitions with the index on doc_id either way
+    return bands.join(
+        killed, bands["doc_id"] == killed["doc_b"], "left_anti"
+    ).select("doc_id", "band", "bucket")
+
+
+@register("dedup_index_compact", oracle=_DEDUP_COMPACT_ORACLE)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic signature-index COMPACTION — the leg that completes the
+    incremental-dedup maintenance family (fold batches ->
+    dedup_incremental verdicts -> compaction), the dedup mirror of
+    ``ann_index_compact``: fold the band tables and collision ledgers
+    of accumulated arrival batches, verify the ledger once, and emit
+    the consolidated index carrying only canonical survivors
+    (min-doc_id per verified near-dup pair).
+
+    The test-scale stand-in splits the corpus into
+    {_DEDUP_COMPACT_BATCHES} "days" by ``doc_id % {_DEDUP_COMPACT_BATCHES}``;
+    each day's state is computed independently and folded pairwise via
+    ``merge_dedup_states``. tests/test_round7_ops.py proves fold ==
+    one-shot through parquet at rest in arbitrary fold order, and the
+    stream deployment (streaming_dedup_incremental) appends the same
+    state O(batch) per commit.
+
+    Scale shape: signatures are ~200 bytes/doc — the band union moves
+    metadata, never text; candidate generation is the banded equi-join
+    bounded by collisions (on a stored index, bucketed by (band,
+    bucket), the per-batch join is shuffle-free on the index side);
+    the verify re-reads text for COLLIDING ids only (broadcast
+    semi-join); the kill anti-join broadcasts the collision-sized kill
+    list. Nothing rescans the corpus, nothing is quadratic.
+    """
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = stage_cache(_portable_bands(docs))  # shared: one signature pass
+    day = F.col("doc_id") % _DEDUP_COMPACT_BATCHES
+    states = [
+        (bands.filter(day == d), _collision_pairs(bands.filter(day == d)))
+        for d in range(_DEDUP_COMPACT_BATCHES)
+    ]
+    merged = reduce(merge_dedup_states, states)
+    return dedup_compact_finish(merged[0], merged[1], docs)

@@ -2047,3 +2047,212 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = reduce(merge_ann_deltas, deltas)
     return ann_compact_frames(cent, merged)
+
+
+# --- index-quality gate: recall@k of the IVF probe path ---------------
+
+# The operational question the maintenance loop (upsert -> retrain ->
+# compact) cannot answer by itself: is the index still GOOD? Recall
+# eval answers it the way production vector stores do — a fixed probe
+# panel pays exact ground truth once, the index path is scored against
+# it, and the per-probe recall@k is the alarm that triggers a full
+# retrain/rebuild (the quality leg next to drift_psi's distribution
+# leg in the monitoring family).
+
+_RECALL_K = 10
+_RECALL_PROBE_MOD = 25
+_RECALL_PROBE_CAP = 500  # fixed 20-probe panel at every SF: eval cost
+# is O(corpus x panel), a constant multiple of one corpus scan —
+# NEVER O(corpus x corpus/MOD), which a rate-based panel would be.
+
+_RECALL_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+          FOR i IN range(1, len(embedding) + 1)] AS q
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, r.range AS i, q[r.range] AS qi
+  FROM iv, range(1, 65) r
+),
+cent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT t.vec_id, c.clabel,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
+           / (c.n * c.n) AS d2
+  FROM terms t JOIN cent c ON t.i = c.i
+  GROUP BY t.vec_id, c.clabel, c.n
+),
+assign AS (
+  SELECT vec_id, clabel FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
+),
+probes AS (
+  SELECT vec_id AS pid FROM embeddings
+  WHERE vec_id % {_RECALL_PROBE_MOD} = 0 AND vec_id < {_RECALL_PROBE_CAP}
+),
+pcell AS (
+  SELECT d.vec_id AS pid, d.clabel
+  FROM d JOIN probes p ON d.vec_id = p.pid
+  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d2, clabel)
+          <= {IVF_NPROBE}
+),
+iv7 AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nv AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE))
+           AS nrm
+  FROM iv7
+),
+pv AS (
+  SELECT n.vec_id AS pid, n.q AS qq, n.nrm AS qnrm
+  FROM nv n JOIN probes p ON n.vec_id = p.pid
+),
+exact AS (
+  SELECT pv.pid, nv.vec_id
+  FROM nv, pv
+  WHERE nv.vec_id <> pv.pid
+  QUALIFY row_number() OVER (
+    PARTITION BY pv.pid
+    ORDER BY CAST(list_sum([nv.q[i]*pv.qq[i]
+                            FOR i IN range(1, len(nv.q)+1)]) AS DOUBLE)
+             / (nv.nrm * pv.qnrm) DESC, nv.vec_id) <= {_RECALL_K}
+),
+icand AS (
+  SELECT pc.pid, a.vec_id
+  FROM assign a JOIN pcell pc ON a.clabel = pc.clabel
+  WHERE a.vec_id <> pc.pid
+),
+ivf AS (
+  SELECT ic.pid, ic.vec_id
+  FROM icand ic
+  JOIN nv ON ic.vec_id = nv.vec_id
+  JOIN pv ON ic.pid = pv.pid
+  QUALIFY row_number() OVER (
+    PARTITION BY ic.pid
+    ORDER BY CAST(list_sum([nv.q[i]*pv.qq[i]
+                            FOR i IN range(1, len(nv.q)+1)]) AS DOUBLE)
+             / (nv.nrm * pv.qnrm) DESC, ic.vec_id) <= {_RECALL_K}
+),
+hits AS (
+  SELECT e.pid, COUNT(*) AS h
+  FROM exact e JOIN ivf v ON e.pid = v.pid AND e.vec_id = v.vec_id
+  GROUP BY e.pid
+)
+SELECT p.pid AS probe_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       round(CAST(COALESCE(h.h, 0) AS DOUBLE) / {_RECALL_K}, 6)
+         AS recall_at_{_RECALL_K}
+FROM probes p LEFT JOIN hits h ON p.pid = h.pid
+"""
+
+
+@register("ann_recall_eval", oracle=_RECALL_ORACLE)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the IVF probe path against exact brute force, on a
+    FIXED {P}-probe panel — the index-quality gate that closes the
+    incremental-ANN loop: upsert and compaction keep the index fresh,
+    the drift stats say the data moved, and THIS says whether search
+    quality actually degraded enough to rebuild.
+
+    Per probe: exact top-{K} by scaled-integer cosine over the whole
+    corpus (the ground truth an eval pays once) vs the IVF path's
+    top-{K} (assign every vector to its nearest label-centroid cell
+    with the exact rational L2 argmin, probe the panel vector's
+    {NPROBE} nearest cells — identical math to ``ivf_topk``). Output:
+    (probe_id, hits, recall@{K}), fully hash-verified — both rankings
+    are deterministic total orders (cos DESC, vec_id).
+
+    Scale shape: the panel is CONSTANT-SIZE (ids < {CAP} mod {MOD}),
+    so exact ground truth is O(corpus x panel) — one corpus scan wide,
+    panel-broadcast, top-k per probe via per-partition heaps; the IVF
+    side scores only vectors in probed cells (the partition-pruned
+    read at scale). Nothing grows quadratically with the corpus.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv4 = _iv4(e)
+    terms = iv4.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
+    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s"), F.count("*").alias("n")
+    )
+    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
+    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
+    d = (
+        t.join(c, F.col("t.i") == F.col("c.i"))
+        .groupBy("t.vec_id", "c.clabel", "c.n")
+        .agg(F.sum(num * num).alias("num2"))
+        .select(
+            "vec_id",
+            "clabel",
+            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+        )
+    )
+    d = stage_cache(d)  # feeds the corpus assignment AND the probe list
+    wv = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assign = (
+        d.withColumn("rn", F.row_number().over(wv))
+        .filter("rn = 1")
+        .select("vec_id", "clabel")
+    )
+    probe = (F.col("vec_id") % _RECALL_PROBE_MOD == 0) & (
+        F.col("vec_id") < _RECALL_PROBE_CAP
+    )
+    pcell = (
+        d.filter(probe)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("pid"), "clabel")
+    )
+    nv = stage_cache(
+        e.select("vec_id", _ivec("embedding").alias("q")).withColumn(
+            "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
+        )
+    )
+    pv = nv.filter(probe).select(
+        F.col("vec_id").alias("pid"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _idot(F.col("q"), F.col("qq")).cast("double") / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    wp = Window.partitionBy("pid").orderBy(F.desc("cos_x"), "vec_id")
+    exact = (
+        nv.crossJoin(F.broadcast(pv))  # panel-sized: {P} rows by construction
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", cos.alias("cos_x"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("pid", "vec_id")
+    )
+    ivf = (
+        assign.join(F.broadcast(pcell), "clabel")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .join(nv, "vec_id")
+        .join(F.broadcast(pv), "pid")
+        .select("pid", "vec_id", cos.alias("cos_x"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("pid", "vec_id")
+    )
+    hits = exact.join(ivf, ["pid", "vec_id"]).groupBy("pid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    panel = pv.select("pid")
+    return panel.join(hits, "pid", "left").select(
+        F.col("pid").alias("probe_id"),
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("h"), F.lit(0)).cast("double") / _RECALL_K, 6
+        ).alias(f"recall_at_{_RECALL_K}"),
+    )

@@ -80,6 +80,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "drift_psi": "scalar corpus-total doc count (1-row frame, broadcast onto the source x 10-bin grid)",
     "corpus_health_report": "inherits drift_psi's scalar corpus-total 1-row frame (composed leg)",
     "health_report_fold": "inherits psi_from_counts' scalar corpus-total 1-row frame (PSI finish leg)",
+    "ann_recall_eval": "Spark-injected runtime bloom_filter_agg over the 20-row probe-panel join key (a scalar sketch the optimizer adds to prune the corpus scan — the pushdown working FOR us, not a collapsed data path)",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -120,6 +121,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "curation_funnel": "broadcast 4-row stage spine onto the per-source grid",
     "corpus_health_report": "inherits its composed legs' broadcast constant-size frames (bin/stage spines, per-source set sizes, 1-row totals)",
     "health_report_fold": "broadcast per-source merged-signature frame self-paired on source<source + the PSI finish's bin spine / 1-row total",
+    "ann_recall_eval": "broadcast FIXED 20-row probe panel (the exact ground-truth leg an eval pays by construction)",
 }
 
 

@@ -91,23 +91,22 @@ def register(name: str, oracle: str | None = None):
 #     (the file changed again in r7 — the health-fold foreachBatch
 #     runner landed there — so its green r6 row is stale by the same
 #     rule as everything else),
-#   - contamination_minhash as the heaviest session.py stage_cache
-#     inheritor not already in the window (session.py's cross-thread
-#     registry rewrite touches every operator; the similarity/dedup
-#     members above cover the rest of the heavy users),
-#   - fillers re-certifying four of the ten remaining r1-era rows,
-#     including the two r6-verdict-named holdouts (window_moving_sum,
-#     window_row_number_topk).
+#   - fillers re-certifying the two r6-verdict-named r1-era holdouts
+#     (window_moving_sum, window_row_number_topk).
 # Deliberately NOT in the window: ann_lsh_topk / dedup_minhash_lsh /
 # dedup_simhash (rows-only by design; their fully-oracled portable
 # twins ARE in the window), and set_intersect / set_except /
-# union_by_name / string_funcs / set_union / sql_api_q6 (r1 rows,
-# unchanged files, 10x-parity-covered — the six lowest-risk rows in
-# the catalog; string_funcs, set_union and sql_api_q6 ceded their
-# filler slots to the first rows of streaming_health_report and
-# streaming_ann_upsert and the re-certification of
-# streaming_drift_psi). Everything else holds a green row from r2-r6
-# and follows in registration order.
+# union_by_name / string_funcs / set_union / sql_api_q6 /
+# window_lag_lead / window_cumulative / contamination_minhash (r1-r3
+# rows, unchanged files, 10x-parity-covered — the lowest-risk rows in
+# the catalog; the last three ceded their slots to the three late-r7
+# additions dedup_index_compact / streaming_dedup_incremental /
+# ann_recall_eval, which have no driver row at all; the session.py
+# cache-tracker inheritance contamination_minhash was covering is
+# already exercised in-window by dedup_minhash_lsh_portable and
+# dedup_simhash_portable, the other two heaviest stage_cache users).
+# Everything else holds a green row from r2-r6 and follows in
+# registration order.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
@@ -117,6 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "health_report_fold",
     "streaming_health_report",
     "streaming_ann_upsert",
+    "dedup_index_compact",
+    "streaming_dedup_incremental",
+    "ann_recall_eval",
     # similarity.py surface (file changed r7)
     "ann_index_upsert",
     "centroid_retrain",
@@ -160,13 +162,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stateful_counts",
     "streaming_dedup_watermark",
     "streaming_foreach_batch",
-    # heaviest session.py stage_cache inheritor outside the above
-    "contamination_minhash",
-    # fillers: oldest (r1-era) rows, incl. the two r6-named holdouts
+    # fillers: the two r6-verdict-named r1-era holdouts
     "window_moving_sum",
     "window_row_number_topk",
-    "window_lag_lead",
-    "window_cumulative",
 )
 
 

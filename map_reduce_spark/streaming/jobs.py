@@ -722,11 +722,12 @@ def run_stream_state_fold(
     legs: tuple[str, ...],
     batch_state,
     merge,
+    append_legs: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, ...]:
     """Generic foreachBatch maintenance of mergeable state as
     parquet-at-rest tables — the engine's reusable exactly-once fold
-    primitive (instantiated by the corpus-health report and the ANN
-    index-delta fold).
+    primitive (instantiated by the corpus-health report, the ANN
+    index-delta fold, and the dedup signature-index fold).
 
     ``batch_state(df, cache)`` computes one micro-batch's state as a
     tuple of frames aligned with ``legs`` (``cache`` persists a shared
@@ -762,6 +763,20 @@ def run_stream_state_fold(
     parquet legs are not individually fsynced, so against power loss
     the immediately previous committed version is retained one extra
     commit for recovery.
+
+    ``append_legs`` names legs whose state folds by DISJOINT union
+    (e.g. a signature index: each doc's rows arrive in exactly one
+    batch). For those, ``merge`` must return only the batch's NEW rows
+    (the delta), and the commit materializes the full leg under
+    ``v<N>/`` by hard-linking the previous version's parquet part
+    files next to the freshly written delta files — per-commit IO is
+    O(batch), not O(accumulated index), while the read path and the
+    versioned atomic-marker protocol are unchanged (Spark part-file
+    names embed a per-job uuid, so linked and new files never
+    collide; the sweep of superseded versions only drops directory
+    entries — inodes survive through the links). On an object store
+    the same shape is a manifest of immutable delta objects per
+    version; hard links are the local-filesystem expression of it.
 
     Runs the stream to exhaustion (AvailableNow) and returns the
     committed state tuple, read from the final version directory."""
@@ -835,7 +850,19 @@ def run_stream_state_fold(
             vdir = os.path.join(state_dir, f"v{epoch_id}")
             shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt
             for leg, frame in zip(legs, merged):
-                frame.write.parquet(os.path.join(vdir, leg))
+                dest = os.path.join(vdir, leg)
+                frame.write.parquet(dest)
+                if leg in append_legs and cur is not None:
+                    # append leg: `frame` was the batch delta — link the
+                    # previous committed version's data files alongside
+                    # (O(files) metadata ops, zero data copied)
+                    prev = os.path.join(state_dir, f"v{cur['epoch']}", leg)
+                    for fname in os.listdir(prev):
+                        if fname.endswith(".parquet"):
+                            os.link(
+                                os.path.join(prev, fname),
+                                os.path.join(dest, fname),
+                            )
             tmp = marker + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(_json.dumps({"lineage": lineage, "epoch": epoch_id}))
@@ -1061,3 +1088,76 @@ def streaming_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = tempfile.mkdtemp(prefix="mr_spark_ann_state_")
     _reap_at_exit(state_dir)
     return run_streaming_ann_delta_fold(spark, sf_dir, state_dir)
+
+
+# --- the dedup signature index maintained ON the ingest stream --------
+
+
+def run_streaming_dedup_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """The incremental-dedup maintenance loop deployed ON the ingest
+    stream: each micro-batch of new documents contributes its band
+    table (the signature-index delta) and its collision candidates
+    (within the batch from batch_state; against the accumulated index
+    from the merge), both APPEND legs — each commit writes O(batch +
+    collisions) and hard-links the existing index (see
+    run_stream_state_fold's append_legs). Draining the stream
+    compacts: one Jaccard verify over the accumulated candidate
+    ledger, kill the min-id losers, emit the consolidated survivor
+    index — the identical finish, merge, and oracle as the periodic
+    batch compaction (dedup.dedup_index_compact), so the continuously
+    maintained index can never drift from the one-shot recomputation.
+
+    Scale shape: per micro-batch the corpus-grain work is the batch's
+    signature pass; the candidate join probes the stored index on
+    (band, bucket) — bucketed storage makes it shuffle-free on the
+    index side — and the ledger grows only with true collisions. Text
+    is touched once, at compaction, for colliding ids only.
+    """
+    from map_reduce_spark.io import load_table
+    from map_reduce_spark.operators.dedup import (
+        dedup_batch_state,
+        dedup_compact_finish,
+        merge_dedup_states,
+    )
+
+    if source is None:
+        source = stream_documents(spark, sf_dir)
+    bands, cand = run_stream_state_fold(
+        spark,
+        state_dir,
+        source,
+        legs=("bands", "cand"),
+        batch_state=lambda df, cache: dedup_batch_state(df),
+        merge=lambda s, b: merge_dedup_states(s, b, deltas_only=True),
+        append_legs=frozenset({"bands", "cand"}),
+    )
+    return dedup_compact_finish(
+        bands, cand, load_table(spark, sf_dir, "documents")
+    )
+
+
+def _dedup_compact_oracle() -> str:
+    from map_reduce_spark.operators.dedup import _DEDUP_COMPACT_ORACLE
+
+    return _DEDUP_COMPACT_ORACLE
+
+
+@register("streaming_dedup_incremental", oracle=_dedup_compact_oracle())
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_index_compact deployed ON the ingest stream — the fourth
+    fold the exactly-once primitive hosts, and the first with APPEND
+    legs (the signature index folds by disjoint union, so each commit
+    appends O(batch) instead of rewriting the corpus-sized index).
+    Cites reference worker.ex:124,147 (the append-mode retry class the
+    commit protocol fixes). See run_streaming_dedup_fold for the fold
+    and scale shape."""
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="mr_spark_dedup_state_")
+    _reap_at_exit(state_dir)
+    return run_streaming_dedup_fold(spark, sf_dir, state_dir)

@@ -29,7 +29,9 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1synth"
-REPS = 10
+# 10 -> the sf1-equivalent slice; SYNTH_REPS=100 + DST .sf100synth ->
+# the 100x tail slice (same construction, two decades)
+REPS = int(os.environ.get("SYNTH_REPS", "10"))
 BASE = 10_000_000
 
 os.makedirs(DST, exist_ok=True)

@@ -438,3 +438,181 @@ def test_stream_fold_rejects_rewound_epochs(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="re-delivered"):
         run_streaming_ann_delta_fold(spark, sf_dir, state_dir, source=make_source())
     release_caches()
+
+
+# --- dedup_index_compact / streaming_dedup_incremental ------------------
+
+
+def test_dedup_compact_matches_oracle(spark, duck, sf_dir):
+    from map_reduce_spark.registry import all_queries
+
+    q = all_queries()["dedup_index_compact"]
+    got = q.fn(spark, sf_dir)
+    assert_frames_match(got, duck.execute(q.oracle).fetchdf(), "dedup_index_compact")
+    release_caches()
+
+
+def test_dedup_compact_fold_order_through_parquet(spark, sf_dir, tmp_path):
+    """The deployment shape: each arrival day leaves its band table and
+    within-day collision pairs as parquet; compaction loads the N day
+    states and folds them. Folding forward and reversed must both
+    finish into the identical survivor index (the merge is associative
+    and commutative: cross pairs decompose pairwise over the union)."""
+    from map_reduce_spark.operators.dedup import (
+        _DEDUP_COMPACT_BATCHES,
+        _collision_pairs,
+        _portable_bands,
+        dedup_compact_finish,
+        dedup_index_compact,
+        merge_dedup_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _portable_bands(docs)
+    day = F.col("doc_id") % _DEDUP_COMPACT_BATCHES
+    states = []
+    for d in range(_DEDUP_COMPACT_BATCHES):
+        bp = str(tmp_path / f"bands_{d}")
+        cp = str(tmp_path / f"cand_{d}")
+        db = bands.filter(day == d)
+        db.write.parquet(bp)
+        _collision_pairs(db).write.parquet(cp)
+        states.append((spark.read.parquet(bp), spark.read.parquet(cp)))
+
+    fwd = reduce(merge_dedup_states, states)
+    rev = reduce(merge_dedup_states, states[::-1])
+    want = _rows(dedup_index_compact(spark, sf_dir))
+    release_caches()
+    assert _rows(dedup_compact_finish(fwd[0], fwd[1], docs)) == want
+    assert _rows(dedup_compact_finish(rev[0], rev[1], docs)) == want
+    release_caches()
+
+
+def test_dedup_compact_kill_rule(spark, sf_dir):
+    """Survivors are exactly the docs that near-dup no smaller-id doc:
+    the kill list must equal the doc_b side of the fully-verified
+    portable-LSH pair table, and every survivor keeps all its bands."""
+    from map_reduce_spark.operators.dedup import (
+        BANDS,
+        dedup_index_compact,
+        dedup_minhash_lsh_portable,
+    )
+
+    killed = {
+        r["doc_b"] for r in dedup_minhash_lsh_portable(spark, sf_dir).collect()
+    }
+    release_caches()
+    docs = {r["doc_id"] for r in load_table(spark, sf_dir, "documents").collect()}
+    out = dedup_index_compact(spark, sf_dir).collect()
+    release_caches()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert set(per_doc) == docs - killed
+    assert all(n == BANDS for n in per_doc.values())
+
+
+def test_streaming_dedup_equals_batch_compact(spark, sf_dir):
+    from map_reduce_spark.operators.dedup import dedup_index_compact
+    from map_reduce_spark.streaming.jobs import streaming_dedup_incremental
+
+    got = _rows(streaming_dedup_incremental(spark, sf_dir))
+    release_caches()
+    want = _rows(dedup_index_compact(spark, sf_dir))
+    release_caches()
+    assert got == want
+
+
+def test_streaming_dedup_fold_multi_epoch_append_legs(spark, sf_dir, tmp_path):
+    """Documents split across three files streamed one file per trigger
+    must compact to the same survivor index as the one-shot; the state
+    legs are APPEND legs, so a committed version's band files must be
+    hard links of the previous version's (O(batch) per commit, no
+    index rewrite), and resuming the drained stream serves the
+    committed state unchanged."""
+    import os
+
+    from map_reduce_spark.operators.dedup import dedup_index_compact
+    from map_reduce_spark.streaming.jobs import (
+        DOCS_SCHEMA,
+        run_streaming_dedup_fold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    for d in range(3):
+        docs.filter(F.col("doc_id") % 3 == d).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state_dir = str(tmp_path / "dedup_state")
+    os.makedirs(state_dir)
+
+    def make_source():
+        return (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    got = _rows(
+        run_streaming_dedup_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    want = _rows(dedup_index_compact(spark, sf_dir))
+    release_caches()
+    assert got == want
+
+    # the committed (final) version's bands leg must share inodes with
+    # the retained previous version — appended, not rewritten
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    assert len(versions) == 2  # final + the power-loss recovery point
+    final_bands = os.path.join(state_dir, f"v{versions[-1]}", "bands")
+    linked = [
+        f
+        for f in os.listdir(final_bands)
+        if f.endswith(".parquet")
+        and os.stat(os.path.join(final_bands, f)).st_nlink > 1
+    ]
+    assert linked, "append leg contains no hard-linked prior files"
+
+    again = _rows(
+        run_streaming_dedup_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    assert again == want
+
+
+# --- ann_recall_eval -----------------------------------------------------
+
+
+def test_ann_recall_eval_matches_oracle(spark, duck, sf_dir):
+    from map_reduce_spark.registry import all_queries
+
+    q = all_queries()["ann_recall_eval"]
+    got = q.fn(spark, sf_dir)
+    assert_frames_match(got, duck.execute(q.oracle).fetchdf(), "ann_recall_eval")
+    release_caches()
+
+
+def test_ann_recall_eval_panel_and_bounds(spark, sf_dir):
+    from map_reduce_spark.operators.similarity import (
+        _RECALL_K,
+        _RECALL_PROBE_CAP,
+        _RECALL_PROBE_MOD,
+        ann_recall_eval,
+    )
+
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    release_caches()
+    # the panel is the FIXED probe set, one row each, at every SF
+    assert sorted(r["probe_id"] for r in rows) == list(
+        range(0, _RECALL_PROBE_CAP, _RECALL_PROBE_MOD)
+    )
+    for r in rows:
+        assert 0 <= r["hits"] <= _RECALL_K
+        assert abs(r[f"recall_at_{_RECALL_K}"] - r["hits"] / _RECALL_K) < 1e-9
