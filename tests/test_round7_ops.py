@@ -616,3 +616,64 @@ def test_ann_recall_eval_panel_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["hits"] <= _RECALL_K
         assert abs(r[f"recall_at_{_RECALL_K}"] - r["hits"] / _RECALL_K) < 1e-9
+
+
+def test_dedup_index_lifecycle_roundtrip(spark, sf_dir, tmp_path):
+    """The full production loop in one test: three arrival days fold
+    through the STREAM (append legs, parquet state), the drained state
+    compacts into the survivor index at rest, and day 4 then dedups
+    against that stored index via incremental_dedup_frames — the result
+    must equal the same fold built in memory from one-shot parts. This
+    is the path a real deployment runs every day; nothing in it may
+    depend on how the state got to disk."""
+    import os
+
+    from map_reduce_spark.operators.dedup import (
+        _collision_pairs,
+        _portable_bands,
+        dedup_compact_finish,
+        incremental_dedup_frames,
+    )
+    from map_reduce_spark.streaming.jobs import (
+        DOCS_SCHEMA,
+        run_streaming_dedup_fold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    early = docs.filter(F.col("doc_id") % 4 != 3)
+    day4 = docs.filter(F.col("doc_id") % 4 == 3)
+
+    # days 1-3 arrive as a 3-file stream; state folds to parquet
+    src_dir = str(tmp_path / "docs_stream")
+    for d in range(3):
+        early.filter(F.col("doc_id") % 4 == d).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    source = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    compacted = run_streaming_dedup_fold(spark, sf_dir, state_dir, source=source)
+    idx_path = str(tmp_path / "index")
+    compacted.write.parquet(idx_path)  # the index a deployment persists
+    release_caches()
+
+    # day 4 folds against the STORED index
+    got = _rows(
+        incremental_dedup_frames(
+            _portable_bands(day4), spark.read.parquet(idx_path), docs
+        )
+    )
+    release_caches()
+
+    # the in-memory one-shot twin of the same semantics
+    b_early, b_day4 = _portable_bands(early), _portable_bands(day4)
+    survivors = dedup_compact_finish(b_early, _collision_pairs(b_early), docs)
+    want = _rows(incremental_dedup_frames(b_day4, survivors, docs))
+    release_caches()
+    assert got == want
