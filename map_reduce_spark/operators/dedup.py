@@ -1321,30 +1321,27 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the consolidated index carrying only canonical survivors
     (min-doc_id per verified near-dup pair).
 
-    The test-scale stand-in splits the corpus into
-    {_DEDUP_COMPACT_BATCHES} "days" by ``doc_id % {_DEDUP_COMPACT_BATCHES}``;
-    each day's state is computed independently and folded pairwise via
-    ``merge_dedup_states``. tests/test_round7_ops.py proves fold ==
-    one-shot through parquet at rest in arbitrary fold order, and the
-    stream deployment (streaming_dedup_incremental) appends the same
-    state O(batch) per commit.
+    In production the two state legs already EXIST when compaction
+    runs — the ingest fold (``merge_dedup_states`` per batch, or the
+    stream deployment's append legs) accumulated them as batches
+    arrived — so compaction itself is only verify + kill + emit. The
+    candidate ledger is SPLIT-INVARIANT (any batch partitioning
+    accumulates the identical (doc_lo, doc_hi) set — proven in
+    tests/test_round7_ops.py through parquet in arbitrary fold order),
+    so the test-scale stand-in derives it in one shot from the band
+    table rather than replaying an ingest history inside the query;
+    the {_DEDUP_COMPACT_BATCHES}-day fold itself is exercised by the
+    order-invariance test and deployed for real by
+    ``streaming_dedup_incremental``.
 
-    Scale shape: signatures are ~200 bytes/doc — the band union moves
-    metadata, never text; candidate generation is the banded equi-join
-    bounded by collisions (on a stored index, bucketed by (band,
-    bucket), the per-batch join is shuffle-free on the index side);
-    the verify re-reads text for COLLIDING ids only (broadcast
-    semi-join); the kill anti-join broadcasts the collision-sized kill
-    list. Nothing rescans the corpus, nothing is quadratic.
+    Scale shape: signatures are ~200 bytes/doc — the band legs move
+    metadata, never text; the ledger is bounded by collisions (on a
+    stored index, bucketed by (band, bucket), each ingest-time probe
+    join is shuffle-free on the index side); the verify re-reads text
+    for COLLIDING ids only (broadcast semi-join); the kill anti-join's
+    dup-rate-proportional side carries no broadcast hint (NOTES rule
+    28). Nothing rescans the corpus, nothing is quadratic.
     """
-    from functools import reduce
-
     docs = load_table(spark, sf_dir, "documents")
     bands = stage_cache(_portable_bands(docs))  # shared: one signature pass
-    day = F.col("doc_id") % _DEDUP_COMPACT_BATCHES
-    states = [
-        (bands.filter(day == d), _collision_pairs(bands.filter(day == d)))
-        for d in range(_DEDUP_COMPACT_BATCHES)
-    ]
-    merged = reduce(merge_dedup_states, states)
-    return dedup_compact_finish(merged[0], merged[1], docs)
+    return dedup_compact_finish(bands, _collision_pairs(bands), docs)
