@@ -677,3 +677,76 @@ def test_dedup_index_lifecycle_roundtrip(spark, sf_dir, tmp_path):
     want = _rows(incremental_dedup_frames(b_day4, survivors, docs))
     release_caches()
     assert got == want
+
+
+def test_append_leg_fold_survives_torn_version(spark, sf_dir, tmp_path):
+    """Crash-before-commit with APPEND legs: a torn newer version (delta
+    files + hard links written, marker never moved) must be ignored by
+    the resumed fold — which re-appends from the last COMMITTED version
+    — and swept post-commit without losing any inode the committed
+    versions still link. Mirrors the generic torn-version test for the
+    rewrite-leg folds."""
+    import os
+
+    from map_reduce_spark.operators.dedup import dedup_index_compact
+    from map_reduce_spark.streaming.jobs import (
+        DOCS_SCHEMA,
+        run_streaming_dedup_fold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+
+    def make_source():
+        return (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    run_streaming_dedup_fold(spark, sf_dir, state_dir, source=make_source())
+    release_caches()
+
+    # fake a crashed epoch: a newer version whose bands leg contains a
+    # garbage delta AND a hard link to a committed band file, marker
+    # never moved
+    committed = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("v")
+    )[-1]
+    torn = os.path.join(state_dir, "v999", "bands")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "w") as fh:
+        fh.write("not parquet")
+    src_band_dir = os.path.join(state_dir, committed, "bands")
+    linked_name = next(
+        f for f in os.listdir(src_band_dir) if f.endswith(".parquet")
+    )
+    os.link(
+        os.path.join(src_band_dir, linked_name),
+        os.path.join(torn, linked_name),
+    )
+
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    got = _rows(
+        run_streaming_dedup_fold(spark, sf_dir, state_dir, source=make_source())
+    )
+    release_caches()
+    want = _rows(dedup_index_compact(spark, sf_dir))
+    release_caches()
+    assert got == want
+    assert not os.path.exists(os.path.join(state_dir, "v999"))
+    # the committed file the torn version linked must still be readable
+    # through the FINAL version (sweep dropped directory entries only)
+    final = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("v")
+    )[-1]
+    assert os.path.exists(os.path.join(state_dir, final, "bands", linked_name))
