@@ -687,17 +687,28 @@ def _portable_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def _verify_jaccard(docs: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
+def _verify_jaccard(
+    docs: DataFrame, cand: DataFrame, tau: float, broadcast_ids: bool = True
+) -> DataFrame:
     """Exact-Jaccard verify over candidate pairs only: re-shingle just
     the docs that appear in ``cand`` (columns doc_a, doc_b + any
-    carried columns), keep pairs with jac >= tau as ``jac``."""
+    carried columns), keep pairs with jac >= tau as ``jac``.
+
+    ``broadcast_ids`` hints the colliding-id semi-join. Keep it True
+    only when the candidate set is bounded by construction (one
+    batch's collisions in the incremental path); the accumulated
+    cross-epoch ledger a compaction verifies is collision-proportional
+    and unbounded, so that path passes False and lets AQE pick by
+    measured size (NOTES rule 28)."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    if broadcast_ids:
+        cand_ids = F.broadcast(cand_ids)
     cand_sets = (
-        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        docs.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.explode(_shingles()).alias("t"))
         .groupBy("doc_id")
         .agg(F.collect_set("t").alias("s"))
@@ -1251,11 +1262,23 @@ def _collision_pairs(a: DataFrame, b: DataFrame | None = None) -> DataFrame:
     )
 
 
-def dedup_batch_state(batch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def dedup_batch_state(
+    batch_docs: DataFrame, cache=None
+) -> tuple[DataFrame, DataFrame]:
     """One batch's contribution to the compaction state: its band table
     (the signature-index delta) and its WITHIN-batch collision pairs.
-    Cross-batch pairs belong to the merge (they need the other side)."""
+    Cross-batch pairs belong to the merge (they need the other side).
+
+    ``cache`` (optional callable, e.g. ``stage_cache`` or the stream
+    fold's per-batch persist hook) is applied to the band table — the
+    batch's expensive signature pass (shingle explode + 32 md5 mins)
+    feeds three consumers (the bands leg write, the within-batch
+    collision self-join, and the merge's cross-batch probe), so without
+    the barrier it recomputes once per consumer per micro-batch. Same
+    contract as ``health_batch_state``: the caller owns the release."""
     bands = _portable_bands(batch_docs)
+    if cache is not None:
+        bands = cache(bands)
     return bands, _collision_pairs(bands)
 
 
@@ -1302,10 +1325,16 @@ def dedup_compact_finish(
     pairs = cand.select(
         F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b")
     )
-    killed = _verify_jaccard(text_store, pairs, tau).select("doc_b").distinct()
-    # no broadcast hint: the kill list is dup-rate-proportional, not
-    # bounded by construction (NOTES rule 28) — let AQE pick; the
-    # anti-join co-partitions with the index on doc_id either way
+    # no broadcast hints anywhere on this path: both the colliding-id
+    # set inside the verify (broadcast_ids=False) and the kill list are
+    # dup-rate-proportional, not bounded by construction (NOTES rule
+    # 28) — let AQE pick; the anti-join co-partitions with the index on
+    # doc_id either way
+    killed = (
+        _verify_jaccard(text_store, pairs, tau, broadcast_ids=False)
+        .select("doc_b")
+        .distinct()
+    )
     return bands.join(
         killed, bands["doc_id"] == killed["doc_b"], "left_anti"
     ).select("doc_id", "band", "bucket")

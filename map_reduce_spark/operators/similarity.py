@@ -2061,9 +2061,12 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_K = 10
 _RECALL_PROBE_MOD = 25
-_RECALL_PROBE_CAP = 500  # fixed 20-probe panel at every SF: eval cost
-# is O(corpus x panel), a constant multiple of one corpus scan —
-# NEVER O(corpus x corpus/MOD), which a rate-based panel would be.
+_RECALL_PROBE_CAP = 500  # fixed panel at every SF: eval cost is
+# O(corpus x panel), a constant multiple of one corpus scan — NEVER
+# O(corpus x corpus/MOD), which a rate-based panel would be. Dataset
+# contract: vec_id is 0-based and contiguous (the testdata generator's
+# layout), so ids {0, 25, ..., 475} exist and the panel is exactly
+# CAP/MOD = 20 probes; a 1-based corpus would silently yield 19.
 
 _RECALL_ORACLE = f"""
 WITH iv AS (
@@ -2228,7 +2231,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = Window.partitionBy("pid").orderBy(F.desc("cos_x"), "vec_id")
     exact = (
-        nv.crossJoin(F.broadcast(pv))  # panel-sized: {P} rows by construction
+        # corpus x panel rows; the BROADCAST side (pv) is panel-sized
+        # by construction, so this is one corpus scan widened 20x —
+        # the O(corpus x panel) ground-truth cost the docstring prices
+        nv.crossJoin(F.broadcast(pv))
         .filter(F.col("vec_id") != F.col("pid"))
         .select("pid", "vec_id", cos.alias("cos_x"))
         .withColumn("rn", F.row_number().over(wp))

@@ -1132,7 +1132,7 @@ def run_streaming_dedup_fold(
         state_dir,
         source,
         legs=("bands", "cand"),
-        batch_state=lambda df, cache: dedup_batch_state(df),
+        batch_state=lambda df, cache: dedup_batch_state(df, cache=cache),
         merge=lambda s, b: merge_dedup_states(s, b, deltas_only=True),
         append_legs=frozenset({"bands", "cand"}),
     )
