@@ -214,15 +214,19 @@ def write_xml(df: DataFrame, path: str, row_tag: str, mode: str = "overwrite") -
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro source (gated): Avro is an external data source module —
-    requires the spark-avro jar, which this image does not ship."""
+    """Avro source. With the spark-avro jar on the classpath this is
+    the native (preferred) scan; without it — this image ships no
+    external jars — it falls back to the engine's pure-Python
+    object-container reader (``sources.avro_py``), a partition-parallel
+    Python DataSource whose planner indexes block ranges without
+    decompressing. Same rows either way; the fallback trades scan
+    throughput for zero install footprint."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
-        raise NotImplementedError(
-            "avro requires the spark-avro jar on the classpath "
-            "(external module since Spark 2.4); not shipped in this image"
-        ) from e
+    except Exception:  # AnalysisException: jar absent -> Python path
+        from map_reduce_spark.sources.avro_py import read_avro_py
+
+        return read_avro_py(spark, path)
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:

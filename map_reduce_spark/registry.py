@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.monitoring",
     "map_reduce_spark.operators.modern_sql",
     "map_reduce_spark.operators.python_source",
+    "map_reduce_spark.sources.avro_py",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",
 )

@@ -81,7 +81,10 @@ def test_gated_connectors_raise_cleanly(spark):
         mio.read_jdbc(spark, "jdbc:postgresql://nowhere/db", "t")
     with pytest.raises(NotImplementedError, match="Delta"):
         mio.read_delta(spark, "/tmp/no-such-delta")
-    with pytest.raises(NotImplementedError, match="avro"):
+    # Avro is NOT gated anymore (round 8): the jar-less path falls back
+    # to the pure-Python container reader, which reports a missing path
+    # as a plain file error, not a capability gate
+    with pytest.raises(FileNotFoundError):
         mio.read_avro(spark, "/tmp/no-such-avro")
 
 
