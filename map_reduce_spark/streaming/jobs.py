@@ -723,6 +723,7 @@ def run_stream_state_fold(
     batch_state,
     merge,
     append_legs: frozenset[str] = frozenset(),
+    consolidate_over: int | None = None,
 ) -> tuple[DataFrame, ...]:
     """Generic foreachBatch maintenance of mergeable state as
     parquet-at-rest tables — the engine's reusable exactly-once fold
@@ -769,14 +770,37 @@ def run_stream_state_fold(
     batch). For those, ``merge`` must return only the batch's NEW rows
     (the delta), and the commit materializes the full leg under
     ``v<N>/`` by hard-linking the previous version's parquet part
-    files next to the freshly written delta files — per-commit IO is
-    O(batch), not O(accumulated index), while the read path and the
+    files next to the freshly written delta files — per-commit DATA IO
+    is O(batch), not O(accumulated index), while the read path and the
     versioned atomic-marker protocol are unchanged (Spark part-file
     names embed a per-job uuid, so linked and new files never
     collide; the sweep of superseded versions only drops directory
     entries — inodes survive through the links). On an object store
     the same shape is a manifest of immutable delta objects per
     version; hard links are the local-filesystem expression of it.
+
+    Priced honestly, the link scheme's METADATA cost is NOT O(batch):
+    every epoch adds >=1 part file per append leg and every commit
+    re-links all prior files, so the per-commit link loop and every
+    read-path file listing are O(epochs so far) — a long-running
+    stream degrades into a many-small-files index. ``consolidate_over``
+    bounds it: when a previous committed append leg holds at least
+    that many part files, THIS commit rewrites the full leg (stored
+    union delta, coalesced to a bounded file count) instead of
+    delta+links. That makes the amortized data IO O(batch +
+    index/consolidate_over) per commit — the standard LSM-style
+    compaction trade — and it doubles as the state VACUUM: the
+    consolidated version holds no links to the old delta files, so
+    when the superseded version dirs are swept (post-commit, marker
+    already landed) the delta inodes' last directory entries drop and
+    the space is actually reclaimed. Crash-safety is inherited, not
+    re-derived: a consolidation is just a different materialization of
+    ``v<N>/`` under the identical write-everything-then-one-marker
+    protocol (crash mid-rewrite -> previous version intact, nothing
+    was deleted; crash after marker -> orphan sweep next fold), and
+    because the one-extra-version retention applies unchanged, the
+    vacuum frees an epoch's deltas one commit AFTER they were folded
+    into a consolidation.
 
     Runs the stream to exhaustion (AvailableNow) and returns the
     committed state tuple, read from the final version directory."""
@@ -849,20 +873,36 @@ def run_stream_state_fold(
                 merged = state
             vdir = os.path.join(state_dir, f"v{epoch_id}")
             shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt
-            for leg, frame in zip(legs, merged):
+            for i, (leg, frame) in enumerate(zip(legs, merged)):
                 dest = os.path.join(vdir, leg)
-                frame.write.parquet(dest)
                 if leg in append_legs and cur is not None:
-                    # append leg: `frame` was the batch delta — link the
-                    # previous committed version's data files alongside
-                    # (O(files) metadata ops, zero data copied)
                     prev = os.path.join(state_dir, f"v{cur['epoch']}", leg)
-                    for fname in os.listdir(prev):
-                        if fname.endswith(".parquet"):
+                    prev_files = [
+                        f for f in os.listdir(prev) if f.endswith(".parquet")
+                    ]
+                    if (
+                        consolidate_over is not None
+                        and len(prev_files) >= consolidate_over
+                    ):
+                        # consolidation commit (see docstring): rewrite
+                        # stored ∪ delta into a bounded file count; no
+                        # links, so the post-commit sweep vacuums the
+                        # folded-in delta inodes one version later
+                        stored[i].unionByName(frame).coalesce(
+                            max(1, consolidate_over // 4)
+                        ).write.parquet(dest)
+                    else:
+                        # append commit: write the delta, link the
+                        # previous version's data files alongside
+                        # (metadata-only ops, zero data copied)
+                        frame.write.parquet(dest)
+                        for fname in prev_files:
                             os.link(
                                 os.path.join(prev, fname),
                                 os.path.join(dest, fname),
                             )
+                else:
+                    frame.write.parquet(dest)
             tmp = marker + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(_json.dumps({"lineage": lineage, "epoch": epoch_id}))
@@ -1098,6 +1138,7 @@ def run_streaming_dedup_fold(
     sf_dir: str,
     state_dir: str,
     source: DataFrame | None = None,
+    consolidate_over: int = 64,
 ) -> DataFrame:
     """The incremental-dedup maintenance loop deployed ON the ingest
     stream: each micro-batch of new documents contributes its band
@@ -1117,6 +1158,10 @@ def run_streaming_dedup_fold(
     (band, bucket) — bucketed storage makes it shuffle-free on the
     index side — and the ledger grows only with true collisions. Text
     is touched once, at compaction, for colliding ids only.
+    ``consolidate_over`` bounds the append legs' file count (and
+    retires folded-in delta files): every time a leg accumulates that
+    many part files, the next commit rewrites it consolidated — see
+    run_stream_state_fold for the amortized cost and crash story.
     """
     from map_reduce_spark.io import load_table
     from map_reduce_spark.operators.dedup import (
@@ -1135,6 +1180,7 @@ def run_streaming_dedup_fold(
         batch_state=lambda df, cache: dedup_batch_state(df, cache=cache),
         merge=lambda s, b: merge_dedup_states(s, b, deltas_only=True),
         append_legs=frozenset({"bands", "cand"}),
+        consolidate_over=consolidate_over,
     )
     return dedup_compact_finish(
         bands, cand, load_table(spark, sf_dir, "documents")
