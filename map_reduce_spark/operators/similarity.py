@@ -2178,6 +2178,27 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     side scores only vectors in probed cells (the partition-pruned
     read at scale). Nothing grows quadratically with the corpus.
     """
+    exact, ivf, _assign, panel = _recall_parts(spark, sf_dir)
+    hits = exact.join(ivf, ["pid", "vec_id"]).groupBy("pid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return panel.join(hits, "pid", "left").select(
+        F.col("pid").alias("probe_id"),
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("h"), F.lit(0)).cast("double") / _RECALL_K, 6
+        ).alias(f"recall_at_{_RECALL_K}"),
+    )
+
+
+def _recall_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared internals of the recall gate (used by ``ann_recall_eval``
+    and ``ann_maintenance_decision`` so the two cannot disagree on what
+    a miss is): returns ``(exact, ivf, assign, panel)`` — per-probe
+    exact top-k, per-probe IVF-path top-k, the full-corpus cell
+    assignment (vec_id, clabel), and the probe panel (pid)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2251,14 +2272,182 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RECALL_K)
         .select("pid", "vec_id")
     )
-    hits = exact.join(ivf, ["pid", "vec_id"]).groupBy("pid").agg(
-        F.count(F.lit(1)).alias("h")
+    return exact, ivf, assign, pv.select("pid")
+
+
+# --- the maintenance DECISION: recall misses + growth -> rebuild set ---
+
+# Closes the human step the round-7 verdict called out: ann_recall_eval
+# says search quality degraded, centroid_retrain/compaction say which
+# cells GREW — but nothing joined them. The decision operator derives
+# the rebuild set a maintenance job would act on: a cell rebuilds when
+# its CUMULATIVE batch growth tripped the retrain threshold (the
+# compaction's flag) OR it harbors recall misses (ground-truth
+# neighbors the IVF probe path failed to return live in it — the
+# centroid no longer represents those members well enough to surface
+# them). Cell universes: both sides are label-keyed (the growth side's
+# centroids come from the stored split, the recall side's from the
+# full corpus — same label ids), so the full outer join below is an
+# id-level union of the same cell space.
+
+_MAINT_ORACLE = f"""
+WITH {_UPSERT_CTES},
+growth AS (
+  SELECT c.clabel AS cell, MAX(c.n) AS n_index,
+         COALESCE(MAX(bn.n_batch), 0) AS n_batch
+  FROM cent c LEFT JOIN bn ON c.clabel = bn.cell
+  GROUP BY 1
+),
+rcent AS (
+  SELECT label AS clabel, i, SUM(qi) AS s, COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+),
+rd AS (
+  SELECT t.vec_id, c.clabel,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS DOUBLE)
+           / (c.n * c.n) AS d2
+  FROM terms t JOIN rcent c ON t.i = c.i
+  GROUP BY t.vec_id, c.clabel, c.n
+),
+rassign AS (
+  SELECT vec_id, clabel FROM rd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) = 1
+),
+probes AS (
+  SELECT vec_id AS pid FROM embeddings
+  WHERE vec_id % {_RECALL_PROBE_MOD} = 0 AND vec_id < {_RECALL_PROBE_CAP}
+),
+pcell AS (
+  SELECT rd.vec_id AS pid, rd.clabel
+  FROM rd JOIN probes p ON rd.vec_id = p.pid
+  QUALIFY row_number() OVER (PARTITION BY rd.vec_id ORDER BY d2, clabel)
+          <= {IVF_NPROBE}
+),
+iv7 AS (
+  SELECT vec_id, {_IVEC_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nv AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)]) AS DOUBLE))
+           AS nrm
+  FROM iv7
+),
+pv AS (
+  SELECT n.vec_id AS pid, n.q AS qq, n.nrm AS qnrm
+  FROM nv n JOIN probes p ON n.vec_id = p.pid
+),
+exact AS (
+  SELECT pv.pid, nv.vec_id
+  FROM nv, pv
+  WHERE nv.vec_id <> pv.pid
+  QUALIFY row_number() OVER (
+    PARTITION BY pv.pid
+    ORDER BY CAST(list_sum([nv.q[i]*pv.qq[i]
+                            FOR i IN range(1, len(nv.q)+1)]) AS DOUBLE)
+             / (nv.nrm * pv.qnrm) DESC, nv.vec_id) <= {_RECALL_K}
+),
+icand AS (
+  SELECT pc.pid, a.vec_id
+  FROM rassign a JOIN pcell pc ON a.clabel = pc.clabel
+  WHERE a.vec_id <> pc.pid
+),
+ivf AS (
+  SELECT ic.pid, ic.vec_id
+  FROM icand ic
+  JOIN nv ON ic.vec_id = nv.vec_id
+  JOIN pv ON ic.pid = pv.pid
+  QUALIFY row_number() OVER (
+    PARTITION BY ic.pid
+    ORDER BY CAST(list_sum([nv.q[i]*pv.qq[i]
+                            FOR i IN range(1, len(nv.q)+1)]) AS DOUBLE)
+             / (nv.nrm * pv.qnrm) DESC, ic.vec_id) <= {_RECALL_K}
+),
+missed AS (
+  SELECT e.pid, e.vec_id
+  FROM exact e LEFT JOIN ivf v ON e.pid = v.pid AND e.vec_id = v.vec_id
+  WHERE v.vec_id IS NULL
+),
+mc AS (
+  SELECT ra.clabel AS cell, COUNT(*) AS miss_count
+  FROM missed m JOIN rassign ra ON m.vec_id = ra.vec_id
+  GROUP BY 1
+)
+SELECT COALESCE(g.cell, mc.cell) AS cell,
+       CAST(COALESCE(g.n_index, 0) AS BIGINT) AS n_index,
+       CAST(COALESCE(g.n_batch, 0) AS BIGINT) AS n_batch,
+       CAST(COALESCE(g.n_batch, 0) * 100
+            > COALESCE(g.n_index, 0) * {_RETRAIN_GROWTH_PCT} AS INT)
+         AS growth_flagged,
+       CAST(COALESCE(mc.miss_count, 0) AS BIGINT) AS miss_count,
+       CAST(COALESCE(g.n_batch, 0) * 100
+              > COALESCE(g.n_index, 0) * {_RETRAIN_GROWTH_PCT}
+            OR COALESCE(mc.miss_count, 0) > 0 AS INT) AS rebuild
+FROM growth g FULL OUTER JOIN mc ON g.cell = mc.cell
+"""
+
+
+@register("ann_maintenance_decision", oracle=_MAINT_ORACLE)
+def ann_maintenance_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell REBUILD DECISION — the step that closes the incremental
+    ANN loop as a pipeline instead of a human reading two reports:
+    compose the growth flags the compaction derives (cumulative batch
+    members vs stored members, ``_RETRAIN_GROWTH_PCT``% threshold —
+    identical ``_upsert_assign`` math as upsert/retrain/compact) with
+    the cells implicated by the recall gate's misses (each ground-truth
+    neighbor the IVF probe path failed to return is assigned to the
+    cell that hid it — ``_recall_parts``, shared with
+    ``ann_recall_eval`` so "miss" cannot mean two things). A cell
+    rebuilds when either signal fires.
+
+    Output grain is (cell): stored/batch member counts, the growth
+    flag, the miss count, and the decision — the work list a selective
+    ``centroid_retrain`` (or a full cell rebuild) would consume.
+
+    Scale shape: the growth side is O(batch) corpus work + broadcast
+    metadata joins (the upsert family's shape); the recall side is the
+    eval's O(corpus x fixed-panel) ground truth — an eval cost the
+    maintenance loop pays on schedule, not per query. The final
+    full-outer join is k-cell metadata. Nothing is quadratic in the
+    corpus; no driver-side loops.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = _iv4(e)
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    cent = stage_cache(_ivf_cell_stats(iv.filter(~is_batch)))
+    bterms = stage_cache(_batch_terms(iv.filter(is_batch)))
+    _bs, bn = _batch_cell_sums(_upsert_assign(bterms, cent), bterms)
+    nidx = cent.groupBy("clabel").agg(F.max("n").alias("n_index"))
+    growth = (
+        nidx.join(
+            F.broadcast(bn.select(F.col("cell").alias("clabel"), "n_batch")),
+            "clabel",
+            "left",
+        )
+        .select(
+            F.col("clabel").alias("cell"),
+            "n_index",
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+        )
     )
-    panel = pv.select("pid")
-    return panel.join(hits, "pid", "left").select(
-        F.col("pid").alias("probe_id"),
-        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
-        F.round(
-            F.coalesce(F.col("h"), F.lit(0)).cast("double") / _RECALL_K, 6
-        ).alias(f"recall_at_{_RECALL_K}"),
+    exact, ivf, assign, _panel = _recall_parts(spark, sf_dir)
+    missed = exact.join(ivf, ["pid", "vec_id"], "left_anti")
+    mc = (
+        missed.join(assign, "vec_id")
+        .groupBy(F.col("clabel").alias("m_cell"))
+        .agg(F.count(F.lit(1)).alias("miss_count"))
+    )
+    # no broadcast hint: Spark cannot broadcast a full-outer side (both
+    # sides are k-cell metadata frames anyway)
+    j = growth.join(mc, growth["cell"] == mc["m_cell"], "full_outer")
+    n_index = F.coalesce("n_index", F.lit(0)).cast("long")
+    n_batch = F.coalesce("n_batch", F.lit(0)).cast("long")
+    misses = F.coalesce("miss_count", F.lit(0)).cast("long")
+    grown = n_batch * 100 > n_index * _RETRAIN_GROWTH_PCT
+    return j.select(
+        F.coalesce(F.col("cell"), F.col("m_cell")).alias("cell"),
+        n_index.alias("n_index"),
+        n_batch.alias("n_batch"),
+        grown.cast("int").alias("growth_flagged"),
+        misses.alias("miss_count"),
+        (grown | (misses > 0)).cast("int").alias("rebuild"),
     )

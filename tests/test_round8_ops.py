@@ -152,3 +152,48 @@ def test_dedup_fold_every_commit_consolidates(spark, sf_dir, tmp_path):
         # consolidated files are owned, not linked from prior versions
         full = os.path.join(state_dir, f"v{versions[-1]}", leg, files[0])
         assert os.stat(full).st_nlink == 1
+
+
+# --- ann_maintenance_decision ------------------------------------------
+
+
+def test_ann_maintenance_decision_matches_oracle(spark, duck, sf_dir):
+    from map_reduce_spark.registry import all_queries
+    from tests.oracle import assert_frames_match
+
+    q = all_queries()["ann_maintenance_decision"]
+    got = q.fn(spark, sf_dir)
+    assert_frames_match(
+        got, duck.execute(q.oracle).fetchdf(), "ann_maintenance_decision"
+    )
+    release_caches()
+
+
+def test_ann_maintenance_decision_semantics(spark, sf_dir):
+    """The decision must be exactly (growth flag from the compaction)
+    OR (cell harbors recall misses): cross-check both inputs against
+    the operators that own them."""
+    from map_reduce_spark.operators.similarity import (
+        _RECALL_K,
+        ann_index_compact,
+        ann_maintenance_decision,
+        ann_recall_eval,
+    )
+
+    rows = {r["cell"]: r for r in ann_maintenance_decision(spark, sf_dir).collect()}
+    release_caches()
+    # growth side == the compaction's per-cell flag
+    comp = ann_index_compact(spark, sf_dir).collect()
+    release_caches()
+    comp_flag = {}
+    for r in comp:
+        comp_flag[r["cell"]] = max(comp_flag.get(r["cell"], 0), r["needs_retrain"])
+    for cell, flag in comp_flag.items():
+        assert rows[cell]["growth_flagged"] == flag
+    # miss side: total misses across cells == panel misses from the gate
+    ev = ann_recall_eval(spark, sf_dir).collect()
+    release_caches()
+    total_missed = sum(_RECALL_K - r["hits"] for r in ev)
+    assert sum(r["miss_count"] for r in rows.values()) == total_missed
+    for r in rows.values():
+        assert r["rebuild"] == int(r["growth_flagged"] == 1 or r["miss_count"] > 0)
