@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table, parallelize_if_narrow
 from map_reduce_spark.registry import register
-from map_reduce_spark.session import stage_cache
+from map_reduce_spark.session import stage_cache, stage_checkpoint
 
 # PSI histogram: 10 fixed-width integer bins over n_chars.  Width 64
 # covers the synthetic corpus (48..~550); the LEAST(9, ...) cap makes
@@ -699,7 +699,12 @@ def health_batch_state(
     )
     if cache is not None:
         feats = cache(feats)
-    psic = psi_bins(docs).groupBy("source", "bin").agg(F.count("*").alias("c"))
+    # psi_bins needs only (source, n_chars) — derive it from feats, not
+    # docs, so the PSI leg shares the (cached/checkpointed) narrow
+    # feature frame with the gate and dup legs instead of re-reading the
+    # text-carrying docs cache; the text pass then serves ONLY the
+    # signature leg (r7-verdict in-sweep constant)
+    psic = psi_bins(feats).groupBy("source", "bin").agg(F.count("*").alias("c"))
     local_stage = (
         F.when(F.col("n_chars") < _MIN_CHARS, "too_short")
         .when(2 * F.col("n_distinct") < F.col("n_tok"), "low_diversity")
@@ -857,4 +862,11 @@ def health_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return health_report_from_state(*health_batch_state(docs, cache=stage_cache))
+    # checkpoint (not just cache) the narrow feature frame: three of the
+    # four legs and the whole finish build on it, and truncating its
+    # lineage keeps their many small state-sized jobs from re-planning
+    # the scan subtree each time (r7-verdict in-sweep constant; ~30%
+    # off the query on the r8 A/B, PERFORMANCE.md round-8)
+    return health_report_from_state(
+        *health_batch_state(docs, cache=stage_checkpoint)
+    )
