@@ -171,7 +171,14 @@ def streaming_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dropped from the compared output)."""
     plan = windowed_counts_plan(stream_events(spark, sf_dir))
     out = _run_to_table(plan, "stream_tumble", "complete")
-    # TZ-free render: LTZ -> epoch seconds -> NTZ calendar -> string
+    return tumbling_render(out)
+
+
+def tumbling_render(out: DataFrame) -> DataFrame:
+    """TZ-free render of windowed_counts_plan output: LTZ -> epoch
+    seconds -> NTZ calendar -> string (shared with the late-data
+    certification in tests/test_streaming_late_data.py so the
+    adversarial delivery is compared under the identical rendering)."""
     return out.select(
         F.expr(
             "date_format(timestampadd(SECOND, unix_timestamp(w.start), "
