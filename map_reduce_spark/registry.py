@@ -73,99 +73,92 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# The round-7 window applies the file-granularity staleness rule (a
-# query is stale when its implementing file changed after its latest
-# driver row) to everything the r6/r7 commits touched:
-#   - two anchors (the reference flagship + exact dedup) that stay
-#     continuously verified,
-#   - the four round-7 additions (ann_index_compact completing the
-#     incremental ANN story, health_report_fold completing the
-#     incremental monitoring story, streaming_health_report and
-#     streaming_ann_upsert running both folds on the ingest stream),
-#   - the whole similarity.py surface (r7: upsert drift-overflow
-#     guard + PQ_M-derived code columns + the compaction landed
-#     there) and the whole monitoring.py surface (r7: gram-stream /
-#     perm-hash refactor shared with the health fold),
-#   - the oracled dedup.py surface (r6: dedup_incremental library-form
-#     refactor postdates most of the file's rows, five r2-era),
-#   - the whole streaming/jobs.py family including streaming_drift_psi
-#     (the file changed again in r7 — the health-fold foreachBatch
-#     runner landed there — so its green r6 row is stale by the same
-#     rule as everything else),
-#   - fillers re-certifying the two r6-verdict-named r1-era holdouts
-#     (window_moving_sum, window_row_number_topk).
-# Deliberately NOT in the window: ann_lsh_topk / dedup_minhash_lsh /
-# dedup_simhash (rows-only by design; their fully-oracled portable
-# twins ARE in the window), and set_intersect / set_except /
-# union_by_name / string_funcs / set_union / sql_api_q6 /
-# window_lag_lead / window_cumulative / contamination_minhash (r1-r3
-# rows, unchanged files, 10x-parity-covered — the lowest-risk rows in
-# the catalog; the last three ceded their slots to the three late-r7
-# additions dedup_index_compact / streaming_dedup_incremental /
-# ann_recall_eval, which have no driver row at all; the session.py
-# cache-tracker inheritance contamination_minhash was covering is
-# already exercised in-window by dedup_minhash_lsh_portable and
-# dedup_simhash_portable, the other two heaviest stage_cache users).
-# Everything else holds a green row from r2-r6 and follows in
-# registration order.
+# The round-8 window:
+#   - two anchors (the reference flagship + exact dedup), continuously
+#     verified;
+#   - the two queries with NO driver row yet (r8 additions avro_scan,
+#     ann_maintenance_decision);
+#   - every r8 behaviorally-changed surface under the file-granularity
+#     staleness rule: the health family (monitoring.py: psic-from-feats
+#     + feats localCheckpoint), the dedup compaction family (dedup.py:
+#     batch-state cache hook, broadcast hints dropped in the verify;
+#     streaming/jobs.py: append-leg consolidation + vacuum), the
+#     recall family (similarity.py: _recall_parts refactor), and the
+#     watermark family (jobs.py: tumbling_render extraction);
+#   - the r7-verdict-named rotation targets: the composed pipelines
+#     (prepare_training_data r6, select_pretraining_data r5 — member
+#     CTEs changed under them in r5-r7) and the heavy stage_cache
+#     users outside the r7 window (contamination_minhash r5,
+#     bpe_train_merges/bpe_encode r6), plus the r4-era heavy pairwise
+#     generators (entity_resolution, sorted_neighborhood_pairs);
+#   - ALL eight remaining r1-era rows (set ops, string_funcs,
+#     sql_api_q6, window_lag_lead/cumulative, union_by_name);
+#   - the rest of the budget on the oldest (r2-era) oracled rows,
+#     LLM/corpus family first per NOTES rule 14.
+# Everything else holds a green r3-r7 row on an unchanged-or-
+# comment-only file and follows in registration order; the builder's
+# full-catalog 10x parity sweep (SCALE_r08) covers the whole registry.
+# The round-7 window comment (for the r7 rationale) is in git history.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # round-7 additions
-    "ann_index_compact",
+    # round-8 additions (no driver row yet)
+    "avro_scan",
+    "ann_maintenance_decision",
+    # r8-changed: health family (monitoring.py)
     "health_report_fold",
     "streaming_health_report",
-    "streaming_ann_upsert",
+    "corpus_health_report",
+    "drift_psi",
+    "streaming_drift_psi",
+    # r8-changed: dedup compaction family (dedup.py + streaming/jobs.py)
     "dedup_index_compact",
     "streaming_dedup_incremental",
-    "ann_recall_eval",
-    # similarity.py surface (file changed r7)
-    "ann_index_upsert",
-    "centroid_retrain",
-    "dedup_semantic",
-    "knn_graph",
-    "dedup_embedding_cosine",
-    "embedding_topk",
-    "ann_lsh_topk_portable",
-    "ivf_assign",
-    "embedding_centroids",
-    "ivf_topk",
-    "pq_encode",
-    "pq_adc_topk",
-    "kmeans_lloyd",
-    "hard_negatives",
-    # monitoring.py surface (file changed r7)
-    "drift_psi",
-    "source_overlap",
-    "source_overlap_minhash",
-    "curation_funnel",
-    "k_anonymity",
-    "corpus_health_report",
-    # oracled dedup.py surface (file changed r6; rows r2-r5)
-    "dedup_exact_survivors",
-    "ngram_jaccard_dupes",
-    "dedup_components",
-    "dedup_components_lss",
-    "dedup_minhash_lsh_portable",
     "dedup_incremental",
-    "dedup_simhash_portable",
-    "dedup_spans",
-    # streaming/jobs.py family (file changed r6 and again r7)
-    "streaming_drift_psi",
-    "streaming_word_count",
+    "dedup_minhash_lsh_portable",
+    # r8-changed: recall family (similarity.py)
+    "ann_recall_eval",
+    "streaming_ann_upsert",
+    # r8-changed: watermark family (jobs.py tumbling_render)
     "streaming_tumbling_watermark",
     "streaming_session_window",
-    "streaming_sliding_window",
-    "streaming_dedup_exact",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "streaming_stateful_counts",
     "streaming_dedup_watermark",
-    "streaming_foreach_batch",
-    # fillers: the two r6-verdict-named r1-era holdouts
-    "window_moving_sum",
-    "window_row_number_topk",
+    # r7-verdict rotation targets: composed pipelines + heavy cache users
+    "prepare_training_data",
+    "select_pretraining_data",
+    "contamination_minhash",
+    "bpe_train_merges",
+    "bpe_encode",
+    "entity_resolution",
+    "sorted_neighborhood_pairs",
+    # r1-era rows (the oldest in the catalog)
+    "set_intersect",
+    "set_except",
+    "set_union",
+    "union_by_name",
+    "string_funcs",
+    "sql_api_q6",
+    "window_lag_lead",
+    "window_cumulative",
+    # r2-era rows, LLM/corpus family first
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "pack_sequences",
+    "text_stats_by_source",
+    "map_funcs",
+    "percentiles_exact",
+    "pivot_event_counts",
+    "scalar_subquery",
+    "scd2_merge",
+    "session_window",
+    "window_sliding",
+    "window_tumbling",
+    "unpivot_stack",
+    "asof_join",
 )
 
 
