@@ -81,6 +81,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "corpus_health_report": "inherits drift_psi's scalar corpus-total 1-row frame (composed leg)",
     "health_report_fold": "inherits psi_from_counts' scalar corpus-total 1-row frame (PSI finish leg)",
     "ann_recall_eval": "Spark-injected runtime bloom_filter_agg over the 20-row probe-panel join key (a scalar sketch the optimizer adds to prune the corpus scan — the pushdown working FOR us, not a collapsed data path)",
+    "ann_maintenance_decision": "inherits ann_recall_eval's miss leg via the shared _recall_parts: the same runtime bloom_filter_agg scalar sketch over the fixed probe panel",
 }
 ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
@@ -122,6 +123,7 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "corpus_health_report": "inherits its composed legs' broadcast constant-size frames (bin/stage spines, per-source set sizes, 1-row totals)",
     "health_report_fold": "broadcast per-source merged-signature frame self-paired on source<source + the PSI finish's bin spine / 1-row total",
     "ann_recall_eval": "broadcast FIXED 20-row probe panel (the exact ground-truth leg an eval pays by construction)",
+    "ann_maintenance_decision": "same broadcast fixed-panel cross join, inherited from the shared _recall_parts miss leg",
 }
 
 
