@@ -245,14 +245,19 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Delta Lake source (gated): needs delta-spark jars, not present in
-    this image; raises a clear error instead of a cryptic one."""
+    """Delta Lake source. With the delta-spark jars on the classpath
+    this is the native scan; without them — this image ships no
+    external jars — it falls back to the engine's pure-Python
+    transaction-log reader (``sources.delta_py``): log replay on the
+    driver (metadata-sized), then a plain native parquet scan over the
+    active file list, so pushdown/pruning/codegen are identical either
+    way."""
     try:
         return spark.read.format("delta").load(path)
-    except Exception as e:
-        raise NotImplementedError(
-            "Delta source needs delta-spark jars on the classpath"
-        ) from e
+    except Exception:  # AnalysisException: jars absent -> Python path
+        from map_reduce_spark.sources.delta_py import read_delta_py
+
+        return read_delta_py(spark, path)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:

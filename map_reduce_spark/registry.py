@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.modern_sql",
     "map_reduce_spark.operators.python_source",
     "map_reduce_spark.sources.avro_py",
+    "map_reduce_spark.sources.delta_py",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",
 )
@@ -106,6 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     # round-8 additions (no driver row yet)
     "avro_scan",
     "ann_maintenance_decision",
+    "delta_scan",
+    "delta_time_travel",
+    "delta_merge_upsert",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",
     "streaming_health_report",

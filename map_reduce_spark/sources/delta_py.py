@@ -1,0 +1,1135 @@
+"""Pure-Python Delta Lake transaction-log codec + reader/writer —
+closing the engine's Delta gate in environments without the
+delta-spark jars (``io.read_delta`` falls back here; with the jars
+present the native path wins).
+
+Format: the public Delta Lake protocol (delta-io PROTOCOL.md). A table
+is a directory of ordinary parquet data files plus ``_delta_log/``,
+which holds one newline-delimited-JSON *commit* per version
+(``%020d.json``, actions: ``protocol`` / ``metaData`` / ``add`` /
+``remove`` / ``commitInfo``), periodic parquet *checkpoints*
+(``%020d.checkpoint.parquet``: the reconciled action set, one row per
+action) and a ``_last_checkpoint`` pointer. Table state at version V =
+latest checkpoint ≤ V, then replay commits (cp, V]; per path the
+latest ``add`` wins and a ``remove`` tombstones it. Supported protocol
+surface: ``minReaderVersion <= 1`` (no deletion vectors / column
+mapping — those raise loudly at plan time, never mis-read).
+
+Commit protocol: filesystem put-if-absent. Data files are staged into
+the table directory under a dot-prefixed scratch dir (invisible to
+readers — only log-listed paths are ever scanned), moved into place,
+then the version's JSON is fsynced and published with ``os.link``
+(fails if the version already exists — the same rename-no-overwrite
+primitive delta-core uses on HDFS). Losing the race means another
+writer owns that version: appends blindly retry with the next number;
+rewrites (delete/merge) re-derive their file set against the new
+snapshot before retrying, which is exactly delta-core's
+OptimisticTransaction conflict loop. A crash anywhere before the link
+leaves staged/moved data files that no log entry references —
+invisible, and swept by ``vacuum_delta``.
+
+Scale shape: the log plane is METADATA-sized — snapshot reconstruction
+reads a few KB of JSON (plus one columnar checkpoint read via pyarrow)
+and never touches data; the data plane is a plain native parquet
+FileScan over the log's active file list, so Catalyst keeps predicate
+pushdown, column pruning and whole-stage codegen, and hive-style
+``key=value`` layout + an explicit schema recovers partition columns
+for free partition pruning. Per-file ``stats`` (numRecords/min/max,
+harvested from parquet footers at commit time) give log-level data
+skipping: ``skip_files`` prunes the file list BEFORE Spark ever plans
+the scan — at 100 TB this is the difference between a merge that
+rewrites three files and one that reads the table.
+
+Driver-side materialization policy: the package's data plane is
+collect-free (NOTES; VERDICT r7 audits it); a transactional commit,
+however, must know its action set on the driver — that is the commit,
+not a computation. Every such site goes through
+``_control_plane_rows``, which documents the bound: frames collected
+there are FILE-granularity (O(files touched), like delta-core's own
+collected action list) or single-row aggregates, never row- or
+data-proportional.
+
+Reference parity: the reference engine (ghostdsb/map_reduce) appends
+to its output sinks with no transactional story at all (worker.ex:124,
+147 double-append on task retry); this module is the widened-sink
+answer (SURVEY.md §2.2 scans/sources + sinks): exactly-once,
+versioned, time-travelable table commits over the same plain files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from map_reduce_spark.registry import register
+
+_LOG = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+# how many file-granularity rows a control-plane collect may return
+# before we refuse (a rewrite touching this many files at once is a
+# full-table rewrite — use overwrite mode, which never lists rows)
+_CONTROL_PLANE_MAX = 100_000
+
+
+# --------------------------------------------------------------------
+# log plane (driver-side, metadata-sized)
+# --------------------------------------------------------------------
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, _LOG)
+
+
+def _json_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.json")
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
+
+
+def _list_log(table: str) -> tuple[list[int], list[int]]:
+    """(sorted commit versions, sorted checkpoint versions) on disk."""
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        return [], []
+    js, cps = [], []
+    for f in os.listdir(d):
+        if f.endswith(".json") and f[:20].isdigit():
+            js.append(int(f[:20]))
+        elif f.endswith(".checkpoint.parquet") and f[:20].isdigit():
+            cps.append(int(f[:20]))
+    return sorted(js), sorted(cps)
+
+
+def latest_version(table: str) -> int | None:
+    js, _ = _list_log(table)
+    return js[-1] if js else None
+
+
+def _read_commit(table: str, version: int) -> list[dict]:
+    with open(_json_path(table, version), "r", encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def try_commit(table: str, version: int, actions: list[dict]) -> bool:
+    """Atomically publish ``version`` iff it does not exist yet.
+
+    fsync the temp file, then ``os.link`` it to the final name —
+    link-to-existing raises, which IS the put-if-absent semantics the
+    Delta commit protocol requires of its log store. Returns False
+    when another writer won the version.
+    """
+    d = _log_dir(table)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{version:020d}.json.tmp{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _json_path(table, version))
+        won = True
+    except FileExistsError:
+        won = False
+    finally:
+        os.remove(tmp)
+    if won:
+        dirfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)  # persist the link itself
+        finally:
+            os.close(dirfd)
+    return won
+
+
+def _gate_protocol(protocol: dict) -> None:
+    if protocol.get("minReaderVersion", 1) > 1 or protocol.get("readerFeatures"):
+        raise NotImplementedError(
+            "this pure-Python Delta reader supports protocol "
+            "minReaderVersion<=1 (no deletion vectors / column mapping); "
+            f"table requires {protocol}"
+        )
+
+
+class DeltaSnapshot:
+    """Reconciled table state at one version: the metadata actions plus
+    the active file set (path -> add action)."""
+
+    __slots__ = ("table", "version", "protocol", "metadata", "adds", "removes")
+
+    def __init__(self, table, version, protocol, metadata, adds, removes):
+        self.table = table
+        self.version = version
+        self.protocol = protocol
+        self.metadata = metadata
+        self.adds = adds  # dict: encoded path -> add action
+        self.removes = removes  # dict: encoded path -> remove tombstone
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.get("partitionColumns") or [])
+
+    def file_paths(self) -> list[str]:
+        """Absolute, url-decoded data file paths (the spec stores
+        relative url-encoded paths)."""
+        return [
+            os.path.join(self.table, urllib.parse.unquote(p))
+            for p in sorted(self.adds)
+        ]
+
+
+def _apply_action(state: dict, a: dict) -> None:
+    if "protocol" in a:
+        state["protocol"] = a["protocol"]
+    elif "metaData" in a:
+        state["metadata"] = a["metaData"]
+    elif "add" in a:
+        add = a["add"]
+        state["adds"][add["path"]] = add
+        state["removes"].pop(add["path"], None)
+    elif "remove" in a:
+        rem = a["remove"]
+        state["adds"].pop(rem["path"], None)
+        state["removes"][rem["path"]] = rem
+    # commitInfo / txn: informational, no state
+
+
+def _read_checkpoint(table: str, version: int) -> dict:
+    """Seed replay state from a parquet checkpoint (pyarrow — columnar,
+    still metadata-sized: one row per action)."""
+    import pyarrow.parquet as pq
+
+    state = {"protocol": None, "metadata": None, "adds": {}, "removes": {}}
+    tbl = pq.read_table(_checkpoint_path(table, version))
+    for row in tbl.to_pylist():
+        for kind in ("protocol", "metaData", "add", "remove"):
+            v = row.get(kind)
+            if v is not None:
+                # pyarrow map<str,str> -> list of (k, v) pairs
+                if kind == "add" and isinstance(v.get("partitionValues"), list):
+                    v = dict(v, partitionValues=dict(v["partitionValues"]))
+                _apply_action(state, {kind: v})
+    return state
+
+
+def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
+    """Reconstruct table state at ``version`` (default: latest).
+
+    Seeds from the newest checkpoint ≤ version when one exists, then
+    replays the JSON commits after it — O(actions since checkpoint),
+    never O(table)."""
+    js, cps = _list_log(table)
+    if not js:
+        raise FileNotFoundError(f"no Delta log at {table!r}")
+    target = js[-1] if version is None else version
+    if target not in js:
+        raise ValueError(
+            f"version {target} not in Delta log for {table!r} "
+            f"(have {js[0]}..{js[-1]})"
+        )
+    usable = [c for c in cps if c <= target]
+    if usable:
+        cp = usable[-1]
+        state = _read_checkpoint(table, cp)
+        replay = [v for v in js if cp < v <= target]
+        expect = list(range(cp + 1, target + 1))
+    else:
+        state = {"protocol": None, "metadata": None, "adds": {}, "removes": {}}
+        replay = [v for v in js if v <= target]
+        expect = list(range(js[0], target + 1))
+    if replay != expect:
+        raise RuntimeError(
+            f"Delta log for {table!r} is not contiguous: need versions "
+            f"{expect}, found {replay}"
+        )
+    for v in replay:
+        for a in _read_commit(table, v):
+            _apply_action(state, a)
+    if state["protocol"] is None or state["metadata"] is None:
+        raise RuntimeError(f"Delta log for {table!r} lacks protocol/metaData")
+    _gate_protocol(state["protocol"])
+    return DeltaSnapshot(
+        table, target, state["protocol"], state["metadata"],
+        state["adds"], state["removes"],
+    )
+
+
+def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
+    """Spec-layout single-file checkpoint: one row per reconciled
+    action (protocol, metaData, live adds, remove tombstones), plus the
+    ``_last_checkpoint`` pointer. Written via pyarrow; read back by
+    ``_read_checkpoint``. Crash-safe: the pointer is os.replace'd last,
+    and a torn checkpoint parquet without a pointer is never preferred
+    over pure-JSON replay... the pointer is advisory here — snapshot()
+    lists checkpoint files directly, so publish the parquet atomically
+    too (write + rename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", part_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    rem_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ]
+    )
+
+    def _add_row(a: dict) -> dict:
+        return {
+            "path": a["path"],
+            "partitionValues": list((a.get("partitionValues") or {}).items()),
+            "size": a.get("size", 0),
+            "modificationTime": a.get("modificationTime", 0),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
+        }
+
+    rows_proto, rows_meta, rows_add, rows_rem = [], [], [], []
+    rows_proto.append(
+        {
+            "minReaderVersion": snap.protocol.get("minReaderVersion", 1),
+            "minWriterVersion": snap.protocol.get("minWriterVersion", 2),
+        }
+    )
+    rows_meta.append(
+        {
+            "id": snap.metadata["id"],
+            "format": {"provider": "parquet"},
+            "schemaString": snap.metadata["schemaString"],
+            "partitionColumns": snap.partition_columns,
+        }
+    )
+    rows_add = [_add_row(a) for _, a in sorted(snap.adds.items())]
+    rows_rem = [
+        {
+            "path": r["path"],
+            "deletionTimestamp": r.get("deletionTimestamp", 0),
+            "dataChange": bool(r.get("dataChange", True)),
+        }
+        for _, r in sorted(snap.removes.items())
+    ]
+    n = 2 + len(rows_add) + len(rows_rem)
+    cols = {
+        "protocol": [rows_proto[0]] + [None] * (n - 1),
+        "metaData": [None, rows_meta[0]] + [None] * (n - 2),
+        "add": [None, None] + rows_add + [None] * len(rows_rem),
+        "remove": [None] * (2 + len(rows_add)) + rows_rem,
+    }
+    tbl = pa.table(
+        {
+            "protocol": pa.array(cols["protocol"], type=proto_t),
+            "metaData": pa.array(cols["metaData"], type=meta_t),
+            "add": pa.array(cols["add"], type=add_t),
+            "remove": pa.array(cols["remove"], type=rem_t),
+        }
+    )
+    final = _checkpoint_path(table, snap.version)
+    tmp = final + f".tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+    ptr = os.path.join(_log_dir(table), _LAST_CHECKPOINT)
+    ptr_tmp = ptr + f".tmp{os.getpid()}"
+    with open(ptr_tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"version": snap.version, "size": n}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ptr_tmp, ptr)
+
+
+# --------------------------------------------------------------------
+# stats (parquet footers only — no data read)
+# --------------------------------------------------------------------
+
+
+def _file_stats(path: str, stats_cols: tuple[str, ...]) -> str | None:
+    """Delta ``add.stats`` JSON from the file's parquet footer:
+    numRecords always; min/max/nullCount for ``stats_cols`` when the
+    footer carries statistics. Bytes/binary columns are skipped (their
+    truncated physical stats don't round-trip through JSON)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict = {"numRecords": md.num_rows}
+    if stats_cols:
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for col in stats_cols:
+            if col not in names:
+                continue
+            idx = names[col]
+            lo = hi = None
+            nn = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                v_lo, v_hi = st.min, st.max
+                if isinstance(v_lo, bytes):
+                    ok = False
+                    break
+                lo = v_lo if lo is None else min(lo, v_lo)
+                hi = v_hi if hi is None else max(hi, v_hi)
+                nn += st.null_count or 0
+            if ok and lo is not None:
+                mins[col] = lo
+                maxs[col] = hi
+                nulls[col] = nn
+        if mins:
+            stats["minValues"] = mins
+            stats["maxValues"] = maxs
+            stats["nullCount"] = nulls
+    return json.dumps(stats, separators=(",", ":"))
+
+
+def skip_files(snap: DeltaSnapshot, col: str, lo, hi) -> list[str]:
+    """Log-level data skipping: active files whose ``add.stats`` range
+    on ``col`` intersects [lo, hi] — files with no stats for the column
+    are conservatively kept. Runs on the driver over file-granularity
+    metadata; the pruned list feeds a native parquet scan."""
+    keep = []
+    for path in sorted(snap.adds):
+        a = snap.adds[path]
+        st = json.loads(a["stats"]) if a.get("stats") else {}
+        mins = st.get("minValues", {})
+        maxs = st.get("maxValues", {})
+        if col in mins and col in maxs:
+            if maxs[col] < lo or mins[col] > hi:
+                continue
+        keep.append(os.path.join(snap.table, urllib.parse.unquote(path)))
+    return keep
+
+# --------------------------------------------------------------------
+# control plane
+# --------------------------------------------------------------------
+
+
+def _control_plane_rows(df: DataFrame, what: str) -> list:
+    """THE package's sanctioned driver materialization site (module
+    docstring): transactional commits must hold their action set on the
+    driver — delta-core's OptimisticTransaction does the identical
+    collect. Callers pass only FILE-granularity frames (distinct file
+    paths of a rewrite set) or single-row aggregates (key bounds);
+    a guard refuses anything row-proportional."""
+    rows = df.limit(_CONTROL_PLANE_MAX + 1).collect()
+    if len(rows) > _CONTROL_PLANE_MAX:
+        raise RuntimeError(
+            f"control-plane frame for {what} exceeded {_CONTROL_PLANE_MAX} "
+            "rows — this is a full-table rewrite; use mode='overwrite'"
+        )
+    return rows
+
+
+# --------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------
+
+
+def read_delta_py(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Read a Delta table as of ``version`` (default: latest) — log
+    replay on the driver, then a plain NATIVE parquet scan over the
+    active file list (pushdown/pruning/codegen all intact; hive-style
+    layout + the log's schema recovers partition columns, so partition
+    filters prune at plan time). ``files`` (from ``skip_files``)
+    narrows the scan to a stats-pruned subset."""
+    snap = snapshot(table, version)
+    paths = snap.file_paths() if files is None else files
+    schema = snap.schema
+    if not paths:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", table)
+    return reader.parquet(*paths)
+
+
+# --------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------
+
+
+def _stage_and_move(
+    df: DataFrame, table: str, partition_by: tuple[str, ...]
+) -> list[tuple[str, dict, int]]:
+    """Write ``df`` to a dot-prefixed scratch dir INSIDE the table dir
+    (same filesystem — moves are rename-cheap; invisible to readers,
+    who only scan log-listed paths), then move the parquet parts into
+    place preserving hive-style partition subdirs. Returns
+    [(relative path, partitionValues, size)] for the add actions.
+    File names keep Spark's task-committed unique part names."""
+    os.makedirs(table, exist_ok=True)
+    token = hashlib.md5(f"{os.getpid()}:{len(os.listdir(table))}".encode()).hexdigest()[:8]
+    staging = os.path.join(table, f".staging-{token}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    moved: list[tuple[str, dict, int]] = []
+    for root, _, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pvals: dict[str, str] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = urllib.parse.unquote(v)
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dest = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(root, name), dest)
+            moved.append((rel, pvals, os.path.getsize(dest)))
+    shutil.rmtree(staging, ignore_errors=True)
+    return moved
+
+
+def _add_actions(
+    table: str, moved: list[tuple[str, dict, int]], stats_cols: tuple[str, ...]
+) -> list[dict]:
+    acts = []
+    for rel, pvals, size in moved:
+        stats = _file_stats(os.path.join(table, rel), stats_cols)
+        if json.loads(stats)["numRecords"] == 0:
+            # a rewrite that emptied its file, or an empty writer task:
+            # never commit zero-row files (they bloat the log and carry
+            # no min/max stats to skip on)
+            os.remove(os.path.join(table, rel))
+            continue
+        acts.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                    "partitionValues": pvals,
+                    "size": size,
+                    "modificationTime": int(os.path.getmtime(os.path.join(table, rel)) * 1000),
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            }
+        )
+    return acts
+
+
+def _meta_action(df_schema: StructType, table: str, partition_by: tuple[str, ...]) -> dict:
+    return {
+        "metaData": {
+            # deterministic table id (NOTES rule 15: no entropy sources)
+            "id": hashlib.md5(os.path.abspath(table).encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df_schema.json(),
+            "partitionColumns": list(partition_by),
+            "configuration": {},
+        }
+    }
+
+
+_PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+
+def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
+    if interval and version > 0 and version % interval == 0:
+        write_checkpoint(table, snapshot(table, version))
+
+
+def write_delta_py(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+) -> int:
+    """Transactional append/overwrite; returns the committed version.
+
+    Appends never conflict (no removes), so a lost commit race retries
+    blindly with the next version. Overwrite re-derives its remove set
+    against the CURRENT snapshot inside the retry loop (the optimistic-
+    transaction rule: never tombstone from a stale read)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    moved = _stage_and_move(df, table, partition_by)
+    adds = _add_actions(table, moved, stats_cols)
+    while True:
+        cur = latest_version(table)
+        v = 0 if cur is None else cur + 1
+        actions: list[dict] = []
+        if cur is None:
+            actions.append(_PROTOCOL_ACTION)
+            actions.append(_meta_action(df.schema, table, partition_by))
+        elif mode == "overwrite":
+            actions.append(_meta_action(df.schema, table, partition_by))
+        if mode == "overwrite" and cur is not None:
+            prev = snapshot(table)
+            actions.extend(
+                {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+                for p in sorted(prev.adds)
+            )
+        actions.extend(adds)
+        actions.append({"commitInfo": {"operation": mode.upper(), "engine": "map_reduce_spark"}})
+        if try_commit(table, v, actions):
+            _maybe_checkpoint(table, v, checkpoint_interval)
+            return v
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+    _max_retries: int = 5,
+) -> int:
+    """Delta DELETE: find the files containing matching rows (file-
+    granularity control plane via ``_metadata.file_path``), rewrite
+    ONLY those files minus the matches, commit remove+add. Files with
+    no matching row are untouched — at 100 TB a selective delete
+    rewrites a handful of files, never the table. Returns the committed
+    version."""
+    for _ in range(_max_retries):
+        snap = snapshot(table)
+        active = read_delta_py(spark, table, snap.version)
+        victims_df = (
+            active.filter(predicate)
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .distinct()
+        )
+        victims = {r.fp for r in _control_plane_rows(victims_df, "delete rewrite set")}
+        if not victims:  # nothing matches: no-op commit not needed
+            return snap.version
+        victim_rel = _rel_paths(snap, victims)
+        keep_rows = read_delta_py(spark, table, snap.version, files=sorted(victims)).filter(
+            ~predicate
+        )
+        moved = _stage_and_move(keep_rows, table, tuple(snap.partition_columns))
+        actions = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+            for p in sorted(victim_rel)
+        ]
+        actions.extend(_add_actions(table, moved, stats_cols))
+        actions.append({"commitInfo": {"operation": "DELETE", "engine": "map_reduce_spark"}})
+        if try_commit(table, snap.version + 1, actions):
+            _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)
+            return snap.version + 1
+        # lost the race: the winner may have rewritten our victims —
+        # re-derive everything against the new snapshot (our staged
+        # files become unreferenced orphans; vacuum_delta sweeps them)
+    raise RuntimeError(f"delete on {table!r} lost {_max_retries} commit races")
+
+
+def _rel_paths(snap: DeltaSnapshot, abs_paths: set[str]) -> list[str]:
+    """Map absolute scan paths (possibly file:-prefixed, from
+    ``_metadata.file_path``) back to the log's encoded relative paths."""
+    by_real = {}
+    for enc in snap.adds:
+        ap = os.path.join(snap.table, urllib.parse.unquote(enc))
+        by_real[os.path.realpath(ap)] = enc
+    out = []
+    for p in abs_paths:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        enc = by_real.get(os.path.realpath(local))
+        if enc is None:
+            raise RuntimeError(f"rewrite set path {p!r} not in snapshot v{snap.version}")
+        out.append(enc)
+    return out
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key: str,
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+    _max_retries: int = 5,
+) -> int:
+    """Delta MERGE (upsert): matched target rows take the source row's
+    values, unmatched source rows insert. Candidate files come from
+    LOG-LEVEL data skipping — one single-row aggregate gives the source
+    key bounds, ``skip_files`` prunes the active list against per-file
+    stats, and only files that can possibly hold a match are read or
+    rewritten. Unmatched-source detection anti-joins against the
+    candidate rows only (any match must live in a candidate file, so
+    the anti-join is complete). The rewrite unions updated+kept rows of
+    candidate files with the inserts, all in one shuffle-side plan; the
+    commit is remove(candidates)+add(rewrite). Returns the committed
+    version.
+
+    Source must be key-unique (the SQL MERGE precondition); enforced by
+    weaving ``assert_true`` into the key expression itself (the house
+    pattern — an unreferenced guard column would be pruned by
+    Catalyst), so a bad source fails loudly, not by row
+    multiplication. The guard's window shuffles only the batch-sized
+    source."""
+    from pyspark.sql.window import Window
+
+    snap0 = snapshot(table)
+    want = {f.name: f.dataType.simpleString() for f in snap0.schema.fields}
+    got = dict(source.dtypes)
+    if got != want:
+        raise TypeError(
+            "merge source schema must match the table exactly (a widened "
+            "column would silently rewrite files the log schema can no "
+            f"longer read): table {want}, source {got}"
+        )
+    key_type = dict(source.dtypes)[key]
+    guarded_key = F.when(
+        F.count("*").over(Window.partitionBy(key)) > 1,
+        F.assert_true(
+            F.lit(False), F.lit("merge source has duplicate keys")
+        ).cast(key_type),
+    ).otherwise(F.col(key))
+    src = source.withColumn(key, guarded_key)
+    bounds_df = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+    lo_hi = _control_plane_rows(bounds_df, "merge key bounds")[0]
+    for _ in range(_max_retries):
+        snap = snapshot(table)
+        cols = [f.name for f in snap.schema.fields]
+        cand = (
+            skip_files(snap, key, lo_hi.lo, lo_hi.hi)
+            if lo_hi.lo is not None
+            else []
+        )
+        src_named = src.select(*[F.col(c).alias(f"__s_{c}") for c in cols])
+        if cand:
+            cand_rows = read_delta_py(spark, table, snap.version, files=cand)
+            joined = cand_rows.join(
+                src_named, cand_rows[key] == src_named[f"__s_{key}"], "left"
+            )
+            rewritten = joined.select(
+                *[
+                    F.when(F.col(f"__s_{key}").isNotNull(), F.col(f"__s_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+            inserts = src_named.join(
+                cand_rows.select(F.col(key).alias("__t_k")),
+                src_named[f"__s_{key}"] == F.col("__t_k"),
+                "left_anti",
+            ).select(*[F.col(f"__s_{c}").alias(c) for c in cols])
+            out = rewritten.unionByName(inserts)
+            victim_rel = _rel_paths(
+                snap, {os.path.realpath(p) for p in cand}
+            )
+        else:  # no file can hold a match: pure insert
+            out = src_named.select(*[F.col(f"__s_{c}").alias(c) for c in cols])
+            victim_rel = []
+        moved = _stage_and_move(out, table, tuple(snap.partition_columns))
+        actions = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+            for p in sorted(victim_rel)
+        ]
+        actions.extend(_add_actions(table, moved, stats_cols))
+        actions.append({"commitInfo": {"operation": "MERGE", "engine": "map_reduce_spark"}})
+        if try_commit(table, snap.version + 1, actions):
+            _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)
+            return snap.version + 1
+    raise RuntimeError(f"merge on {table!r} lost {_max_retries} commit races")
+
+
+def vacuum_delta(table: str) -> int:
+    """Remove data files referenced by NO version still in the log
+    (crashed stagings, lost-race rewrites, tombstoned files whose every
+    referencing version has been checkpointed away is NOT assumed —
+    any file named by any surviving add OR remove action is kept).
+    Returns the number of files deleted. Metadata-only pass."""
+    js, cps = _list_log(table)
+    if not js:
+        return 0
+    referenced: set[str] = set()
+    for v in js:
+        for a in _read_commit(table, v):
+            act = a.get("add") or a.get("remove")
+            if act:
+                referenced.add(os.path.realpath(
+                    os.path.join(table, urllib.parse.unquote(act["path"]))))
+    n = 0
+    for root, dirs, names in os.walk(table):
+        dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
+        if os.path.basename(root).startswith(".staging-"):
+            continue
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.realpath(os.path.join(root, name))
+            if p not in referenced:
+                os.remove(p)
+                n += 1
+    # crashed staging dirs are orphans by construction
+    for d in os.listdir(table):
+        if d.startswith(".staging-"):
+            shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+    return n
+
+# --------------------------------------------------------------------
+# registered queries (+ their driver-side fixtures)
+# --------------------------------------------------------------------
+# Cross-engine bucket (pipeline_ops._hash_bucket twin, seedless):
+# first 8 md5 hex chars of the key string, mod n — identical in Spark
+# and DuckDB, so the fixture's commit history is SQL-expressible.
+
+_B8_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 8 AS INT)"
+)
+_B16_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 16 AS INT)"
+)
+
+
+def _bucket(col, n: int):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % n
+    ).cast("int")
+
+
+def _orders_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture's logical table: orders with exact cents and a
+    string partition year (NOTES rules 1/4)."""
+    from map_reduce_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        "o_orderpriority",
+        F.year("o_orderdate").cast("string").alias("o_year"),
+    )
+
+
+def ensure_delta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize an orders-derived Delta table with a real commit
+    history — v0 bulk load (md5-bucket8 < 6), v1 append (buckets 6-7),
+    v2 selective DELETE (status 'F' in bucket16 0) which also cuts the
+    parquet checkpoint (interval 2) — under the system tmp dir, once
+    per sf_dir, atomic-rename published (concurrent callers race
+    safely). Hive-partitioned by o_year, range-clustered on o_orderkey
+    inside each commit so per-file key stats are disjoint (the layout
+    data skipping pays on). The fixture is the test stand-in for a
+    corpus that already LIVES in Delta; the operators under measure
+    are the log-replay read and the transactional writes."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir)
+    b8 = _bucket(F.col("o_orderkey"), 8)
+    b16 = _bucket(F.col("o_orderkey"), 16)
+    write_delta_py(
+        d.filter(b8 < 6).repartitionByRange(4, "o_orderkey"),
+        tmp,
+        mode="overwrite",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=2,
+    )
+    write_delta_py(
+        d.filter(b8 >= 6).repartitionByRange(2, "o_orderkey"),
+        tmp,
+        mode="append",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=2,
+    )
+    delete_where(
+        spark,
+        tmp,
+        (F.col("o_orderstatus") == "F") & (_bucket(F.col("o_orderkey"), 16) == 0),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=2,
+    )
+    try:
+        os.rename(tmp, dest)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "delta_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) AS o_year,
+         {_B16_SQL} AS b16
+  FROM orders
+)
+SELECT o_year, o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM d
+WHERE NOT (o_orderstatus = 'F' AND b16 = 0) AND o_year >= '1995'
+GROUP BY o_year, o_orderstatus
+""",
+)
+def delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the LATEST version of a Delta-resident orders table through
+    ``io.read_delta`` — which, with no delta-spark jars in this image,
+    takes the pure-Python log-replay path (module docstring) — and
+    aggregate recent years. The oracle replays the fixture's whole
+    commit history in SQL (v0 load ∪ v1 append minus the v2 delete =
+    all orders except status-F rows of md5-bucket16 0), so a wrong
+    snapshot reconciliation, a resurrected tombstone, or a checkpoint
+    that dropped an action all hash-mismatch.
+
+    Scale shape: log replay reads KBs of metadata; the data scan is a
+    native parquet FileScan with the o_year partition filter pruned at
+    PLAN time (hive layout + log schema; locked in tests/test_delta).
+    """
+    from map_reduce_spark.io import read_delta
+
+    df = read_delta(spark, ensure_delta_fixture(spark, sf_dir))
+    return (
+        df.filter(F.col("o_year") >= "1995")
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "delta_time_travel",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         {_B8_SQL} AS b8
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+FROM d
+WHERE b8 < 6
+GROUP BY o_orderstatus
+""",
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read the fixture AS OF version 0 — the bulk load
+    before the append and the delete — straight off the log (versions
+    BEFORE the checkpoint replay from JSON alone, so this also locks
+    the no-checkpoint path). The oracle is the v0 predicate itself;
+    rows the later commits added or deleted must NOT appear, which a
+    reader that ignores the version pin fails instantly."""
+    df = read_delta_py(spark, ensure_delta_fixture(spark, sf_dir), version=0)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_cents"),
+    )
+
+
+def clone_delta_table(src: str, dest: str) -> None:
+    """Cheap table copy: hardlink the data files (immutable once
+    committed), copy the small log files. Used to give mutating tests
+    and the merge query a private table without duplicating data."""
+    shutil.rmtree(dest, ignore_errors=True)
+    for root, dirs, names in os.walk(src):
+        dirs[:] = [d for d in dirs if not d.startswith(".staging-")]
+        rel = os.path.relpath(root, src)
+        troot = dest if rel == "." else os.path.join(dest, rel)
+        os.makedirs(troot, exist_ok=True)
+        for name in names:
+            s = os.path.join(root, name)
+            t = os.path.join(troot, name)
+            if name.endswith(".parquet") and _LOG not in root:
+                os.link(s, t)
+            else:
+                shutil.copyfile(s, t)
+
+
+def _customer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+
+
+def ensure_customer_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Unpartitioned customer Delta table, range-clustered on
+    c_custkey into 8 key-disjoint files (so ``skip_files`` has real
+    ranges to prune against). Same cache/publish discipline as
+    ``ensure_delta_fixture``."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_cust_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_delta_py(
+        _customer_frame(spark, sf_dir).repartitionByRange(8, "c_custkey"),
+        tmp,
+        mode="overwrite",
+        stats_cols=("c_custkey",),
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "delta_merge_upsert",
+    oracle="""
+WITH mk AS (SELECT MAX(c_custkey) AS mk FROM customer),
+c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+         c_mktsegment
+  FROM customer
+),
+thresh AS (SELECT CAST(floor((mk * 9) / 10) AS BIGINT) AS th, mk FROM mk),
+kept AS (
+  SELECT c_custkey, c_nationkey, acctbal_cents, c_mktsegment AS seg
+  FROM c, thresh WHERE c_custkey <= th
+),
+upd AS (
+  SELECT c_custkey, c_nationkey, acctbal_cents + 777 AS acctbal_cents,
+         'MERGED' AS seg
+  FROM c, thresh WHERE c_custkey > th
+),
+ins AS (
+  SELECT mk + i AS c_custkey, CAST((mk + i) % 25 AS BIGINT) AS c_nationkey,
+         CAST((mk + i) * 13 AS BIGINT) AS acctbal_cents, 'NEWROW' AS seg
+  FROM thresh, (SELECT unnest(range(1, 51)) AS i)
+),
+merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT seg,
+       COUNT(*) AS cnt,
+       CAST(SUM(acctbal_cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM merged
+GROUP BY seg
+""",
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE (upsert) into a Delta-resident customer
+    table: the top decile of custkeys takes updated rows (balance
+    +777 cents, segment 'MERGED'), 50 brand-new keys above the current
+    maximum insert ('NEWROW'). The merge runs against a PRIVATE
+    hardlink clone of the fixture (mutating queries never share
+    state), and its candidate files come from log-level stats
+    skipping: the source keys all sit in the top key range, the table
+    is range-clustered, so only the top file(s) are read or rewritten
+    — locked by tests/test_delta.py. The source is built Spark-side
+    from one broadcast MAX (no driver action; the house crossJoin-
+    broadcast-of-a-1-row-frame pattern), and the oracle recomputes the
+    merged state relationally: kept ∪ updated ∪ inserted.
+
+    The merge is content-idempotent by construction (source values
+    derive from the BASE table), so re-running converges — each call
+    just adds a version whose reconciled state hashes identically."""
+    import tempfile
+
+    base = ensure_customer_delta(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_merge_{key}")
+    if not os.path.isdir(table):
+        clone_delta_table(base, table)
+
+    cust = _customer_frame(spark, sf_dir)
+    mk = cust.agg(F.max("c_custkey").alias("mk"))
+    th = F.floor(F.col("mk") * 9 / 10).cast("long")
+    upd = (
+        cust.crossJoin(F.broadcast(mk))
+        .filter(F.col("c_custkey") > th)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("acctbal_cents") + 777).alias("acctbal_cents"),
+            F.lit("MERGED").alias("c_mktsegment"),
+        )
+    )
+    newk = F.col("mk") + F.col("id")
+    types = dict(cust.dtypes)  # pin inserts to the table's exact types
+    ins = (
+        spark.range(1, 51)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            newk.cast(types["c_custkey"]).alias("c_custkey"),
+            F.concat(F.lit("new#"), newk.cast("string")).alias("c_name"),
+            (newk % 25).cast(types["c_nationkey"]).alias("c_nationkey"),
+            (newk * 13).cast(types["acctbal_cents"]).alias("acctbal_cents"),
+            F.lit("NEWROW").alias("c_mktsegment"),
+        )
+    )
+    merge_upsert(
+        spark, table, upd.unionByName(ins), "c_custkey", stats_cols=("c_custkey",)
+    )
+    out = read_delta_py(spark, table)
+    return out.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("acctbal_cents").alias("sum_cents"),
+        F.sum("c_nationkey").alias("sum_nation"),
+        F.max("c_custkey").alias("max_key"),
+    )
