@@ -229,10 +229,27 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         return read_avro_py(spark, path)
 
 
+def read_sqlite(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """DB-resident source without jars: partition-parallel SQLite read
+    through the Python DataSource (``sources.sqlite_py``) — JDBC-style
+    stride ranges on ``partition_column`` plus real predicate pushdown
+    into per-task WHERE clauses. The jar-less twin of ``read_jdbc``."""
+    from map_reduce_spark.sources.sqlite_py import read_sqlite as _rs
+
+    return _rs(spark, db_path, table, partition_column, num_partitions)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (gated): requires the vendor driver jar on the
     classpath; raises a clear error when absent (this image ships no
-    JDBC drivers)."""
+    JDBC drivers). For a jar-less DB read, see ``read_sqlite`` — the
+    same partitioned-read semantics over a SQLite file."""
     try:
         reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
         for k, v in options.items():

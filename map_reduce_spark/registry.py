@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.python_source",
     "map_reduce_spark.sources.avro_py",
     "map_reduce_spark.sources.delta_py",
+    "map_reduce_spark.sources.sqlite_py",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",
 )
@@ -110,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_scan",
     "delta_time_travel",
     "delta_merge_upsert",
+    "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",
     "streaming_health_report",
