@@ -111,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "delta_scan",
     "delta_time_travel",
     "delta_merge_upsert",
+    "delta_optimize_compact",
+    "streaming_delta_sink",
     "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",

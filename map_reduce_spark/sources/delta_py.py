@@ -164,15 +164,18 @@ class DeltaSnapshot:
     """Reconciled table state at one version: the metadata actions plus
     the active file set (path -> add action)."""
 
-    __slots__ = ("table", "version", "protocol", "metadata", "adds", "removes")
+    __slots__ = (
+        "table", "version", "protocol", "metadata", "adds", "removes", "txns",
+    )
 
-    def __init__(self, table, version, protocol, metadata, adds, removes):
+    def __init__(self, table, version, protocol, metadata, adds, removes, txns):
         self.table = table
         self.version = version
         self.protocol = protocol
         self.metadata = metadata
         self.adds = adds  # dict: encoded path -> add action
         self.removes = removes  # dict: encoded path -> remove tombstone
+        self.txns = txns  # dict: appId -> last committed txn version
 
     @property
     def schema(self) -> StructType:
@@ -204,7 +207,11 @@ def _apply_action(state: dict, a: dict) -> None:
         rem = a["remove"]
         state["adds"].pop(rem["path"], None)
         state["removes"][rem["path"]] = rem
-    # commitInfo / txn: informational, no state
+    elif "txn" in a:
+        # streaming exactly-once bookkeeping (spec: latest version per
+        # appId wins; replay applies commits in ascending order)
+        state["txns"][a["txn"]["appId"]] = a["txn"]["version"]
+    # commitInfo: informational, no state
 
 
 def _read_checkpoint(table: str, version: int) -> dict:
@@ -212,10 +219,12 @@ def _read_checkpoint(table: str, version: int) -> dict:
     still metadata-sized: one row per action)."""
     import pyarrow.parquet as pq
 
-    state = {"protocol": None, "metadata": None, "adds": {}, "removes": {}}
+    state = {
+        "protocol": None, "metadata": None, "adds": {}, "removes": {}, "txns": {},
+    }
     tbl = pq.read_table(_checkpoint_path(table, version))
     for row in tbl.to_pylist():
-        for kind in ("protocol", "metaData", "add", "remove"):
+        for kind in ("protocol", "metaData", "add", "remove", "txn"):
             v = row.get(kind)
             if v is not None:
                 # pyarrow map<str,str> -> list of (k, v) pairs
@@ -247,7 +256,10 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
         replay = [v for v in js if cp < v <= target]
         expect = list(range(cp + 1, target + 1))
     else:
-        state = {"protocol": None, "metadata": None, "adds": {}, "removes": {}}
+        state = {
+            "protocol": None, "metadata": None, "adds": {}, "removes": {},
+            "txns": {},
+        }
         replay = [v for v in js if v <= target]
         expect = list(range(js[0], target + 1))
     if replay != expect:
@@ -263,7 +275,7 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
     _gate_protocol(state["protocol"])
     return DeltaSnapshot(
         table, target, state["protocol"], state["metadata"],
-        state["adds"], state["removes"],
+        state["adds"], state["removes"], state["txns"],
     )
 
 
@@ -298,6 +310,7 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
         ]
     )
     proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     meta_t = pa.struct(
         [
             ("id", pa.string()),
@@ -341,19 +354,24 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
         }
         for _, r in sorted(snap.removes.items())
     ]
-    n = 2 + len(rows_add) + len(rows_rem)
-    cols = {
-        "protocol": [rows_proto[0]] + [None] * (n - 1),
-        "metaData": [None, rows_meta[0]] + [None] * (n - 2),
-        "add": [None, None] + rows_add + [None] * len(rows_rem),
-        "remove": [None] * (2 + len(rows_add)) + rows_rem,
-    }
+    rows_txn = [
+        {"appId": app, "version": v} for app, v in sorted(snap.txns.items())
+    ]
+    n = 2 + len(rows_add) + len(rows_rem) + len(rows_txn)
+    pad = [None] * n
+
+    def _lane(offset, rows):
+        return pad[:offset] + rows + pad[offset + len(rows):]
+
     tbl = pa.table(
         {
-            "protocol": pa.array(cols["protocol"], type=proto_t),
-            "metaData": pa.array(cols["metaData"], type=meta_t),
-            "add": pa.array(cols["add"], type=add_t),
-            "remove": pa.array(cols["remove"], type=rem_t),
+            "protocol": pa.array(_lane(0, [rows_proto[0]]), type=proto_t),
+            "metaData": pa.array(_lane(1, [rows_meta[0]]), type=meta_t),
+            "add": pa.array(_lane(2, rows_add), type=add_t),
+            "remove": pa.array(_lane(2 + len(rows_add), rows_rem), type=rem_t),
+            "txn": pa.array(
+                _lane(2 + len(rows_add) + len(rows_rem), rows_txn), type=txn_t
+            ),
         }
     )
     final = _checkpoint_path(table, snap.version)
@@ -526,7 +544,10 @@ def _stage_and_move(
 
 
 def _add_actions(
-    table: str, moved: list[tuple[str, dict, int]], stats_cols: tuple[str, ...]
+    table: str,
+    moved: list[tuple[str, dict, int]],
+    stats_cols: tuple[str, ...],
+    data_change: bool = True,
 ) -> list[dict]:
     acts = []
     for rel, pvals, size in moved:
@@ -544,7 +565,7 @@ def _add_actions(
                     "partitionValues": pvals,
                     "size": size,
                     "modificationTime": int(os.path.getmtime(os.path.join(table, rel)) * 1000),
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": stats,
                 }
             }
@@ -1132,4 +1153,230 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("acctbal_cents").alias("sum_cents"),
         F.sum("c_nationkey").alias("sum_nation"),
         F.max("c_custkey").alias("max_key"),
+    )
+
+# --------------------------------------------------------------------
+# OPTIMIZE (small-file compaction) + streaming sink (txn exactly-once)
+# --------------------------------------------------------------------
+
+
+def optimize_compact(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+    _max_retries: int = 5,
+) -> int | None:
+    """Delta OPTIMIZE: rewrite each partition's sub-target files into
+    ~target-sized ones, committed as remove+add with
+    ``dataChange=false`` (the spec's marker that the commit moves
+    bytes, not rows — an incremental consumer can skip it entirely).
+    File selection is pure log metadata (add.size); partitions with
+    fewer than two small files are left untouched. Returns the
+    committed version, or None when nothing qualifies.
+
+    Scale shape: the decision plane is O(files) driver metadata; the
+    rewrite reads only the victim files and writes
+    ceil(bytes/target) outputs. Many-small-files is THE failure mode
+    of long-running append streams (the r8 consolidation lesson in
+    streaming/jobs.py) — this is the table-format-native cure."""
+    for _ in range(_max_retries):
+        snap = snapshot(table)
+        by_part: dict[tuple, list[str]] = {}
+        for enc, a in snap.adds.items():
+            if a.get("size", 0) < target_bytes:
+                k = tuple(sorted((a.get("partitionValues") or {}).items()))
+                by_part.setdefault(k, []).append(enc)
+        victim_rel = sorted(
+            enc for encs in by_part.values() if len(encs) >= 2 for enc in encs
+        )
+        if not victim_rel:
+            return None
+        victim_abs = [
+            os.path.join(table, urllib.parse.unquote(p)) for p in victim_rel
+        ]
+        total = sum(snap.adds[p].get("size", 0) for p in victim_rel)
+        n_out = max(1, -(-total // target_bytes))  # ceil
+        rows = read_delta_py(spark, table, snap.version, files=victim_abs)
+        moved = _stage_and_move(
+            rows.coalesce(n_out), table, tuple(snap.partition_columns)
+        )
+        actions = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": False}}
+            for p in victim_rel
+        ]
+        actions.extend(_add_actions(table, moved, stats_cols, data_change=False))
+        actions.append(
+            {"commitInfo": {"operation": "OPTIMIZE", "engine": "map_reduce_spark"}}
+        )
+        if try_commit(table, snap.version + 1, actions):
+            _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)
+            return snap.version + 1
+    raise RuntimeError(f"optimize on {table!r} lost {_max_retries} commit races")
+
+
+def append_stream_batch(
+    df: DataFrame,
+    table: str,
+    app_id: str,
+    epoch_id: int,
+    partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+) -> int | None:
+    """Exactly-once micro-batch append: the commit carries a spec
+    ``txn`` action {appId, version=epoch}, and a batch whose epoch is
+    already <= the table's recorded txn version for this appId is a
+    POST-COMMIT REPLAY (Spark re-runs at most the last uncommitted
+    batch after a crash) — skipped without touching data. This is the
+    table-format upgrade of the marker-file protocol in
+    ``streaming.run_stream_state_fold``: the dedup ledger travels
+    inside the same atomic commit as the data. Returns the committed
+    version, or None for a skipped replay."""
+    if latest_version(table) is not None:
+        if snapshot(table).txns.get(app_id, -1) >= epoch_id:
+            return None
+    moved = _stage_and_move(df, table, partition_by)
+    adds = _add_actions(table, moved, stats_cols)
+    while True:
+        cur = latest_version(table)
+        v = 0 if cur is None else cur + 1
+        actions: list[dict] = []
+        if cur is None:
+            actions.append(_PROTOCOL_ACTION)
+            actions.append(_meta_action(df.schema, table, partition_by))
+        else:
+            # the writer that beat us may have been our own appId's
+            # previous incarnation committing this very epoch
+            if snapshot(table).txns.get(app_id, -1) >= epoch_id:
+                for rel, _, _ in moved:  # our duplicate files: orphan them
+                    try:
+                        os.remove(os.path.join(table, rel))
+                    except OSError:
+                        pass
+                return None
+        actions.extend(adds)
+        actions.append({"txn": {"appId": app_id, "version": epoch_id}})
+        actions.append(
+            {"commitInfo": {"operation": "STREAMING UPDATE", "engine": "map_reduce_spark"}}
+        )
+        if try_commit(table, v, actions):
+            _maybe_checkpoint(table, v, checkpoint_interval)
+            return v
+
+
+def write_stream_delta(
+    source: DataFrame,
+    table: str,
+    app_id: str,
+    checkpoint_dir: str,
+    stats_cols: tuple[str, ...] = (),
+) -> None:
+    """Drain a stream into a Delta table via ``foreachBatch`` +
+    ``append_stream_batch`` (AvailableNow, so batch jobs can deploy it
+    on a schedule; remove the trigger for a continuous run)."""
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        append_stream_batch(df, table, app_id, epoch_id, stats_cols=stats_cols)
+
+    q = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_FINAL_STATE_ORACLE_BODY = """
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) AS o_year,
+         CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS INT) AS b16
+  FROM orders
+)
+SELECT o_year,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+FROM d
+WHERE NOT (o_orderstatus = 'F' AND b16 = 0)
+GROUP BY o_year
+"""
+
+
+@register("delta_optimize_compact", oracle=_FINAL_STATE_ORACLE_BODY)
+def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on a private clone of the orders fixture: every
+    partition's small files compact into target-sized ones under a
+    dataChange=false commit, and the per-year aggregate afterwards must
+    hash-equal the pre-compaction table state (the same final-state
+    oracle the scan query proves against — compaction moves bytes,
+    never rows). tests/test_delta_ops.py additionally locks the file
+    count drop and the time-travel view of the pre-OPTIMIZE version."""
+    import tempfile
+
+    base = ensure_delta_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:opt:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_opt_{key}")
+    if not os.path.isdir(table):
+        clone_delta_table(base, table)
+    optimize_compact(spark, table, stats_cols=("o_orderkey",))
+    return (
+        read_delta_py(spark, table)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "streaming_delta_sink",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest stream landing in a transactional table: events
+    stream (AvailableNow) -> foreachBatch -> Delta commits carrying
+    spec ``txn`` actions, read back through log replay and aggregated
+    per event type. The oracle is the batch SQL over the same events —
+    a dropped batch, a double-committed replay, or a torn append all
+    mismatch. Replay-under-crash semantics are fault-injected in
+    tests/test_delta_ops.py (this run exercises the happy path;
+    checkpoint + txn dedup carry the recovery story).
+
+    Scale shape: each micro-batch costs O(batch) — stage, move, one
+    put-if-absent link; table state stays readable throughout (readers
+    see pre- or post-commit, never partial)."""
+    import shutil as _sh
+    import tempfile
+
+    from map_reduce_spark.streaming.jobs import stream_events
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"mr_spark_delta_stream_{os.getpid()}"
+    )
+    _sh.rmtree(scratch, ignore_errors=True)
+    table = os.path.join(scratch, "tbl")
+    chk = os.path.join(scratch, "chk")
+    src = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    write_stream_delta(src, table, app_id="events_ingest", checkpoint_dir=chk)
+    df = read_delta_py(spark, table)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
     )

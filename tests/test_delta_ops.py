@@ -1,0 +1,152 @@
+"""OPTIMIZE + streaming-sink tests for the Delta codec: small-file
+compaction under dataChange=false, spec ``txn`` exactly-once batch
+commits (replay, cross-instance race, checkpoint persistence), and
+stream restart behavior against the same table."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import map_reduce_spark.sources.delta_py as D
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _mk(spark, n=100, parts=1):
+    return (
+        spark.range(n)
+        .withColumn("y", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id") * 3)
+        .repartitionByRange(parts, "id")
+    )
+
+
+def test_optimize_compacts_small_files(spark, tbl):
+    # 5 append commits -> >=5 small files per partition dir
+    for i in range(5):
+        D.write_delta_py(
+            _mk(spark, 100).withColumn("id", F.col("id") + 100 * i),
+            tbl, mode="append", partition_by=("y",), stats_cols=("id",),
+        )
+    before = D.snapshot(tbl)
+    assert len(before.adds) >= 10
+    v = D.optimize_compact(spark, tbl, stats_cols=("id",))
+    after = D.snapshot(tbl)
+    assert v == 5 and len(after.adds) < len(before.adds)
+    # content identical, commit marked dataChange=false throughout
+    got = D.read_delta_py(spark, tbl)
+    assert got.count() == 500
+    # v was derived before the id shift: each append carries v = 3*(0..99)
+    assert got.agg(F.sum("v")).first()[0] == 5 * sum(3 * i for i in range(100))
+    acts = D._read_commit(tbl, v)
+    flags = [
+        (a.get("add") or a.get("remove"))["dataChange"]
+        for a in acts
+        if "add" in a or "remove" in a
+    ]
+    assert flags and not any(flags)
+    # pre-OPTIMIZE version still time-travels to the same rows
+    assert D.read_delta_py(spark, tbl, version=4).count() == 500
+    # a second pass finds nothing to do (each partition now holds one file)
+    assert D.optimize_compact(spark, tbl, stats_cols=("id",)) is None
+
+
+def test_txn_replay_is_skipped(spark, tbl):
+    df = _mk(spark, 50)
+    assert D.append_stream_batch(df, tbl, "app", 0) == 0
+    assert D.append_stream_batch(_mk(spark, 50), tbl, "app", 0) is None  # replay
+    assert D.append_stream_batch(_mk(spark, 50), tbl, "app", 1) == 1
+    assert D.append_stream_batch(_mk(spark, 50), tbl, "app", 1) is None
+    assert D.read_delta_py(spark, tbl).count() == 100
+    assert D.snapshot(tbl).txns == {"app": 1}
+    # a different appId is independent bookkeeping
+    assert D.append_stream_batch(_mk(spark, 10), tbl, "other", 0) == 2
+    assert D.snapshot(tbl).txns == {"app": 1, "other": 0}
+
+
+def test_txn_race_against_own_incarnation(spark, tbl, monkeypatch):
+    """Two incarnations of the same stream commit the same epoch: the
+    loser must detect the winner's txn, orphan its staged files, and
+    report the batch as already applied."""
+    D.append_stream_batch(_mk(spark, 30), tbl, "app", 0)
+    real = D.try_commit
+    state = {"raced": False}
+
+    def racing(table, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # the other incarnation lands epoch 1 first, with data
+            D.append_stream_batch(_mk(spark, 30), tbl, "app", 1)
+        return real(table, version, actions)
+
+    monkeypatch.setattr(D, "try_commit", racing)
+    # restore unproxied commits for the competitor inside the hook:
+    # append_stream_batch calls module-level try_commit, so the hook
+    # recurses once; guard via the state flag above
+    assert D.append_stream_batch(_mk(spark, 30), tbl, "app", 1) is None
+    monkeypatch.undo()
+    assert D.read_delta_py(spark, tbl).count() == 60
+    assert D.snapshot(tbl).txns == {"app": 1}
+    # loser's duplicate data files were orphaned; vacuum may or may not
+    # find leftovers (remove happens eagerly), but the table must be clean
+    D.vacuum_delta(tbl)
+    assert D.read_delta_py(spark, tbl).count() == 60
+
+
+def test_txns_survive_checkpoint(spark, tbl):
+    for e in range(3):
+        D.append_stream_batch(
+            _mk(spark, 20), tbl, "app", e, checkpoint_interval=1
+        )
+    js, cps = D._list_log(tbl)
+    assert cps  # checkpoints were cut
+    snap = D.snapshot(tbl)  # seeded from the newest checkpoint
+    assert snap.txns == {"app": 2}
+    # and a replayed old epoch is still rejected off the checkpoint
+    assert D.append_stream_batch(_mk(spark, 20), tbl, "app", 1) is None
+    assert D.read_delta_py(spark, tbl).count() == 60
+
+
+def test_stream_restart_no_duplicates(spark, tmp_path, sf_dir):
+    """Draining the same source twice — once with the retained
+    checkpoint, once with a reset checkpoint (re-delivery) — must leave
+    the table unchanged both times."""
+    from map_reduce_spark.streaming.jobs import stream_events
+
+    table = str(tmp_path / "tbl")
+    chk1 = str(tmp_path / "chk1")
+    src = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    D.write_stream_delta(src, table, app_id="app", checkpoint_dir=chk1)
+    n = D.read_delta_py(spark, table).count()
+    assert n > 0
+    # retained checkpoint: no new offsets, no new commits
+    v_before = D.latest_version(table)
+    D.write_stream_delta(src, table, app_id="app", checkpoint_dir=chk1)
+    assert D.latest_version(table) == v_before
+    # reset checkpoint: epochs restart at 0 and re-deliver folded data;
+    # the txn ledger rejects them
+    chk2 = str(tmp_path / "chk2")
+    D.write_stream_delta(src, table, app_id="app", checkpoint_dir=chk2)
+    assert D.read_delta_py(spark, table).count() == n
+
+
+def test_optimize_preserves_stats_for_skipping(spark, tbl):
+    for i in range(4):
+        D.write_delta_py(
+            _mk(spark, 100, parts=1).withColumn("id", F.col("id") + 100 * i),
+            tbl, mode="append", stats_cols=("id",),
+        )
+    D.optimize_compact(spark, tbl, stats_cols=("id",))
+    snap = D.snapshot(tbl)
+    assert all(
+        "minValues" in json.loads(a["stats"]) for a in snap.adds.values()
+    )
+    # post-compaction skipping still prunes on the merged ranges
+    assert len(D.skip_files(snap, "id", 0, 10)) <= len(snap.adds)
