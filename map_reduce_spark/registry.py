@@ -78,8 +78,9 @@ def register(name: str, oracle: str | None = None):
 # The round-8 window:
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the two queries with NO driver row yet (r8 additions avro_scan,
-#     ann_maintenance_decision);
+#   - the queries with NO driver row yet (r8 additions avro_scan,
+#     ann_maintenance_decision, the delta family — scan / time travel /
+#     merge / optimize / streaming sink — and sqlite_scan);
 #   - every r8 behaviorally-changed surface under the file-granularity
 #     staleness rule: the health family (monitoring.py: psic-from-feats
 #     + feats localCheckpoint), the dedup compaction family (dedup.py:
@@ -105,7 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # round-8 additions (no driver row yet)
+    # round-8 additions (no driver row yet): avro + table-format +
+    # DB-source families
     "avro_scan",
     "ann_maintenance_decision",
     "delta_scan",
