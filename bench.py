@@ -103,6 +103,16 @@ HEADLINE = [
     # maintenance loop
     "dedup_index_compact",
     "ann_recall_eval",
+    # round 8 additions: the un-gated source/table-format families —
+    # Avro container decode, Delta log-replay scan + transactional
+    # MERGE + txn-deduped stream ingest, and the pushdown DB source
+    # (fixture conversion happens in the warm-up pass: "data already
+    # lives there" is each operator's contract)
+    "avro_scan",
+    "delta_scan",
+    "delta_merge_upsert",
+    "streaming_delta_sink",
+    "sqlite_scan",
 ]
 
 

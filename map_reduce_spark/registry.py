@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_merge_upsert",
     "delta_optimize_compact",
     "streaming_delta_sink",
+    "delta_changes_scan",
     "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",

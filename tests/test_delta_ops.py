@@ -150,3 +150,61 @@ def test_optimize_preserves_stats_for_skipping(spark, tbl):
     )
     # post-compaction skipping still prunes on the merged ranges
     assert len(D.skip_files(snap, "id", 0, 10)) <= len(snap.adds)
+
+
+def test_change_feed_skips_optimize(spark, tbl):
+    D.write_delta_py(_mk(spark, 100), tbl, mode="overwrite", stats_cols=("id",))
+    D.write_delta_py(
+        _mk(spark, 50).withColumn("id", F.col("id") + 100), tbl,
+        mode="append", stats_cols=("id",),
+    )
+    assert D.optimize_compact(spark, tbl, stats_cols=("id",)) == 2
+    D.write_delta_py(
+        _mk(spark, 25).withColumn("id", F.col("id") + 150), tbl,
+        mode="append", stats_cols=("id",),
+    )
+    feed = D.read_delta_changes(spark, tbl, since_version=0)
+    assert feed.count() == 75  # appends only; compacted copies invisible
+    assert feed.agg(F.min("id")).first()[0] == 100
+    # bounded range
+    assert D.read_delta_changes(spark, tbl, 0, to_version=1).count() == 50
+    assert D.read_delta_changes(spark, tbl, 3).count() == 0
+
+
+def test_change_feed_refuses_rewrites(spark, tbl):
+    D.write_delta_py(_mk(spark, 100), tbl, mode="overwrite", stats_cols=("id",))
+    D.delete_where(spark, tbl, F.col("id") < 10, stats_cols=("id",))
+    with pytest.raises(NotImplementedError, match="rewrites data"):
+        D.read_delta_changes(spark, tbl, since_version=0)
+    # a range that stops before the rewrite is still served
+    assert D.read_delta_changes(spark, tbl, -1, to_version=0).count() == 100
+
+
+def test_schema_evolution_append(spark, tbl):
+    D.write_delta_py(_mk(spark, 60), tbl, mode="overwrite", stats_cols=("id",))
+    wide = (
+        _mk(spark, 40)
+        .withColumn("id", F.col("id") + 60)
+        .withColumn("extra", (F.col("id") % 5).cast("long"))
+    )
+    v = D.append_with_evolution(wide, tbl, stats_cols=("id",))
+    got = D.read_delta_py(spark, tbl)
+    assert set(got.columns) == {"id", "y", "v", "extra"}
+    assert got.count() == 100
+    # pre-evolution files read the new column as NULL
+    assert got.filter(F.col("extra").isNull()).count() == 60
+    assert got.filter(F.col("extra").isNotNull()).count() == 40
+    # time travel still renders the OLD schema
+    assert set(D.read_delta_py(spark, tbl, version=v - 1).columns) == {"id", "y", "v"}
+    # type change is refused loudly
+    bad = _mk(spark, 5).withColumn("v", F.lit(1.5))
+    with pytest.raises(TypeError, match="not schema EVOLUTION"):
+        D.append_with_evolution(bad, tbl)
+
+
+def test_schema_evolution_noop_when_same(spark, tbl):
+    D.write_delta_py(_mk(spark, 30), tbl, mode="overwrite")
+    v = D.append_with_evolution(_mk(spark, 30), tbl)
+    acts = D._read_commit(tbl, v)
+    assert not any("metaData" in a for a in acts)  # no gratuitous schema churn
+    assert D.read_delta_py(spark, tbl).count() == 60
