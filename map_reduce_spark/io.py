@@ -277,6 +277,26 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
         return read_delta_py(spark, path)
 
 
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by=(),
+    stats_cols=(),
+) -> int:
+    """Transactional Delta write (jar-less: the engine's pure-Python
+    log codec — put-if-absent commits, checkpoints, per-file stats).
+    Returns the committed version. See ``sources.delta_py`` for
+    DELETE/MERGE/OPTIMIZE/vacuum/change-feed and the streaming sink."""
+    from map_reduce_spark.sources.delta_py import write_delta_py
+
+    return write_delta_py(
+        df, path, mode=mode,
+        partition_by=tuple(partition_by or ()),
+        stats_cols=tuple(stats_cols or ()),
+    )
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
     writer = df.write.mode(mode)
     if partition_by:

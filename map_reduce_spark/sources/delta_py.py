@@ -76,6 +76,9 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 # before we refuse (a rewrite touching this many files at once is a
 # full-table rewrite — use overwrite mode, which never lists rows)
 _CONTROL_PLANE_MAX = 100_000
+# vacuum won't reap a staging dir quieter than this (a live writer may
+# be mid-stage; see vacuum_delta)
+_STAGING_RETENTION_SEC = 600
 
 
 # --------------------------------------------------------------------
@@ -820,10 +823,21 @@ def vacuum_delta(table: str) -> int:
             if p not in referenced:
                 os.remove(p)
                 n += 1
-    # crashed staging dirs are orphans by construction
+    # crashed staging dirs are orphans by construction — but a LIVE
+    # writer may be mid-stage right now, so only reap dirs quiet for
+    # longer than any plausible stage window (the same reason real
+    # VACUUM has a retention period)
+    import time
+
+    cutoff = time.time() - _STAGING_RETENTION_SEC
     for d in os.listdir(table):
         if d.startswith(".staging-"):
-            shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+            p = os.path.join(table, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # racing writer moved/removed it: theirs
     return n
 
 # --------------------------------------------------------------------

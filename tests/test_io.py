@@ -79,13 +79,13 @@ def test_gated_connectors_raise_cleanly(spark):
 
     with pytest.raises(NotImplementedError, match="JDBC"):
         mio.read_jdbc(spark, "jdbc:postgresql://nowhere/db", "t")
-    with pytest.raises(NotImplementedError, match="Delta"):
-        mio.read_delta(spark, "/tmp/no-such-delta")
-    # Avro is NOT gated anymore (round 8): the jar-less path falls back
-    # to the pure-Python container reader, which reports a missing path
-    # as a plain file error, not a capability gate
+    # Avro and Delta are NOT gated anymore (round 8): the jar-less
+    # paths fall back to the pure-Python readers, which report a
+    # missing path as a plain file error, not a capability gate
     with pytest.raises(FileNotFoundError):
         mio.read_avro(spark, "/tmp/no-such-avro")
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        mio.read_delta(spark, "/tmp/no-such-delta")
 
 
 def test_salted_join_equals_plain_on_skewed_data(spark):
