@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_optimize_compact",
     "streaming_delta_sink",
     "delta_changes_scan",
+    "delta_ingest_dedup",
     "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",

@@ -1561,3 +1561,95 @@ def delta_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").alias("sum_cents"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+# --------------------------------------------------------------------
+# composed: incremental dedup index maintained IN the table format
+# --------------------------------------------------------------------
+
+
+@register(
+    "delta_ingest_dedup",
+    oracle="""
+WITH fps AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS owner, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT COUNT(*) AS n_fps,
+       CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fps,
+       CAST(SUM(owner) AS BIGINT) AS owner_sum,
+       CAST(MIN(owner) AS BIGINT) AS min_owner,
+       CAST(MAX(owner) AS BIGINT) AS max_owner
+FROM fps
+""",
+)
+def delta_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production loop the r7 verdict asked the table format for:
+    documents land in a Delta CORPUS table over three drops
+    (md5-bucketed thirds), and after each drop the exact-dedup
+    fingerprint INDEX — itself a Delta table — is updated by consuming
+    ONLY that drop's change feed and MERGEing the combined state
+    (owner = min doc_id, n_docs accumulates). The final index must
+    equal the one-shot batch group-by over the whole corpus (fold
+    associativity), which the single-row oracle checks via count /
+    dup-count / owner-sum invariants.
+
+    Scale shape: each maintenance step reads O(drop) rows (the change
+    feed names exactly the new files; compactions would be free) plus
+    a batch-sized probe join into the index; the index update is one
+    transactional MERGE commit, crash-safe and replayable. Fingerprint
+    keys are uniform, so file-range skipping deliberately does NOT
+    carry the merge here — candidate bounding for dedup indexes comes
+    from band-bucket layout (operators/dedup.py's incremental family);
+    this query's subject is the TRANSACTIONAL maintenance contract.
+    """
+    import tempfile
+
+    from map_reduce_spark.io import load_table
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:12]
+    scratch = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_ingest_{key}")
+    corpus = os.path.join(scratch, "corpus")
+    index = os.path.join(scratch, "index")
+    if not os.path.isdir(scratch):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+        b3 = _bucket(F.col("doc_id"), 3)
+        for drop, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+            write_delta_py(
+                docs.filter(b3 == drop), corpus, mode=mode,
+                stats_cols=("doc_id",),
+            )
+            feed = read_delta_changes(spark, corpus, since_version=drop - 1,
+                                      to_version=drop)
+            batch = feed.groupBy("fp").agg(
+                F.min("doc_id").alias("owner"), F.count("*").alias("n_docs")
+            )
+            if latest_version(index) is None:
+                write_delta_py(batch, index, mode="overwrite", stats_cols=("fp",))
+            else:
+                cur = read_delta_py(spark, index).select(
+                    F.col("fp"),
+                    F.col("owner").alias("owner_cur"),
+                    F.col("n_docs").alias("n_cur"),
+                )
+                combined = batch.join(cur, "fp", "left").select(
+                    "fp",
+                    F.least(
+                        F.col("owner"), F.coalesce("owner_cur", "owner")
+                    ).alias("owner"),
+                    (F.col("n_docs") + F.coalesce("n_cur", F.lit(0))).alias(
+                        "n_docs"
+                    ),
+                )
+                merge_upsert(spark, index, combined, "fp", stats_cols=("fp",))
+    idx = read_delta_py(spark, index)
+    return idx.agg(
+        F.count("*").alias("n_fps"),
+        F.sum("n_docs").alias("total_docs"),
+        F.sum((F.col("n_docs") > 1).cast("long")).alias("dup_fps"),
+        F.sum("owner").alias("owner_sum"),
+        F.min("owner").alias("min_owner"),
+        F.max("owner").alias("max_owner"),
+    )
