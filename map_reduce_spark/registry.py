@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_delta_sink",
     "delta_changes_scan",
     "delta_ingest_dedup",
+    "delta_optimize_zorder",
     "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",

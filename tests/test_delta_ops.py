@@ -208,3 +208,39 @@ def test_schema_evolution_noop_when_same(spark, tbl):
     acts = D._read_commit(tbl, v)
     assert not any("metaData" in a for a in acts)  # no gratuitous schema churn
     assert D.read_delta_py(spark, tbl).count() == 60
+
+
+def test_zorder_prunes_both_dimensions(spark, tbl):
+    """The point of ZORDER: after the clustered rewrite, stats skipping
+    prunes on EITHER dimension; the pre-layout table (insertion order,
+    uncorrelated with both dims) prunes on neither."""
+    n = 4096
+    df = (
+        spark.range(n)
+        .withColumn("a", (F.col("id") * 2654435761 % 1024).cast("long"))
+        .withColumn("b", (F.col("id") * 40503 % 1024).cast("long"))
+        .repartitionByRange(8, "id")  # files ordered by id: a/b scattered
+    )
+    D.write_delta_py(df, tbl, mode="overwrite", stats_cols=("a", "b"))
+    before = D.snapshot(tbl)
+    # insertion-ordered files: every file spans ~the full a/b range
+    assert len(D.skip_files(before, "a", 0, 63)) == len(before.adds)
+    assert len(D.skip_files(before, "b", 0, 63)) == len(before.adds)
+    v = D.optimize_compact(
+        spark, tbl, target_bytes=1, stats_cols=("a", "b"), zorder_by=("a", "b")
+    )
+    assert v == 1
+    after = D.snapshot(tbl)
+    assert len(after.adds) >= 4
+    # both dimensions now prune: a narrow slice of either axis touches
+    # a strict subset of files
+    a_hit = len(D.skip_files(after, "a", 0, 63))
+    b_hit = len(D.skip_files(after, "b", 0, 63))
+    assert a_hit < len(after.adds)
+    assert b_hit < len(after.adds)
+    # and the rewrite moved no rows
+    got = D.read_delta_py(spark, tbl)
+    assert got.count() == n
+    assert got.agg(F.sum("a"), F.sum("b")).first() == df.agg(
+        F.sum("a"), F.sum("b")
+    ).first()
