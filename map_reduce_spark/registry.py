@@ -80,7 +80,12 @@ def register(name: str, oracle: str | None = None):
 #     verified;
 #   - the queries with NO driver row yet (r8 additions avro_scan,
 #     ann_maintenance_decision, the delta family — scan / time travel /
-#     merge / optimize / streaming sink — and sqlite_scan);
+#     merge / OPTIMIZE / ZORDER / change feed / streaming sink / the
+#     composed ingest-dedup loop — and sqlite_scan); these nine push
+#     the window's former tail (scd2_merge, session_window,
+#     window_sliding/tumbling, unpivot_stack, asof_join) past rank 50 —
+#     all hold green r2-era rows on files unchanged since, the right
+#     trade against never-verified queries;
 #   - every r8 behaviorally-changed surface under the file-granularity
 #     staleness rule: the health family (monitoring.py: psic-from-feats
 #     + feats localCheckpoint), the dedup compaction family (dedup.py:
