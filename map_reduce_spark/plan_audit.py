@@ -64,6 +64,7 @@ ACCEPTED_1PART: dict[str, str] = {
     "bm25_rank": "scalar doc-count / avg-doclen aggregate",
     "vocab_coverage": "scalar corpus token total",
     "funnel_analysis": "four per-stage single-row user counts",
+    "delta_ingest_dedup": "single-row index-invariant summary (the oracle row)",
     "agg_basic": "single-row global aggregate",
     "sql_api_q6": "single-row revenue aggregate (TPC-H Q6 shape)",
     "scalar_subquery": "scalar subquery aggregate",
