@@ -59,6 +59,7 @@ versioned, time-travelable table commits over the same plain files.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import json
 import os
 import shutil
@@ -79,6 +80,8 @@ _CONTROL_PLANE_MAX = 100_000
 # vacuum won't reap a staging dir quieter than this (a live writer may
 # be mid-stage; see vacuum_delta)
 _STAGING_RETENTION_SEC = 600
+# per-process staging sequence (see _stage_and_move)
+_STAGING_SEQ = itertools.count()
 
 
 # --------------------------------------------------------------------
@@ -520,7 +523,9 @@ def _stage_and_move(
     [(relative path, partitionValues, size)] for the add actions.
     File names keep Spark's task-committed unique part names."""
     os.makedirs(table, exist_ok=True)
-    token = hashlib.md5(f"{os.getpid()}:{len(os.listdir(table))}".encode()).hexdigest()[:8]
+    # unique per process AND per call: two THREADS of one writer must
+    # never share a staging dir (itertools.count is GIL-atomic)
+    token = f"{os.getpid()}-{next(_STAGING_SEQ)}"
     staging = os.path.join(table, f".staging-{token}")
     w = df.write.mode("overwrite")
     if partition_by:
