@@ -277,6 +277,23 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
         return read_delta_py(spark, path)
 
 
+def read_iceberg(spark: SparkSession, path: str, snapshot_id: int | None = None) -> DataFrame:
+    """Apache Iceberg source. With the iceberg-spark runtime jar this
+    is the native scan; without it — this image ships no external jars
+    — it falls back to the engine's pure-Python metadata reader
+    (``sources.iceberg_py``): metadata.json -> manifest list ->
+    manifests (Avro, decoded driver-side) -> a plain native parquet
+    scan over the live file set. Same rows either way."""
+    try:
+        if snapshot_id is not None:
+            raise ValueError("snapshot pin: use the Python path directly")
+        return spark.read.format("iceberg").load(path)
+    except Exception:  # jar absent (or pinned read) -> Python path
+        from map_reduce_spark.sources.iceberg_py import read_iceberg_py
+
+        return read_iceberg_py(spark, path, snapshot_id)
+
+
 def write_delta(
     df: DataFrame,
     path: str,

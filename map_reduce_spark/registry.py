@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.sources.avro_py",
     "map_reduce_spark.sources.delta_py",
     "map_reduce_spark.sources.sqlite_py",
+    "map_reduce_spark.sources.iceberg_py",
     "map_reduce_spark.streaming.jobs",
     "map_reduce_spark.pipelines",
 )
@@ -123,6 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "delta_changes_scan",
     "delta_ingest_dedup",
     "delta_optimize_zorder",
+    "iceberg_scan",
+    "iceberg_snapshot_travel",
     "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",
