@@ -113,6 +113,7 @@ HEADLINE = [
     "delta_merge_upsert",
     "streaming_delta_sink",
     "sqlite_scan",
+    "iceberg_scan",
 ]
 
 

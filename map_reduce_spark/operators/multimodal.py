@@ -649,6 +649,16 @@ def _gif_tools():
             s = c
         if s:
             emit(table[s])
+            # END-OF-STREAM width sync: the decoder adds a (never used)
+            # table entry for this final code too, and its early-change
+            # rule runs on that add — but the encoder's loop never adds
+            # for the tail emission. When next_code sits exactly on the
+            # 2^w - 1 boundary, the decoder therefore widens before
+            # reading EOI; mirror that here or EOI is written one bit
+            # narrower than it is read (found by the hypothesis fuzz:
+            # 14 distinct pixels at mcs=4 put next_code on 31).
+            if next_code < MAXC - 1 and next_code == (1 << state["w"]) - 1:
+                state["w"] += 1
         emit(eoi)
         if nbits:
             data.append(bitbuf & 0xFF)

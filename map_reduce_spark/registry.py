@@ -82,7 +82,8 @@ def register(name: str, oracle: str | None = None):
 #   - the queries with NO driver row yet (r8 additions avro_scan,
 #     ann_maintenance_decision, the delta family — scan / time travel /
 #     merge / OPTIMIZE / ZORDER / change feed / streaming sink / the
-#     composed ingest-dedup loop — and sqlite_scan); these nine push
+#     composed ingest-dedup loop — sqlite_scan, and the iceberg pair);
+#     these eleven push
 #     the window's former tail (scd2_merge, session_window,
 #     window_sliding/tumbling, unpivot_stack, asof_join) past rank 50 —
 #     all hold green r2-era rows on files unchanged since, the right
