@@ -204,3 +204,16 @@ def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
     assert sorted(back.columns) == sorted(docs.columns)
+
+
+def test_write_read_delta_roundtrip(spark, tmp_path):
+    """The io-level delegators: write_delta commits transactionally,
+    read_delta serves the same rows through the jar-less fallback."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(500).withColumn("v", F.col("id") * 2)
+    assert mio.write_delta(df, tbl, mode="overwrite", stats_cols=("id",)) == 0
+    assert mio.write_delta(df.withColumn("id", F.col("id") + 500), tbl) == 1
+    got = mio.read_delta(spark, tbl)
+    assert got.count() == 1000

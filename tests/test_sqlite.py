@@ -141,3 +141,29 @@ def test_fixture_matches_parquet(spark, sf_dir):
         for v in want.column("s_acctbal").to_pylist()
     )
     assert got_bal == want_bal
+
+
+def test_row_scale_stride_read(spark, tmp_path):
+    """The registered query reads a fixed dim (flat sweep by design);
+    this pins the row-scaling behavior: 200k rows over 16 stride
+    ranges, all partitions non-trivial, pushdown + aggregate exact."""
+    db = str(tmp_path / "big.db")
+    rows = [(k, k % 97, float(k) / 8) for k in range(200_000)]
+    write_sqlite_table(
+        rows, [("k", "BIGINT"), ("g", "BIGINT"), ("x", "DOUBLE")], db, "t"
+    )
+    df = read_sqlite(spark, db, "t", partition_column="k", num_partitions=16)
+    assert df.rdd.getNumPartitions() == 16
+    got = (
+        df.filter(F.col("g") < 10)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.round(F.col("x") * 8, 0).cast("long")).alias("sum_x8"),
+        )
+        .first()
+    )
+    want = [r for r in rows if r[1] < 10]
+    assert got.cnt == len(want)
+    assert got.sum_k == sum(r[0] for r in want)
+    assert got.sum_x8 == sum(r[0] for r in want)  # x*8 == k exactly
