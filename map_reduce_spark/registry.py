@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_optimize_zorder",
     "iceberg_scan",
     "iceberg_snapshot_travel",
+    "iceberg_changes_scan",
     "sqlite_scan",
     # r8-changed: health family (monitoring.py)
     "health_report_fold",

@@ -162,3 +162,17 @@ def test_io_read_iceberg_falls_back(spark, sf_dir):
         "price_cents", "qty_cents",
     ]
     assert df.count() > 0
+
+
+def test_incremental_snapshot_diff(spark, tmp_path):
+    """The snapshot-diff read returns exactly the rows each range
+    added; manifests predating the range are skipped without reading."""
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(_mk(spark, 100), tbl)           # snap 1
+    I.append_iceberg_snapshot(_mk(spark, 50, base=100), tbl)  # snap 2
+    I.append_iceberg_snapshot(_mk(spark, 25, base=150), tbl)  # snap 3
+    assert I.read_iceberg_changes(spark, tbl, from_snapshot=1).count() == 75
+    assert I.read_iceberg_changes(spark, tbl, from_snapshot=2).count() == 25
+    assert I.read_iceberg_changes(spark, tbl, from_snapshot=3).count() == 0
+    mid = I.read_iceberg_changes(spark, tbl, from_snapshot=1, to_snapshot=2)
+    assert {r.k for r in mid.collect()} == set(range(100, 150))
