@@ -102,8 +102,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # (app_id, plan semantic hash) -> input partition count; the probe
 # forces an analysis + RDD conversion on the driver, so pay it once per
-# distinct plan per session, not once per query build
-_NPART_CACHE: dict[tuple[str, int], int] = {}
+# distinct plan per session, not once per query build. LRU-capped: a
+# long-lived session building many distinct plans must not grow this
+# without bound (move-to-end on hit, evict oldest past the cap).
+from collections import OrderedDict
+
+_NPART_CACHE: OrderedDict[tuple[str, int], int] = OrderedDict()
+_NPART_CACHE_MAX = 256
 
 
 def parallelize_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
@@ -127,7 +132,10 @@ def parallelize_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     n = _NPART_CACHE.get(cache_key)
     if n is None:
         n = df.rdd.getNumPartitions()
-        _NPART_CACHE[cache_key] = n
+    _NPART_CACHE[cache_key] = n
+    _NPART_CACHE.move_to_end(cache_key)
+    while len(_NPART_CACHE) > _NPART_CACHE_MAX:
+        _NPART_CACHE.popitem(last=False)
     if n < target:
         return df.repartition(target, *keys) if keys else df.repartition(target)
     return df
@@ -261,6 +269,23 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
         ) from e
 
 
+def _is_missing_datasource(e: Exception) -> bool:
+    """True only for the jar-absent failure shape (the registered-
+    format lookup failing), NOT for genuine native-path errors — a bad
+    config or corrupt table must surface as itself, not resurface as a
+    misleading pure-Python error downstream."""
+    s = str(e)
+    return any(
+        marker in s
+        for marker in (
+            "Failed to find data source",
+            "DATA_SOURCE_NOT_FOUND",
+            "Failed to find the data source",
+            "ClassNotFoundException",
+        )
+    )
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     """Delta Lake source. With the delta-spark jars on the classpath
     this is the native scan; without them — this image ships no
@@ -268,10 +293,13 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     transaction-log reader (``sources.delta_py``): log replay on the
     driver (metadata-sized), then a plain native parquet scan over the
     active file list, so pushdown/pruning/codegen are identical either
-    way."""
+    way. Only the jar-absence failure falls back; any other native
+    error re-raises."""
     try:
         return spark.read.format("delta").load(path)
-    except Exception:  # AnalysisException: jars absent -> Python path
+    except Exception as e:  # jars absent -> Python path; else re-raise
+        if not _is_missing_datasource(e):
+            raise
         from map_reduce_spark.sources.delta_py import read_delta_py
 
         return read_delta_py(spark, path)
@@ -283,15 +311,20 @@ def read_iceberg(spark: SparkSession, path: str, snapshot_id: int | None = None)
     — it falls back to the engine's pure-Python metadata reader
     (``sources.iceberg_py``): metadata.json -> manifest list ->
     manifests (Avro, decoded driver-side) -> a plain native parquet
-    scan over the live file set. Same rows either way."""
-    try:
-        if snapshot_id is not None:
-            raise ValueError("snapshot pin: use the Python path directly")
-        return spark.read.format("iceberg").load(path)
-    except Exception:  # jar absent (or pinned read) -> Python path
-        from map_reduce_spark.sources.iceberg_py import read_iceberg_py
+    scan over the live file set. Same rows either way. Snapshot-pinned
+    reads go straight to the Python path (the native format needs a
+    catalog for time travel); otherwise only the jar-absence failure
+    falls back and any other native error re-raises."""
+    from map_reduce_spark.sources.iceberg_py import read_iceberg_py
 
+    if snapshot_id is not None:
         return read_iceberg_py(spark, path, snapshot_id)
+    try:
+        return spark.read.format("iceberg").load(path)
+    except Exception as e:  # jar absent -> Python path; else re-raise
+        if not _is_missing_datasource(e):
+            raise
+        return read_iceberg_py(spark, path, None)
 
 
 def write_delta(

@@ -656,12 +656,19 @@ def delete_where(
     ONLY those files minus the matches, commit remove+add. Files with
     no matching row are untouched — at 100 TB a selective delete
     rewrites a handful of files, never the table. Returns the committed
-    version."""
+    version.
+
+    SQL DELETE semantics on NULLs: only rows where the predicate is
+    TRUE are deleted — rows where it evaluates to NULL are KEPT, so
+    both the victim selection and the rewrite filter go through
+    ``coalesce(predicate, false)`` (a bare ``~predicate`` would turn
+    NULL into NULL and silently drop those rows from the rewrite)."""
+    pred_true = F.coalesce(predicate, F.lit(False))
     for _ in range(_max_retries):
         snap = snapshot(table)
         active = read_delta_py(spark, table, snap.version)
         victims_df = (
-            active.filter(predicate)
+            active.filter(pred_true)
             .select(F.col("_metadata.file_path").alias("fp"))
             .distinct()
         )
@@ -670,7 +677,7 @@ def delete_where(
             return snap.version
         victim_rel = _rel_paths(snap, victims)
         keep_rows = read_delta_py(spark, table, snap.version, files=sorted(victims)).filter(
-            ~predicate
+            ~pred_true
         )
         moved = _stage_and_move(keep_rows, table, tuple(snap.partition_columns))
         actions = [
@@ -1515,7 +1522,13 @@ def append_with_evolution(
     alongside the adds (one atomic commit — readers see old schema or
     new schema + data, never a torn middle). Files written before the
     evolution read the new columns as NULLs (parquet scan with the
-    unified schema), exactly delta's mergeSchema behavior."""
+    unified schema), exactly delta's mergeSchema behavior.
+
+    Losing a commit race re-derives BOTH the metaData base and the
+    unified schema from the fresh snapshot — if the race winner itself
+    evolved the schema (added a column), committing a schemaString
+    merged against the stale snapshot would silently drop the winner's
+    column from table metadata while its data files remain."""
     unified = evolve_schema_for_append(table, df.schema)
     snap = snapshot(table)
     moved = _stage_and_move(df, table, tuple(snap.partition_columns))
@@ -1535,7 +1548,11 @@ def append_with_evolution(
         if try_commit(table, v, actions):
             _maybe_checkpoint(table, v, checkpoint_interval)
             return v
-        snap = snapshot(table)  # re-derive the metaData base after a race
+        # lost the race: re-merge against the winner's schema, then
+        # re-derive the metaData base (ordering matters — the evolve
+        # helper reads the latest snapshot itself)
+        unified = evolve_schema_for_append(table, df.schema)
+        snap = snapshot(table)
 
 
 @register(

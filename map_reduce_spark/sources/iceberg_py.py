@@ -758,8 +758,14 @@ def read_iceberg_changes(
             continue  # manifest predates the range: skip WITHOUT reading it
         _, entries = av.read_file(_local(m["manifest_path"]))
         for e in entries:
-            sid = e.get("snapshot_id") or 0
-            if e.get("status") == 1 and from_snapshot < sid <= hi:
+            # spec: a null entry snapshot_id inherits the manifest's
+            # added_snapshot_id, and manifest merges re-record in-range
+            # adds as status EXISTING (0) — both still belong to the
+            # diff; only DELETED (2) entries are out
+            sid = e.get("snapshot_id")
+            if sid is None:
+                sid = m.get("added_snapshot_id", 0)
+            if e.get("status") in (0, 1) and from_snapshot < sid <= hi:
                 files.append(_local(e["data_file"]["file_path"]))
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
     if not files:

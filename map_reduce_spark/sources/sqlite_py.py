@@ -218,11 +218,33 @@ def read_sqlite(
     docstring). ``probe_dir`` is a test seam: when set, each task
     drops a one-line file recording how many pushed-filter fragments
     its WHERE carried — the only executor-side observable that proves
-    pushdown reached the per-task SQL."""
+    pushdown reached the per-task SQL.
+
+    Session-conf note: ``spark.sql.python.filterPushdown.enabled`` is
+    switched on here and deliberately LEFT on — the returned frame is
+    lazy, so the conf must still hold when an action finally plans the
+    scan; restoring it on return would silently disable the pushdown
+    this source exists for. The flag only affects Python DataSources
+    and is correctness-neutral (unsupported filters are re-applied by
+    Spark above the scan either way)."""
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     cols = table_schema(db_path, table)
+    if partition_column is not None:
+        declared = dict(cols).get(partition_column)
+        if declared is None:
+            raise ValueError(
+                f"partition column {partition_column!r} not in {table!r}"
+            )
+        if declared not in ("tinyint", "smallint", "int", "bigint"):
+            # stride arithmetic needs integer affinity; a TEXT/REAL
+            # column would fail later with a bare ValueError deep in
+            # range math — gate up front with the real reason
+            raise NotImplementedError(
+                f"read_sqlite: integer partition column required; "
+                f"{partition_column!r} is {declared}"
+            )
     ddl = ", ".join(f"{name} {t}" for name, t in cols)
     ranges = (
         _partition_ranges(db_path, table, partition_column, num_partitions)
