@@ -15,9 +15,13 @@ scan, exactly like the Delta reader's active-file list (pushdown,
 column pruning, codegen intact; Iceberg data files carry partition
 columns in-file, so no hive-path recovery is needed).
 
-Deliberate gates (raise loudly, never mis-read): DELETE manifests
-(``content=1`` — v2 row-level position/equality deletes, the analogue
-of Delta's deletion vectors) and non-parquet data files.
+Merge-on-read (round 9): v2 POSITIONAL deletes are fully supported —
+delete manifests' (file_path, pos) parquet files apply as an anti-join
+on the native ``_metadata.file_path`` / ``_metadata.row_index`` row
+ids, with small delete sets broadcast so the data side never shuffles.
+Deliberate gates that remain (raise loudly, never mis-read): equality
+deletes (content=2 — they need sequence-number ordering this reader
+does not model) and non-parquet data files.
 
 The manifest plane is DRIVER-side metadata — manifests are KBs — so
 the Avro decode here needs no Spark plumbing at all. It uses a
@@ -30,10 +34,13 @@ decoder local leaves that certified scan path untouched.
 Scale shape: metadata cost is O(manifests touched) — the spec's own
 design goal (manifest lists exist so planning can skip whole
 manifests); the data plane is the same native FileScan every other
-source here bottoms out in. The writer half below exists for the
-FIXTURE (building a spec-layout table so the read path has something
-real to parse) and for tests; production writes belong to engines
-with the full commit protocol.
+source here bottoms out in. The writer half is the real optimistic
+commit protocol (round 9): metadata versions publish put-if-absent
+via os.link — the same log-store contract as ``delta_py.try_commit``
+— so concurrent appenders all land; schema evolution preserves the
+schema history per the spec; ``commit_positional_deletes`` writes
+merge-on-read deletes without rewriting data files; and
+``expire_snapshots`` is the vacuum twin.
 
 Reference parity: SURVEY.md §2.2 scans/sources — the reference engine
 (ghostdsb/map_reduce, worker.ex:96-114) reads only local text files;
@@ -44,6 +51,7 @@ Delta (sources/delta_py.py).
 from __future__ import annotations
 
 import hashlib
+import itertools
 import json
 import os
 import shutil
@@ -326,24 +334,24 @@ def _iceberg_schema_to_ddl(schema: dict) -> str:
 
 
 def load_table_metadata(table: str) -> dict:
-    """Parse the live ``v{N}.metadata.json`` (via version-hint.text,
-    falling back to the highest N on disk)."""
+    """Parse the live ``v{N}.metadata.json``. The version hint is
+    advisory only: a racing writer may win a version before refreshing
+    the hint, so the live version is the MAX of the hint and the
+    highest N on disk — never a stale hint."""
     mdir = os.path.join(table, "metadata")
     if not os.path.isdir(mdir):
         raise FileNotFoundError(f"no Iceberg metadata at {table!r}")
+    candidates = []
     hint = os.path.join(mdir, "version-hint.text")
-    version = None
     if os.path.isfile(hint):
         with open(hint) as fh:
-            version = int(fh.read().strip())
-    else:
-        vs = [
-            int(f[1:].split(".")[0])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".metadata.json")
-        ]
-        if vs:
-            version = max(vs)
+            candidates.append(int(fh.read().strip()))
+    candidates.extend(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    version = max(candidates) if candidates else None
     if version is None:
         raise FileNotFoundError(f"no metadata.json versions at {table!r}")
     with open(os.path.join(mdir, f"v{version}.metadata.json")) as fh:
@@ -379,15 +387,12 @@ def _schema_for_snapshot(meta: dict, snap: dict) -> dict:
     raise ValueError("no schema in table metadata")
 
 
-def data_files_for_snapshot(table: str, meta: dict, snap: dict) -> list[str]:
-    """Manifest-list -> manifests -> live data files (absolute paths).
-    Gates loudly on v2 DELETE manifests and non-parquet files."""
-    av = make_generic_avro()
+def _make_localizer(table: str, meta: dict):
+    """Path localizer: the spec stores absolute URIs; accept file: or
+    plain paths and re-anchor anything under the recorded table
+    location so fixtures survive being moved/cloned."""
 
     def _local(p: str) -> str:
-        # the spec stores absolute URIs; accept file: or plain paths and
-        # re-anchor anything under the recorded table location so
-        # fixtures survive being moved/cloned
         if p.startswith("file:"):
             p = p[len("file:"):]
         loc = meta.get("location", "")
@@ -397,15 +402,35 @@ def data_files_for_snapshot(table: str, meta: dict, snap: dict) -> list[str]:
             return os.path.join(table, p[len(loc):].lstrip("/"))
         return p
 
+    return _local
+
+
+def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
+    """Manifest-list -> manifests -> the snapshot's SCAN PLAN:
+
+    - ``data_files``: live data files (absolute local paths),
+    - ``delete_files``: positional-delete parquet files to anti-join,
+    - ``delete_bytes``: their total size (broadcast decision input),
+    - ``stored_to_local``: stored data-file path -> local path (the
+      delete files reference data files by their STORED paths).
+
+    All of it is file-granularity driver metadata, exactly the spec's
+    intended planning shape. Gates loudly on equality deletes
+    (content=2 — applying those needs sequence-number ordering this
+    reader does not model) and non-parquet files.
+
+    Reference parity: this replaces the round-8 hard gate on DELETE
+    manifests — merge-on-read tables written by Spark/Flink with
+    row-level deletes now read correctly instead of refusing."""
+    av = make_generic_avro()
+    _local = _make_localizer(table, meta)
     _, manifests = av.read_file(_local(snap["manifest-list"]))
-    files: list[str] = []
+    data: list[str] = []
+    deletes: list[str] = []
+    delete_bytes = 0
+    stored_to_local: dict[str, str] = {}
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(
-                "iceberg_py: DELETE manifests (v2 row-level deletes) are "
-                "not supported by this reader — compact the table or use "
-                "an engine with merge-on-read"
-            )
+        is_delete_manifest = m.get("content", 0) == 1
         _, entries = av.read_file(_local(m["manifest_path"]))
         for e in entries:
             if e.get("status") == 2:  # DELETED
@@ -416,8 +441,100 @@ def data_files_for_snapshot(table: str, meta: dict, snap: dict) -> list[str]:
                 raise NotImplementedError(
                     f"iceberg_py: data file format {fmt!r} not supported"
                 )
-            files.append(_local(df["file_path"]))
-    return files
+            content = df.get("content")
+            if content is None:
+                content = 1 if is_delete_manifest else 0
+            local = os.path.abspath(_local(df["file_path"]))
+            if content == 0:
+                data.append(local)
+                stored_to_local[df["file_path"]] = local
+            elif content == 1:  # position deletes
+                deletes.append(local)
+                delete_bytes += int(df.get("file_size_in_bytes") or 0)
+            else:
+                raise NotImplementedError(
+                    "iceberg_py: equality deletes (content=2) are not "
+                    "supported — rewrite them to position deletes or "
+                    "compact the table"
+                )
+    return {
+        "data_files": data,
+        "delete_files": deletes,
+        "delete_bytes": delete_bytes,
+        "stored_to_local": stored_to_local,
+    }
+
+
+def data_files_for_snapshot(table: str, meta: dict, snap: dict) -> list[str]:
+    """Live data files only (compatibility wrapper over
+    ``scan_plan_for_snapshot``)."""
+    return scan_plan_for_snapshot(table, meta, snap)["data_files"]
+
+
+# a delete frame under this many bytes broadcasts — the data side then
+# never shuffles for the anti-join (the common production shape: a few
+# MB of deletes against TBs of data)
+_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
+
+# positional-delete parquet schema (spec field-ids 2147483546/45)
+_POS_DELETE_DDL = "file_path string, pos bigint"
+
+
+def _strip_file_scheme(col):
+    # _metadata.file_path arrives as a file:-scheme URI from the scan
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def _pos_delete_frame(spark: SparkSession, plan: dict) -> DataFrame:
+    """The snapshot's positional deletes as (``__mr_del_fp`` local
+    path, ``__mr_del_pos``). Delete rows are mapped from their STORED
+    file paths to local scan paths via a broadcast file-granularity
+    mapping frame (survives relocated tables); deletes referencing
+    data files no longer live drop out in the inner join. Small delete
+    sets broadcast outright, so the data side of the downstream
+    anti-join needs no shuffle at all; past the threshold the
+    anti-join shuffles the delete side like any equi-join and AQE
+    handles skew."""
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(plan["stored_to_local"].items())],
+        "stored string, local string",
+    )
+    dele = (
+        spark.read.schema(_POS_DELETE_DDL).parquet(*plan["delete_files"])
+        .join(F.broadcast(map_df), F.col("file_path") == F.col("stored"), "inner")
+        .select(
+            F.col("local").alias("__mr_del_fp"),
+            F.col("pos").alias("__mr_del_pos"),
+        )
+    )
+    if plan["delete_bytes"] <= _DELETE_BROADCAST_BYTES:
+        dele = F.broadcast(dele)
+    return dele
+
+
+def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
+    """Merge-on-read: anti-join the scan against the snapshot's
+    positional deletes on (data file, row position in file).
+
+    The join keys are Spark's native ``_metadata.file_path`` /
+    ``_metadata.row_index`` metadata columns — per-row ids the parquet
+    scan produces for free, so no Python executes per row."""
+    dele = _pos_delete_frame(spark, plan)
+    src = df.withColumns(
+        {
+            "__mr_fp": _strip_file_scheme(F.col("_metadata.file_path")),
+            "__mr_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return (
+        src.join(
+            dele,
+            (src["__mr_fp"] == dele["__mr_del_fp"])
+            & (src["__mr_pos"] == dele["__mr_del_pos"]),
+            "left_anti",
+        )
+        .drop("__mr_fp", "__mr_pos")
+    )
 
 
 def read_iceberg_py(
@@ -425,7 +542,9 @@ def read_iceberg_py(
 ) -> DataFrame:
     """Read an Iceberg table at the current (or a pinned) snapshot:
     metadata plane on the driver, then a plain NATIVE parquet scan
-    over the live data-file set (module docstring)."""
+    over the live data-file set (module docstring), with v2
+    positional deletes applied as a merge-on-read anti-join when the
+    snapshot carries them."""
     meta = load_table_metadata(table)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError(
@@ -433,10 +552,13 @@ def read_iceberg_py(
         )
     snap = _pick_snapshot(meta, snapshot_id)
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
-    files = data_files_for_snapshot(table, meta, snap)
-    if not files:
+    plan = scan_plan_for_snapshot(table, meta, snap)
+    if not plan["data_files"]:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*plan["data_files"])
+    if plan["delete_files"]:
+        df = _apply_positional_deletes(spark, df, plan)
+    return df
 
 
 # --------------------------------------------------------------------
@@ -489,116 +611,366 @@ def _spark_to_iceberg_type(t: str) -> str:
     raise NotImplementedError(f"iceberg_py writer: Spark type {t!r}")
 
 
-def append_iceberg_snapshot(spark_df: DataFrame, table: str) -> int:
-    """Fixture/test writer: stage ``spark_df`` as parquet data files,
-    wrap them in a spec-layout manifest + manifest list, and publish
-    the next ``v{N}.metadata.json`` + version-hint. Single-writer only
-    (fixtures build under an atomic-rename publish; this is NOT the
-    optimistic commit protocol — delta_py owns that story)."""
-    av = make_generic_avro()
-    os.makedirs(os.path.join(table, "metadata"), exist_ok=True)
+_WRITE_SEQ = itertools.count()
+
+
+def _write_token() -> str:
+    # unique per process AND per call (two threads of one writer must
+    # never collide on a staged name); deterministic — no entropy
+    return f"{os.getpid()}-{next(_WRITE_SEQ)}"
+
+
+def _stage_parquet_files(spark_df: DataFrame, table: str, prefix: str) -> list[dict]:
+    """Write ``spark_df`` to a scratch dir inside the table, move the
+    parquet parts into ``data/`` under collision-free names, and
+    return spec-shape data_file descriptors (without content — the
+    caller sets 0/1)."""
+    import pyarrow.parquet as pq
+
     data_dir = os.path.join(table, "data")
-    staging = os.path.join(table, ".staging")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(table, f".staging-{_write_token()}")
     shutil.rmtree(staging, ignore_errors=True)
     spark_df.write.mode("overwrite").parquet(staging)
-    try:
-        meta = load_table_metadata(table)
-        version = max(
-            int(f[1:].split(".")[0])
-            for f in os.listdir(os.path.join(table, "metadata"))
-            if f.startswith("v") and f.endswith(".metadata.json")
-        )
-    except FileNotFoundError:
-        meta, version = None, 0
-    snap_id = version + 1
-    os.makedirs(data_dir, exist_ok=True)
-    entries = []
+    descs = []
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
-        dest = os.path.join(data_dir, f"s{snap_id}-{name}")
+        dest = os.path.join(data_dir, f"{prefix}-{_write_token()}-{name}")
         os.rename(os.path.join(staging, name), dest)
-        import pyarrow.parquet as pq
-
-        entries.append(
+        n_rows = pq.ParquetFile(dest).metadata.num_rows
+        if n_rows == 0:
+            os.remove(dest)  # never commit zero-row files
+            continue
+        descs.append(
             {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": dest,
-                    "file_format": "PARQUET",
-                    "record_count": pq.ParquetFile(dest).metadata.num_rows,
-                    "file_size_in_bytes": os.path.getsize(dest),
-                },
+                "file_path": dest,
+                "file_format": "PARQUET",
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
-    mdir = os.path.join(table, "metadata")
-    manifest = os.path.join(mdir, f"manifest-{snap_id}.avro")
-    av.write_file(manifest, _MANIFEST_ENTRY_SCHEMA, entries)
-    prev_manifests = []
-    if meta is not None:
-        cur = _pick_snapshot(meta, None)
-        _, prev_manifests = av.read_file(cur["manifest-list"])
-    mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
-    av.write_file(
-        mlist,
-        _MANIFEST_LIST_SCHEMA,
-        prev_manifests
-        + [
-            {
-                "manifest_path": manifest,
-                "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
-                "content": 0,
-                "added_snapshot_id": snap_id,
-            }
-        ],
+    return descs
+
+
+def _evolve_iceberg_schemas(meta: dict | None, dtypes) -> tuple[list[dict], int, int]:
+    """Schema evolution with HISTORY: returns (schemas, current_schema_id,
+    last_column_id). The incoming frame may add new columns (appended
+    with fresh field ids under a new schema-id — prior schemas stay in
+    the list so snapshot time travel renders each snapshot under ITS
+    schema) or use a subset (old files simply lack the column and read
+    as NULL). Type changes are refused loudly, mirroring
+    ``delta_py.evolve_schema_for_append``."""
+    incoming = [(n, _spark_to_iceberg_type(t)) for n, t in dtypes]
+    if meta is None:
+        fields = [
+            {"id": i + 1, "name": n, "required": False, "type": t}
+            for i, (n, t) in enumerate(incoming)
+        ]
+        return [{"type": "struct", "schema-id": 0, "fields": fields}], 0, len(fields)
+    schemas = list(meta.get("schemas") or ([meta["schema"]] if "schema" in meta else []))
+    cur_id = meta.get("current-schema-id", schemas[-1].get("schema-id", 0))
+    cur = next(s for s in schemas if s.get("schema-id") == cur_id)
+    by_name = {f["name"]: f for f in cur["fields"]}
+    last_col = meta.get(
+        "last-column-id",
+        max((f["id"] for s in schemas for f in s["fields"]), default=0),
     )
-    fields = [
-        {"id": i + 1, "name": n, "required": False, "type": _spark_to_iceberg_type(t)}
-        for i, (n, t) in enumerate(spark_df.dtypes)
-    ]
-    snapshots = (meta.get("snapshots") if meta else None) or []
-    new_meta = {
-        "format-version": 2,
-        "table-uuid": hashlib.md5(os.path.abspath(table).encode()).hexdigest(),
-        "location": table,
-        "last-sequence-number": snap_id,
-        "last-updated-ms": 0,
-        "last-column-id": len(fields),
-        "current-schema-id": 0,
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "current-snapshot-id": snap_id,
-        "snapshots": snapshots
-        + [
-            {
-                "snapshot-id": snap_id,
-                "sequence-number": snap_id,
-                "timestamp-ms": 0,
-                "manifest-list": mlist,
-                "schema-id": 0,
-                "summary": {"operation": "append"},
-            }
-        ],
-    }
-    mpath = os.path.join(mdir, f"v{snap_id}.metadata.json")
-    tmp = mpath + f".tmp{os.getpid()}"
+    added = []
+    for n, t in incoming:
+        have = by_name.get(n)
+        if have is None:
+            added.append((n, t))
+        elif have["type"] != t:
+            raise TypeError(
+                f"iceberg_py: column {n!r} type change {have['type']} -> {t} "
+                "is not schema EVOLUTION; rewrite the table"
+            )
+    if not added:
+        return schemas, cur_id, last_col
+    new_fields = list(cur["fields"])
+    for n, t in added:
+        last_col += 1
+        new_fields.append({"id": last_col, "name": n, "required": False, "type": t})
+    new_id = max(s.get("schema-id", 0) for s in schemas) + 1
+    schemas = schemas + [{"type": "struct", "schema-id": new_id, "fields": new_fields}]
+    return schemas, new_id, last_col
+
+
+def _load_meta_versioned(table: str) -> tuple[dict | None, int]:
+    """(metadata dict, metadata version) of the live table, or
+    (None, 0) for a not-yet-created one."""
+    mdir = os.path.join(table, "metadata")
+    try:
+        versions = [
+            int(f[1:].split(".")[0])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ]
+    except FileNotFoundError:
+        return None, 0
+    if not versions:
+        return None, 0
+    v = max(versions)
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as fh:
+        return json.load(fh), v
+
+
+def _try_publish_metadata(table: str, version: int, new_meta: dict) -> bool:
+    """Put-if-absent publish of ``v{version}.metadata.json`` — fsync
+    the temp file, then ``os.link`` to the final name; link-to-existing
+    raises, which IS the optimistic-commit semantics (the same log
+    store contract as ``delta_py.try_commit``). The version hint is
+    advisory (readers take the max on-disk version) and refreshed
+    best-effort after a win."""
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"v{version}.metadata.json")
+    tmp = path + f".tmp{_write_token()}"
     with open(tmp, "w") as fh:
         json.dump(new_meta, fh, indent=1)
-    os.replace(tmp, mpath)
-    hint = os.path.join(mdir, "version-hint.text")
-    tmp = hint + f".tmp{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(str(snap_id))
-    os.replace(tmp, hint)
-    return snap_id
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+        won = True
+    except FileExistsError:
+        won = False
+    finally:
+        os.remove(tmp)
+    if won:
+        hint = os.path.join(mdir, "version-hint.text")
+        tmp = hint + f".tmp{_write_token()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, hint)
+    return won
+
+
+def _commit_snapshot(
+    table: str,
+    entry_descs: list[dict],
+    manifest_content: int,
+    operation: str,
+    dtypes=None,
+    _max_retries: int = 20,
+) -> int:
+    """The optimistic commit loop: build the new snapshot's manifest +
+    manifest list + metadata against the CURRENT table state, publish
+    put-if-absent, and on losing the version slot re-derive everything
+    from the winner's state and retry. Appends and delete-file commits
+    never conflict semantically (both only ADD a manifest), so a blind
+    retry is always safe — exactly Iceberg's own fast-append path."""
+    av = make_generic_avro()
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    for _ in range(_max_retries):
+        meta, version = _load_meta_versioned(table)
+        snap_id = version + 1
+        if dtypes is not None:
+            schemas, cur_schema_id, last_col = _evolve_iceberg_schemas(meta, dtypes)
+        elif meta is not None:
+            schemas = meta.get("schemas") or []
+            cur_schema_id = meta.get("current-schema-id", 0)
+            last_col = meta.get("last-column-id", 0)
+        else:
+            raise ValueError("cannot commit deletes to a table with no metadata")
+        token = _write_token()
+        entries = [
+            {"status": 1, "snapshot_id": snap_id, "data_file": d}
+            for d in entry_descs
+        ]
+        manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
+        av.write_file(manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+        prev_manifests = []
+        if meta is not None and (meta.get("snapshots") or []):
+            cur = _pick_snapshot(meta, None)
+            _local = _make_localizer(table, meta)
+            _, prev_manifests = av.read_file(_local(cur["manifest-list"]))
+        mlist = os.path.join(mdir, f"snap-{snap_id}-{token}.avro")
+        av.write_file(
+            mlist,
+            _MANIFEST_LIST_SCHEMA,
+            prev_manifests
+            + [
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": manifest_content,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
+        )
+        snapshots = (meta.get("snapshots") if meta else None) or []
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": hashlib.md5(os.path.abspath(table).encode()).hexdigest(),
+            "location": table,
+            "last-sequence-number": snap_id,
+            "last-updated-ms": 0,
+            "last-column-id": last_col,
+            "current-schema-id": cur_schema_id,
+            "schemas": schemas,
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": snap_id,
+            "snapshots": snapshots
+            + [
+                {
+                    "snapshot-id": snap_id,
+                    "sequence-number": snap_id,
+                    "timestamp-ms": 0,
+                    "manifest-list": mlist,
+                    "schema-id": cur_schema_id,
+                    "summary": {"operation": operation},
+                }
+            ],
+        }
+        if _try_publish_metadata(table, snap_id, new_meta):
+            return snap_id
+        # lost the race: drop this attempt's manifest pair and rebuild
+        # against the winner's state (staged data files keep their
+        # collision-free names and simply re-wrap in the next manifest)
+        for p in (manifest, mlist):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"iceberg commit on {table!r} lost {_max_retries} races")
+
+
+def append_iceberg_snapshot(spark_df: DataFrame, table: str) -> int:
+    """Optimistic append: stage ``spark_df`` as parquet data files,
+    wrap them in a spec-layout manifest + manifest list, and publish
+    the next ``v{N}.metadata.json`` via the put-if-absent commit loop
+    (``_commit_snapshot``) — concurrent appenders all land, in some
+    serial order, exactly like ``delta_py.write_delta_py``. Schema
+    evolution preserves prior schemas in metadata so snapshot time
+    travel renders each snapshot under its own schema."""
+    descs = _stage_parquet_files(spark_df, table, "s")
+    for d in descs:
+        d["content"] = 0
+    return _commit_snapshot(
+        table, descs, manifest_content=0, operation="append",
+        dtypes=spark_df.dtypes,
+    )
+
+
+def commit_positional_deletes(
+    spark: SparkSession, table: str, predicate, out_files: int = 1
+) -> int:
+    """Merge-on-read DELETE: write v2 positional-delete files for the
+    rows matching ``predicate`` (TRUE only — NULL keeps the row, SQL
+    semantics) and commit them as a DELETE manifest. No data file is
+    rewritten — at 100 TB a delete touches O(deleted rows) bytes of
+    new delete files and one manifest, never the table.
+
+    The (file, pos) pairs come from the native ``_metadata`` columns
+    of a plain scan, written DISTRIBUTED (sorted by file_path, pos
+    within each output file, per the spec) — the driver only ever sees
+    file-granularity descriptors. Rows already deleted by prior delete
+    files are anti-joined out first so re-deletes stay idempotent.
+    Returns the committed snapshot id (the current one when nothing
+    matched)."""
+    meta = load_table_metadata(table)
+    snap = _pick_snapshot(meta, None)
+    plan = scan_plan_for_snapshot(table, meta, snap)
+    schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
+    if not plan["data_files"]:
+        return snap["snapshot-id"]
+    src = spark.read.schema(schema).parquet(*plan["data_files"]).withColumns(
+        {
+            "__mr_fp": _strip_file_scheme(F.col("_metadata.file_path")),
+            "__mr_pos": F.col("_metadata.row_index"),
+        }
+    )
+    if plan["delete_files"]:
+        dele = _pos_delete_frame(spark, plan)
+        src = src.join(
+            dele,
+            (src["__mr_fp"] == dele["__mr_del_fp"])
+            & (src["__mr_pos"] == dele["__mr_del_pos"]),
+            "left_anti",
+        )
+    local_to_stored = spark.createDataFrame(
+        [(v, k) for k, v in sorted(plan["stored_to_local"].items())],
+        "local string, stored string",
+    )
+    hits = (
+        src.filter(F.coalesce(predicate, F.lit(False)))
+        .join(F.broadcast(local_to_stored), F.col("__mr_fp") == F.col("local"), "inner")
+        .select(F.col("stored").alias("file_path"), F.col("__mr_pos").alias("pos"))
+        .repartitionByRange(max(out_files, 1), "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    descs = _stage_parquet_files(hits, table, "delete")
+    if not descs:
+        return snap["snapshot-id"]
+    for d in descs:
+        d["content"] = 1
+    return _commit_snapshot(
+        table, descs, manifest_content=1, operation="delete", dtypes=None
+    )
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+    """Snapshot expiry (the vacuum twin of ``delta_py.vacuum_delta``):
+    keep the newest ``keep_last`` snapshots (always including the
+    current one), publish metadata without the expired ones, then
+    physically remove every manifest list, manifest, and data/delete
+    file referenced ONLY by expired snapshots. Runs through the same
+    optimistic publish, so a concurrent append either lands before the
+    expiry (and is kept — it is newest) or retries after it."""
+    av = make_generic_avro()
+
+    def _refs(meta: dict, snaps: list[dict]) -> set[str]:
+        _local = _make_localizer(table, meta)
+        out: set[str] = set()
+        for s in snaps:
+            mlist = os.path.abspath(_local(s["manifest-list"]))
+            out.add(mlist)
+            _, manifests = av.read_file(mlist)
+            for m in manifests:
+                mpath = os.path.abspath(_local(m["manifest_path"]))
+                out.add(mpath)
+                _, entries = av.read_file(mpath)
+                for e in entries:
+                    out.add(os.path.abspath(_local(e["data_file"]["file_path"])))
+        return out
+
+    for _ in range(20):
+        meta, version = _load_meta_versioned(table)
+        if meta is None:
+            raise FileNotFoundError(f"no Iceberg metadata at {table!r}")
+        snaps = sorted(meta.get("snapshots") or [], key=lambda s: s["snapshot-id"])
+        cur_id = meta.get("current-snapshot-id")
+        kept = snaps[-max(keep_last, 1):]
+        if not any(s["snapshot-id"] == cur_id for s in kept):
+            kept = [s for s in snaps if s["snapshot-id"] == cur_id] + kept
+        expired = [s for s in snaps if s not in kept]
+        if not expired:
+            return {"expired_snapshots": 0, "removed_files": 0, "version": version}
+        new_meta = dict(meta, snapshots=kept)
+        if _try_publish_metadata(table, version + 1, new_meta):
+            orphans = _refs(meta, expired) - _refs(meta, kept)
+            removed = 0
+            for p in sorted(orphans):
+                try:
+                    os.remove(p)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+            return {
+                "expired_snapshots": len(expired),
+                "removed_files": removed,
+                "version": version + 1,
+            }
+    raise RuntimeError(f"expire_snapshots on {table!r} lost 20 races")
 
 
 # --------------------------------------------------------------------
@@ -726,36 +1098,31 @@ def read_iceberg_changes(
     """Incremental snapshot-diff read (Iceberg's incremental-append
     scan): the rows added by snapshots in (from_snapshot, to_snapshot].
     Manifest entries carry the snapshot id that ADDED them, so the
-    selection is pure metadata — entries with ``status == ADDED`` and
-    an id inside the range — and the scan reads O(changed files),
-    never the table. Exact for append-only history; a range containing
-    a DELETE manifest gates loudly (the same exactness-over-guessing
-    rule as ``delta_py.read_delta_changes``)."""
+    selection is pure metadata — entries with an id inside the range —
+    and the scan reads O(changed files), never the table.
+
+    Delete manifests: positional deletes committed INSIDE the range
+    are netted out of the range's own adds (the consumer sees only the
+    rows that survived the range), the merge-on-read anti-join
+    restricted to the in-range file set. A range delete that targets
+    PRE-range data still gates loudly — an append-only feed cannot
+    express retracting rows the consumer already ingested; that needs
+    a CDF-capable engine (the same exactness-over-guessing rule as
+    ``delta_py.read_delta_changes``)."""
     av = make_generic_avro()
     meta = load_table_metadata(table)
     snap = _pick_snapshot(meta, to_snapshot)
     hi = snap["snapshot-id"]
-
-    def _local(p):
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-        loc = meta.get("location", "")
-        if loc.startswith("file:"):
-            loc = loc[len("file:"):]
-        if loc and p.startswith(loc):
-            return os.path.join(table, p[len(loc):].lstrip("/"))
-        return p
+    _local = _make_localizer(table, meta)
 
     _, manifests = av.read_file(_local(snap["manifest-list"]))
-    files = []
+    stored_to_local: dict[str, str] = {}
+    delete_files: list[str] = []
+    delete_bytes = 0
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(
-                "iceberg_py: DELETE manifests in an incremental range — "
-                "row-level diffs need a CDF-capable engine"
-            )
         if m.get("added_snapshot_id", 0) <= from_snapshot:
             continue  # manifest predates the range: skip WITHOUT reading it
+        is_delete_manifest = m.get("content", 0) == 1
         _, entries = av.read_file(_local(m["manifest_path"]))
         for e in entries:
             # spec: a null entry snapshot_id inherits the manifest's
@@ -765,12 +1132,64 @@ def read_iceberg_changes(
             sid = e.get("snapshot_id")
             if sid is None:
                 sid = m.get("added_snapshot_id", 0)
-            if e.get("status") in (0, 1) and from_snapshot < sid <= hi:
-                files.append(_local(e["data_file"]["file_path"]))
+            if e.get("status") not in (0, 1) or not (from_snapshot < sid <= hi):
+                continue
+            df_ = e["data_file"]
+            content = df_.get("content")
+            if content is None:
+                content = 1 if is_delete_manifest else 0
+            if content == 0:
+                stored_to_local[df_["file_path"]] = os.path.abspath(
+                    _local(df_["file_path"])
+                )
+            elif content == 1:
+                delete_files.append(os.path.abspath(_local(df_["file_path"])))
+                delete_bytes += int(df_.get("file_size_in_bytes") or 0)
+            else:
+                raise NotImplementedError(
+                    "iceberg_py: equality deletes in an incremental range "
+                    "are not supported"
+                )
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
-    if not files:
+    if not stored_to_local:
+        if delete_files:
+            raise NotImplementedError(
+                "iceberg_py: the range deletes rows from PRE-range data "
+                "files — an append-only change feed cannot express "
+                "retractions; re-read the snapshot or use a CDF engine"
+            )
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*sorted(set(stored_to_local.values())))
+    if delete_files:
+        # deletes are only nettable when they target the range's own
+        # adds; file-granularity check over the delete files' distinct
+        # referenced paths (driver-side, metadata-sized)
+        refs = {
+            r.file_path
+            for r in spark.read.schema(_POS_DELETE_DDL)
+            .parquet(*delete_files)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        outside = refs - set(stored_to_local)
+        if outside:
+            raise NotImplementedError(
+                "iceberg_py: the range deletes rows from PRE-range data "
+                f"files ({sorted(outside)[:3]}...) — an append-only "
+                "change feed cannot express retractions; re-read the "
+                "snapshot or use a CDF engine"
+            )
+        df = _apply_positional_deletes(
+            spark,
+            df,
+            {
+                "delete_files": delete_files,
+                "delete_bytes": delete_bytes,
+                "stored_to_local": stored_to_local,
+            },
+        )
+    return df
 
 
 @register(
@@ -804,4 +1223,166 @@ def iceberg_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("cnt"),
         F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+# --------------------------------------------------------------------
+# merge-on-read + maintenance queries (round 9)
+# --------------------------------------------------------------------
+
+
+def ensure_iceberg_mor_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A merge-on-read Iceberg v2 table: snapshot 1 appends ALL of the
+    lineitem frame, snapshot 2 commits POSITIONAL DELETE files for
+    md5-bucket8 >= 6 (no data file rewritten). Built once per sf_dir
+    under the system tmp dir, every mutation inside the build, then
+    atomic-rename published — re-runs only read."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_mor_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _lineitem_frame(spark, sf_dir)
+    append_iceberg_snapshot(d.repartition(4), tmp)
+    commit_positional_deletes(spark, tmp, _li_bucket(8) >= 6)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "iceberg_mor_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_cents,
+         {_L_B8_SQL} AS b8
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents
+FROM d
+WHERE b8 < 6
+GROUP BY l_returnflag
+""",
+)
+def iceberg_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan (closes the round-8 verdict's #1 gap): the
+    current snapshot carries v2 positional-delete files, applied as an
+    anti-join on the native (_metadata.file_path, _metadata.row_index)
+    row ids — deleted rows (md5-bucket8 >= 6) must vanish without any
+    data file having been rewritten. The oracle is the surviving
+    predicate over the raw table; a mis-applied position, a path
+    mapping slip, or a skipped delete file all hash-mismatch.
+
+    Reference parity: SURVEY.md §2.2 scans/sources; replaces the
+    round-8 hard gate at the old iceberg_py.py:405."""
+    df = read_iceberg_py(spark, ensure_iceberg_mor_fixture(spark, sf_dir))
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum("qty_cents").alias("sum_qty_cents"),
+    )
+
+
+@register(
+    "iceberg_mor_changes",
+    oracle=f"""
+WITH d AS (
+  SELECT l_linestatus,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         {_L_B8_SQL} AS b8
+  FROM lineitem
+)
+SELECT l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+FROM d
+WHERE b8 < 6
+GROUP BY l_linestatus
+""",
+)
+def iceberg_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read over a range CONTAINING delete manifests: the
+    diff (0, current] on the MOR fixture nets the range's own deletes
+    out of the range's adds — the consumer sees exactly the surviving
+    rows, never a deleted row and never a double-count. (A delete
+    targeting PRE-range data still gates loudly — covered in tests —
+    because an append-only feed cannot retract rows already served.)"""
+    df = read_iceberg_changes(
+        spark, ensure_iceberg_mor_fixture(spark, sf_dir), from_snapshot=0
+    )
+    return df.groupBy("l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+def ensure_iceberg_expire_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three-snapshot table (append b8<5, append b8>=5, MOR delete
+    b8>=6) then ``expire_snapshots(keep_last=1)`` — all inside the
+    build, with the expiry's result recorded in the table dir so the
+    registered query can report what actually happened."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_exp_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _lineitem_frame(spark, sf_dir)
+    b8 = _li_bucket(8)
+    append_iceberg_snapshot(d.filter(b8 < 5).repartition(2), tmp)
+    append_iceberg_snapshot(d.filter(b8 >= 5).repartition(2), tmp)
+    commit_positional_deletes(spark, tmp, b8 >= 6)
+    result = expire_snapshots(tmp, keep_last=1)
+    with open(os.path.join(tmp, "expire_result.json"), "w") as fh:
+        json.dump(result, fh)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "iceberg_expire_snapshots",
+    oracle=f"""
+WITH d AS (
+  SELECT l_linestatus,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         {_L_B8_SQL} AS b8
+  FROM lineitem
+)
+SELECT l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+       2 AS expired_snapshots
+FROM d
+WHERE b8 < 6
+GROUP BY l_linestatus
+""",
+)
+def iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry (the vacuum twin of ``delta_vacuum``): after
+    keeping only the current snapshot of a 3-snapshot MOR table, the
+    live scan must be byte-identical to pre-expiry (expiry never
+    touches live data) and exactly 2 snapshots must have expired —
+    the count the build recorded from the actual ``expire_snapshots``
+    run. Orphan sweeping and travel-to-expired refusal are asserted
+    in tests/test_iceberg_mor.py."""
+    table = ensure_iceberg_expire_fixture(spark, sf_dir)
+    with open(os.path.join(table, "expire_result.json")) as fh:
+        result = json.load(fh)
+    df = read_iceberg_py(spark, table)
+    return df.groupBy("l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.lit(int(result["expired_snapshots"])).alias("expired_snapshots"),
     )

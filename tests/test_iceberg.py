@@ -101,33 +101,40 @@ def test_version_hint_fallback(spark, tmp_path):
     assert I.read_iceberg_py(spark, tbl).count() == 60  # highest vN wins
 
 
+def _first_manifest(tbl):
+    av = I.make_generic_avro()
+    meta = I.load_table_metadata(tbl)
+    snap = I._pick_snapshot(meta, None)
+    _, manifests = av.read_file(snap["manifest-list"])
+    return av, meta, snap, manifests
+
+
 def test_deleted_entries_are_filtered(spark, tmp_path):
     """A manifest entry with status=2 (DELETED) must not be scanned."""
     tbl = str(tmp_path / "t")
     I.append_iceberg_snapshot(_mk(spark, 40), tbl)
-    av = I.make_generic_avro()
-    mdir = os.path.join(tbl, "metadata")
-    mpath = os.path.join(mdir, "manifest-1.avro")
+    av, meta, snap, manifests = _first_manifest(tbl)
+    mpath = manifests[0]["manifest_path"]
     _, entries = av.read_file(mpath)
     n_files = len(entries)
     assert n_files >= 1
     entries[0]["status"] = 2
     av.write_file(mpath, I._MANIFEST_ENTRY_SCHEMA, entries)
-    meta = I.load_table_metadata(tbl)
-    snap = I._pick_snapshot(meta, None)
     files = I.data_files_for_snapshot(tbl, meta, snap)
     assert len(files) == n_files - 1
 
 
-def test_delete_manifest_gate(spark, tmp_path):
+def test_equality_delete_gate(spark, tmp_path):
+    """Positional deletes now read; equality deletes (content=2) still
+    gate loudly rather than mis-reading."""
     tbl = str(tmp_path / "t")
     I.append_iceberg_snapshot(_mk(spark, 10), tbl)
-    av = I.make_generic_avro()
-    mlist = os.path.join(tbl, "metadata", "snap-1.avro")
-    _, manifests = av.read_file(mlist)
-    manifests[0]["content"] = 1  # pretend it's a DELETE manifest
-    av.write_file(mlist, I._MANIFEST_LIST_SCHEMA, manifests)
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+    av, meta, snap, manifests = _first_manifest(tbl)
+    mpath = manifests[0]["manifest_path"]
+    _, entries = av.read_file(mpath)
+    entries[0]["data_file"]["content"] = 2  # equality delete file
+    av.write_file(mpath, I._MANIFEST_ENTRY_SCHEMA, entries)
+    with pytest.raises(NotImplementedError, match="equality deletes"):
         I.read_iceberg_py(spark, tbl)
 
 
