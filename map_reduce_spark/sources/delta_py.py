@@ -158,12 +158,22 @@ def try_commit(table: str, version: int, actions: list[dict]) -> bool:
 
 
 def _gate_protocol(protocol: dict) -> None:
-    if protocol.get("minReaderVersion", 1) > 1 or protocol.get("readerFeatures"):
-        raise NotImplementedError(
-            "this pure-Python Delta reader supports protocol "
-            "minReaderVersion<=1 (no deletion vectors / column mapping); "
-            f"table requires {protocol}"
-        )
+    """Reader-feature gate. minReaderVersion<=1 always reads;
+    minReaderVersion=3 reads iff every listed readerFeature is one we
+    implement (deletionVectors, round 9). Anything else — column
+    mapping, v2Checkpoint, timestampNtz feature tables — still raises
+    loudly rather than mis-reading."""
+    mrv = protocol.get("minReaderVersion", 1)
+    features = set(protocol.get("readerFeatures") or [])
+    if mrv <= 1 and not features:
+        return
+    if mrv == 3 and features <= {"deletionVectors"}:
+        return
+    raise NotImplementedError(
+        "this pure-Python Delta reader supports protocol "
+        "minReaderVersion<=1, or minReaderVersion=3 with readerFeatures "
+        f"⊆ {{deletionVectors}}; table requires {protocol}"
+    )
 
 
 class DeltaSnapshot:
@@ -236,6 +246,10 @@ def _read_checkpoint(table: str, version: int) -> dict:
                 # pyarrow map<str,str> -> list of (k, v) pairs
                 if kind == "add" and isinstance(v.get("partitionValues"), list):
                     v = dict(v, partitionValues=dict(v["partitionValues"]))
+                if kind in ("protocol", "add"):
+                    # lane padding writes absent optionals as None —
+                    # strip them so replayed actions keep the JSON shape
+                    v = {k: x for k, x in v.items() if x is not None}
                 _apply_action(state, {kind: v})
     return state
 
@@ -298,6 +312,15 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
     import pyarrow.parquet as pq
 
     part_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -306,6 +329,7 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     rem_t = pa.struct(
@@ -315,7 +339,14 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
             ("dataChange", pa.bool_()),
         ]
     )
-    proto_t = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     meta_t = pa.struct(
         [
@@ -334,6 +365,9 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
             "modificationTime": a.get("modificationTime", 0),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+            # merge-on-read state MUST survive checkpointing — a
+            # checkpoint that dropped the DV would resurrect rows
+            "deletionVector": a.get("deletionVector"),
         }
 
     rows_proto, rows_meta, rows_add, rows_rem = [], [], [], []
@@ -341,6 +375,8 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
         {
             "minReaderVersion": snap.protocol.get("minReaderVersion", 1),
             "minWriterVersion": snap.protocol.get("minWriterVersion", 2),
+            "readerFeatures": snap.protocol.get("readerFeatures"),
+            "writerFeatures": snap.protocol.get("writerFeatures"),
         }
     )
     rows_meta.append(
@@ -496,7 +532,10 @@ def read_delta_py(
     active file list (pushdown/pruning/codegen all intact; hive-style
     layout + the log's schema recovers partition columns, so partition
     filters prune at plan time). ``files`` (from ``skip_files``)
-    narrows the scan to a stats-pruned subset."""
+    narrows the scan to a stats-pruned subset (sound under deletion
+    vectors too — a DV only removes rows, so per-file min/max stay
+    conservative). Active adds carrying a deletionVector apply as a
+    merge-on-read anti-join (``_apply_deletion_vectors``)."""
     snap = snapshot(table, version)
     paths = snap.file_paths() if files is None else files
     schema = snap.schema
@@ -505,7 +544,11 @@ def read_delta_py(
     reader = spark.read.schema(schema)
     if snap.partition_columns:
         reader = reader.option("basePath", table)
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    if any(a.get("deletionVector") for a in snap.adds.values()):
+        sel = None if files is None else {os.path.abspath(p) for p in paths}
+        df = _apply_deletion_vectors(spark, df, snap, sel)
+    return df
 
 
 # --------------------------------------------------------------------
@@ -666,6 +709,7 @@ def delete_where(
     pred_true = F.coalesce(predicate, F.lit(False))
     for _ in range(_max_retries):
         snap = snapshot(table)
+        _gate_dv_rewrite(snap, "delete_where (file rewrite)")
         active = read_delta_py(spark, table, snap.version)
         victims_df = (
             active.filter(pred_true)
@@ -695,9 +739,11 @@ def delete_where(
     raise RuntimeError(f"delete on {table!r} lost {_max_retries} commit races")
 
 
-def _rel_paths(snap: DeltaSnapshot, abs_paths: set[str]) -> list[str]:
+def _rel_paths(snap: DeltaSnapshot, abs_paths) -> list[str]:
     """Map absolute scan paths (possibly file:-prefixed, from
-    ``_metadata.file_path``) back to the log's encoded relative paths."""
+    ``_metadata.file_path``) back to the log's encoded relative paths,
+    in the INPUT's iteration order (callers that pair the result with
+    per-path payloads must pass an ordered iterable)."""
     by_real = {}
     for enc in snap.adds:
         ap = os.path.join(snap.table, urllib.parse.unquote(enc))
@@ -762,6 +808,7 @@ def merge_upsert(
     lo_hi = _control_plane_rows(bounds_df, "merge key bounds")[0]
     for _ in range(_max_retries):
         snap = snapshot(table)
+        _gate_dv_rewrite(snap, "merge_upsert")
         cols = [f.name for f in snap.schema.fields]
         cand = (
             skip_files(snap, key, lo_hi.lo, lo_hi.hi)
@@ -817,19 +864,27 @@ def vacuum_delta(table: str) -> int:
     if not js:
         return 0
     referenced: set[str] = set()
+    codec = None
     for v in js:
         for a in _read_commit(table, v):
             act = a.get("add") or a.get("remove")
             if act:
                 referenced.add(os.path.realpath(
                     os.path.join(table, urllib.parse.unquote(act["path"]))))
+            dv = (act or {}).get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                if codec is None:
+                    codec = make_dv_codec()
+                _, loc = _resolve_dv_location(table, dv, codec)
+                referenced.add(os.path.realpath(loc))
     n = 0
     for root, dirs, names in os.walk(table):
         dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
         if os.path.basename(root).startswith(".staging-"):
             continue
         for name in names:
-            if not name.endswith(".parquet"):
+            is_dv = name.startswith("deletion_vector_") and name.endswith(".bin")
+            if not (name.endswith(".parquet") or is_dv):
                 continue
             p = os.path.realpath(os.path.join(root, name))
             if p not in referenced:
@@ -851,6 +906,475 @@ def vacuum_delta(table: str) -> int:
             except OSError:
                 pass  # racing writer moved/removed it: theirs
     return n
+
+# --------------------------------------------------------------------
+# deletion vectors (round 9): merge-on-read reads + DV DELETE writer
+# --------------------------------------------------------------------
+# Formats implemented from PUBLIC specs only: the Delta PROTOCOL.md
+# "Deletion Vectors" section (DV descriptor on the add action; .bin
+# file layout version byte + <int32 BE size><bitmap><int32 BE crc32>;
+# z85-encoded UUID path encoding) and the RoaringBitmapArray
+# "portable" serialization (magic 1681511377 LE, int64 bitmap count,
+# then standard-RoaringFormatSpec 32-bit bitmaps: cookies 12346/12347,
+# array/bitmap/run containers).
+
+_ROARING_MAGIC = 1681511377
+
+
+def make_dv_codec():
+    """Self-contained deletion-vector codec. Everything it references
+    is defined inside this factory so cloudpickle ships it BY VALUE
+    (NOTES rule 6) — executors decode/encode DV blobs without needing
+    this module importable. All vectorized via numpy; nothing here is
+    per-row Python over data rows (positions move as arrays)."""
+    import struct as st
+    import zlib as zl
+
+    import numpy as np
+
+    alphabet = (
+        "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    )
+    a2i = {c: i for i, c in enumerate(alphabet)}
+
+    def z85_decode(s: str) -> bytes:
+        if len(s) % 5:
+            raise ValueError("z85 input length must be a multiple of 5")
+        out = bytearray()
+        for i in range(0, len(s), 5):
+            acc = 0
+            for c in s[i:i + 5]:
+                acc = acc * 85 + a2i[c]
+            out += acc.to_bytes(4, "big")
+        return bytes(out)
+
+    def z85_encode(b: bytes) -> str:
+        if len(b) % 4:  # pad to a 4-byte boundary; decoders truncate
+            b = b + b"\x00" * (4 - len(b) % 4)  # back to the known size
+        out = []
+        for i in range(0, len(b), 4):
+            acc = int.from_bytes(b[i:i + 4], "big")
+            chunk = []
+            for _ in range(5):
+                chunk.append(alphabet[acc % 85])
+                acc //= 85
+            out.extend(reversed(chunk))
+        return "".join(out)
+
+    def _roaring32_decode(data: bytes, pos: int):
+        (cookie,) = st.unpack_from("<i", data, pos)
+        if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE: runs possible
+            n = ((cookie >> 16) & 0xFFFF) + 1
+            pos += 4
+            nb = (n + 7) // 8
+            run_bits = data[pos:pos + nb]
+            pos += nb
+            has_offsets = n >= 4
+        elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+            (n,) = st.unpack_from("<i", data, pos + 4)
+            pos += 8
+            run_bits = b"\x00" * ((n + 7) // 8)
+            has_offsets = True
+        else:
+            raise ValueError(f"bad roaring cookie {cookie}")
+        desc = np.frombuffer(data, np.dtype("<u2"), 2 * n, pos)
+        keys = desc[0::2].astype(np.int64)
+        cards = desc[1::2].astype(np.int64) + 1
+        pos += 4 * n
+        if has_offsets:
+            pos += 4 * n  # containers are serialized in order anyway
+        vals = []
+        for i in range(n):
+            if run_bits[i // 8] & (1 << (i % 8)):
+                (n_runs,) = st.unpack_from("<H", data, pos)
+                pos += 2
+                rr = np.frombuffer(data, np.dtype("<u2"), 2 * n_runs, pos)
+                pos += 4 * n_runs
+                starts = rr[0::2].astype(np.int64)
+                lens = rr[1::2].astype(np.int64) + 1
+                v = (
+                    np.concatenate(
+                        [np.arange(s, s + ln, dtype=np.int64) for s, ln in zip(starts, lens)]
+                    )
+                    if n_runs
+                    else np.empty(0, np.int64)
+                )
+            elif cards[i] > 4096:
+                words = np.frombuffer(data, np.dtype("<u8"), 1024, pos)
+                pos += 8192
+                bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+                v = np.nonzero(bits)[0].astype(np.int64)
+            else:
+                v = np.frombuffer(data, np.dtype("<u2"), int(cards[i]), pos).astype(np.int64)
+                pos += 2 * int(cards[i])
+            vals.append(v + (keys[i] << 16))
+        return (np.concatenate(vals) if vals else np.empty(0, np.int64)), pos
+
+    def _roaring32_encode(vals: np.ndarray) -> bytes:
+        """Standard no-run serialization (cookie 12346): array
+        containers <=4096 cardinality, bitmap containers above."""
+        keys = (vals >> 16).astype(np.int64)
+        uk, starts = np.unique(keys, return_index=True)
+        groups = np.split((vals & 0xFFFF).astype(np.int64), starts[1:])
+        n = len(uk)
+        out = bytearray(st.pack("<ii", 12346, n))
+        for k, g in zip(uk, groups):
+            out += st.pack("<HH", int(k), len(g) - 1)
+        off = len(out) + 4 * n
+        offsets = []
+        for g in groups:
+            offsets.append(off)
+            off += 8192 if len(g) > 4096 else 2 * len(g)
+        if n:
+            out += st.pack(f"<{n}i", *offsets)
+        for g in groups:
+            if len(g) > 4096:
+                bits = np.zeros(65536, np.uint8)
+                bits[g] = 1
+                out += np.packbits(bits, bitorder="little").tobytes()
+            else:
+                out += np.sort(g).astype("<u2").tobytes()
+        return bytes(out)
+
+    def bitmap_array_decode(data: bytes) -> np.ndarray:
+        """Portable RoaringBitmapArray -> sorted int64 row indexes."""
+        magic = int.from_bytes(data[:4], "little", signed=True)
+        if magic != 1681511377:
+            raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+        n_maps = int.from_bytes(data[4:12], "little")
+        pos = 12
+        outs = []
+        for hi in range(n_maps):
+            v, pos = _roaring32_decode(data, pos)
+            if v.size:
+                outs.append(v + (hi << 32))
+        out = np.concatenate(outs) if outs else np.empty(0, np.int64)
+        out.sort()
+        return out
+
+    def bitmap_array_encode(positions: np.ndarray) -> bytes:
+        """Sorted-unique int64 row indexes -> portable
+        RoaringBitmapArray (consecutive 32-bit bitmaps, empties
+        serialized so indexes stay implicit, per the format)."""
+        positions = np.unique(positions.astype(np.int64))
+        his = positions >> 32
+        n_maps = int(his[-1]) + 1 if positions.size else 0
+        out = bytearray(st.pack("<iq", 1681511377, n_maps))
+        for hi in range(n_maps):
+            sub = positions[his == hi] & 0xFFFFFFFF
+            out += _roaring32_encode(sub)
+        return bytes(out)
+
+    def write_dv_file(path: str, data: bytes) -> int:
+        """Single-DV .bin file: version byte 1, then
+        <int32 BE size><data><int32 BE crc32>. Atomic publish;
+        returns the descriptor offset (where the size int starts)."""
+        buf = bytearray(b"\x01")
+        offset = len(buf)
+        buf += st.pack(">i", len(data)) + data + st.pack(">I", zl.crc32(data))
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return offset
+
+    def read_dv_blob(path: str, offset: int, size: int) -> bytes:
+        with open(path, "rb") as fh:
+            version = fh.read(1)
+            if version != b"\x01":
+                raise ValueError(f"DV file {path!r}: version {version!r} != 1")
+            fh.seek(offset)
+            (n,) = st.unpack(">i", fh.read(4))
+            if n != size:
+                raise ValueError(
+                    f"DV at {path!r}+{offset}: stored size {n} != descriptor {size}"
+                )
+            data = fh.read(n)
+            (crc,) = st.unpack(">I", fh.read(4))
+        if zl.crc32(data) != crc:
+            raise ValueError(f"DV at {path!r}+{offset}: checksum mismatch")
+        return data
+
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        z85_decode=z85_decode,
+        z85_encode=z85_encode,
+        bitmap_array_decode=bitmap_array_decode,
+        bitmap_array_encode=bitmap_array_encode,
+        write_dv_file=write_dv_file,
+        read_dv_blob=read_dv_blob,
+    )
+
+
+def _strip_scheme(col):
+    # _metadata.file_path arrives as a file:-scheme URI from the scan
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def _resolve_dv_location(table: str, dv: dict, codec) -> tuple[str, str]:
+    """-> ("inline", payload) or ("file", absolute path)."""
+    kind = dv["storageType"]
+    if kind == "i":
+        return "inline", dv["pathOrInlineDv"]
+    if kind == "p":
+        return "file", dv["pathOrInlineDv"]
+    if kind == "u":
+        import uuid as _uuid
+
+        s = dv["pathOrInlineDv"]
+        prefix, z = s[:-20], s[-20:]
+        name = f"deletion_vector_{_uuid.UUID(bytes=codec.z85_decode(z))}.bin"
+        return "file", os.path.join(table, prefix, name) if prefix else os.path.join(table, name)
+    raise NotImplementedError(f"DV storageType {kind!r}")
+
+
+# positions frames whose total cardinality is under this broadcast —
+# the data side of the anti-join then needs no shuffle at all
+_DV_BROADCAST_CARDINALITY = 4_000_000
+
+
+def _snapshot_dvs(snap: DeltaSnapshot, sel_paths: set[str] | None) -> list[tuple]:
+    """Driver-side (file-granularity) DV descriptor rows for active
+    adds carrying one, restricted to ``sel_paths`` when the scan was
+    narrowed: (normalized abs data path, kind, payload-or-path,
+    offset, size, cardinality)."""
+    codec = make_dv_codec()
+    rows = []
+    for enc in sorted(snap.adds):
+        dv = snap.adds[enc].get("deletionVector")
+        if not dv:
+            continue
+        ap = os.path.abspath(os.path.join(snap.table, urllib.parse.unquote(enc)))
+        if sel_paths is not None and ap not in sel_paths:
+            continue
+        kind, loc = _resolve_dv_location(snap.table, dv, codec)
+        rows.append(
+            (
+                ap,
+                kind,
+                loc,
+                int(dv.get("offset") or 0),
+                int(dv["sizeInBytes"]),
+                int(dv["cardinality"]),
+            )
+        )
+    return rows
+
+
+def _dv_positions_frame(spark: SparkSession, dv_rows: list[tuple]) -> DataFrame:
+    """(``__dv_fp``, ``__dv_pos``) of every deleted row: the
+    file-granularity descriptor frame fans out via mapInPandas, each
+    task decoding its DV blobs to position ARRAYS (numpy, no per-row
+    Python) — O(deleted rows) work on executors, never the driver."""
+    codec = make_dv_codec()
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for r in pdf.itertuples():
+                if r.kind == "inline":
+                    # inline payloads are zero-padded to the z85 4-byte
+                    # boundary; sizeInBytes restores the true length
+                    data = codec.z85_decode(r.loc)[: r.size]
+                else:
+                    data = codec.read_dv_blob(r.loc, r.offset, r.size)
+                pos = codec.bitmap_array_decode(data)
+                yield pd.DataFrame({"__dv_fp": r.fp, "__dv_pos": pos})
+
+    meta = spark.createDataFrame(
+        dv_rows, "fp string, kind string, loc string, offset long, size long, card long"
+    )
+    out = meta.repartition(min(len(dv_rows), 32)).mapInPandas(
+        decode, "__dv_fp string, __dv_pos long"
+    )
+    if sum(r[5] for r in dv_rows) <= _DV_BROADCAST_CARDINALITY:
+        out = F.broadcast(out)
+    return out
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, snap: DeltaSnapshot, sel_paths: set[str] | None
+) -> DataFrame:
+    """Merge-on-read: anti-join the scan against DV positions on the
+    native (_metadata.file_path, _metadata.row_index) row ids — the
+    same shape as ``iceberg_py._apply_positional_deletes``."""
+    dv_rows = _snapshot_dvs(snap, sel_paths)
+    if not dv_rows:
+        return df
+    dele = _dv_positions_frame(spark, dv_rows)
+    src = df.withColumns(
+        {
+            "__mr_fp": _strip_scheme(F.col("_metadata.file_path")),
+            "__mr_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return (
+        src.join(
+            dele,
+            (src["__mr_fp"] == dele["__dv_fp"])
+            & (src["__mr_pos"] == dele["__dv_pos"]),
+            "left_anti",
+        )
+        .drop("__mr_fp", "__mr_pos")
+    )
+
+
+def _gate_dv_rewrite(snap: DeltaSnapshot, what: str) -> None:
+    """Rewriting operators are not DV-aware (a rewrite that read a
+    DV-carrying file without applying its DV would resurrect deleted
+    rows) — gate loudly; deletes on DV tables go through
+    ``delete_where_dv``."""
+    if any(a.get("deletionVector") for a in snap.adds.values()):
+        raise NotImplementedError(
+            f"{what} on a deletion-vector table is not supported — use "
+            "delete_where_dv for deletes, or rewrite via read + overwrite"
+        )
+
+
+_DV_PROTOCOL_ACTION = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    checkpoint_interval: int = 10,
+    _max_retries: int = 5,
+) -> int:
+    """Delta DELETE via DELETION VECTORS (merge-on-read): mark matching
+    rows deleted in per-file .bin bitmaps instead of rewriting data
+    files — at 100 TB a selective delete writes O(deleted rows) of
+    compressed bitmap and one commit, never touching a data file.
+
+    SQL NULL semantics (predicate TRUE deletes, NULL keeps), stacking
+    deletes union into the file's existing bitmap, and the commit
+    upgrades the protocol to readerFeatures=[deletionVectors] on first
+    use. DV files are written DISTRIBUTED (one applyInPandas task per
+    affected file); the driver holds only file-granularity descriptor
+    rows. Returns the committed version."""
+    codec = make_dv_codec()
+    pred_true = F.coalesce(predicate, F.lit(False))
+    for _ in range(_max_retries):
+        snap = snapshot(table)
+        paths = snap.file_paths()
+        if not paths:
+            return snap.version
+        reader = spark.read.schema(snap.schema)
+        if snap.partition_columns:
+            reader = reader.option("basePath", table)
+        src = reader.parquet(*paths).withColumns(
+            {
+                "__fp": _strip_scheme(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        dv_rows = _snapshot_dvs(snap, None)
+        if dv_rows:
+            dele = _dv_positions_frame(spark, dv_rows)
+            src = src.join(
+                dele,
+                (src["__fp"] == dele["__dv_fp"]) & (src["__pos"] == dele["__dv_pos"]),
+                "left_anti",
+            )
+        hits = src.filter(pred_true).select("__fp", "__pos")
+        old_dv: dict[str, tuple] = {r[0]: r for r in dv_rows}
+        table_abs = os.path.abspath(table)
+
+        def write_group(pdf):
+            import hashlib as hl
+            import uuid as _uuid
+
+            import numpy as np
+            import pandas as pd
+
+            fp = pdf["__fp"].iloc[0]
+            pos = pdf["__pos"].to_numpy(dtype="int64")
+            old = old_dv.get(fp)
+            if old is not None:
+                _, kind, loc, off, size, _card = old
+                data_old = (
+                    codec.z85_decode(loc)[:size]
+                    if kind == "inline"
+                    else codec.read_dv_blob(loc, off, size)
+                )
+                pos = np.concatenate([pos, codec.bitmap_array_decode(data_old)])
+            data = codec.bitmap_array_encode(pos)
+            # deterministic DV identity: content-addressed uuid (NOTES
+            # rule 15 — no entropy; same content -> same file, so a
+            # lost-race rewrite is an idempotent os.replace)
+            uu = _uuid.UUID(bytes=hl.md5(fp.encode() + data).digest())
+            path = os.path.join(table_abs, f"deletion_vector_{uu}.bin")
+            offset = codec.write_dv_file(path, data)
+            return pd.DataFrame(
+                [
+                    {
+                        "fp": fp,
+                        "payload": codec.z85_encode(uu.bytes),
+                        "offset": offset,
+                        "size": len(data),
+                        "card": int(np.unique(pos).size),
+                    }
+                ]
+            )
+
+        per_file = hits.groupBy("__fp").applyInPandas(
+            write_group, "fp string, payload string, offset long, size long, card long"
+        )
+        rows = _control_plane_rows(per_file, "dv delete set")
+        if not rows:
+            return snap.version
+        # ORDER MATTERS: _rel_paths returns paths in input iteration
+        # order — pair it with the same ordered list, never a set (a
+        # set iteration would attach DVs to the wrong files)
+        fps = [r.fp for r in rows]
+        rel_by_fp = dict(zip(fps, _rel_paths(snap, fps)))
+        actions: list[dict] = []
+        if snap.protocol.get("minReaderVersion", 1) < 3:
+            actions.append(_DV_PROTOCOL_ACTION)
+        for r in rows:
+            rel = rel_by_fp[r.fp]
+            old_add = snap.adds[rel]
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+            )
+            actions.append(
+                {
+                    "add": dict(
+                        old_add,
+                        dataChange=True,
+                        deletionVector={
+                            "storageType": "u",
+                            "pathOrInlineDv": r.payload,
+                            "offset": int(r.offset),
+                            "sizeInBytes": int(r.size),
+                            "cardinality": int(r.card),
+                        },
+                    )
+                }
+            )
+        actions.append(
+            {"commitInfo": {"operation": "DELETE", "engine": "map_reduce_spark"}}
+        )
+        if try_commit(table, snap.version + 1, actions):
+            _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)
+            return snap.version + 1
+        # lost the race: re-derive against the new snapshot (orphan DV
+        # bins are content-addressed; a later identical delete reuses
+        # them, and they are invisible to readers either way)
+    raise RuntimeError(f"DV delete on {table!r} lost {_max_retries} commit races")
+
 
 # --------------------------------------------------------------------
 # registered queries (+ their driver-side fixtures)
@@ -1220,6 +1744,7 @@ def optimize_compact(
     just size)."""
     for _ in range(_max_retries):
         snap = snapshot(table)
+        _gate_dv_rewrite(snap, "optimize_compact")
         by_part: dict[tuple, list[str]] = {}
         for enc, a in snap.adds.items():
             if zorder_by is not None or a.get("size", 0) < target_bytes:
@@ -1759,4 +2284,92 @@ def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum("cents").alias("sum_cents"),
         F.sum("hx").alias("sum_hx"),
+    )
+
+
+# --------------------------------------------------------------------
+# deletion-vector fixture + query (round 9)
+# --------------------------------------------------------------------
+
+
+def ensure_delta_dv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An orders-derived Delta table whose deletes are DELETION
+    VECTORS: v0 bulk load (hive-partitioned by o_year, range-clustered
+    on o_orderkey), v1 DV DELETE (md5-bucket16 == 3), v2 a second,
+    STACKING DV DELETE ('O'-status rows of bucket16 == 5 — files hit
+    by both deletes union their bitmaps), then a parquet checkpoint so
+    the certified read path replays DV state THROUGH a checkpoint, not
+    just JSON commits. Built once per sf_dir under the system tmp dir,
+    every mutation inside the build, atomic-rename published."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_deltadv_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir)
+    b16 = _bucket(F.col("o_orderkey"), 16)
+    write_delta_py(
+        d.repartitionByRange(6, "o_orderkey"),
+        tmp,
+        mode="overwrite",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=0,
+    )
+    delete_where_dv(spark, tmp, b16 == 3, checkpoint_interval=0)
+    delete_where_dv(
+        spark, tmp, (F.col("o_orderstatus") == "O") & (b16 == 5),
+        checkpoint_interval=0,
+    )
+    write_checkpoint(tmp, snapshot(tmp))
+    try:
+        os.rename(tmp, dest)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "delta_dv_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) AS o_year,
+         {_B16_SQL} AS b16
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM d
+WHERE NOT (b16 = 3) AND NOT (o_orderstatus = 'O' AND b16 = 5)
+GROUP BY o_orderstatus
+""",
+)
+def delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector merge-on-read scan (closes the round-8
+    verdict's Delta read gap, delta_py.py:164 gate): the snapshot's
+    adds carry z85-uuid RoaringBitmapArray DVs — two stacked deletes,
+    replayed through a parquet CHECKPOINT — applied as an anti-join on
+    the native (_metadata.file_path, _metadata.row_index) row ids. No
+    data file was rewritten; the oracle is the surviving predicate
+    over raw orders, so a mis-decoded bitmap, a dropped DV in the
+    checkpoint, or a wrong row position all hash-mismatch.
+
+    Reference parity: SURVEY.md §2.2 scans/sources, the Delta row of
+    the table-format family (delta-io PROTOCOL.md 'Deletion Vectors')."""
+    from map_reduce_spark.io import read_delta
+
+    df = read_delta(spark, ensure_delta_dv_fixture(spark, sf_dir))
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
     )

@@ -171,14 +171,23 @@ def test_merge_guards(spark, tbl):
 
 
 def test_protocol_gate(spark, tmp_path):
+    # deletionVectors is now a SUPPORTED reader feature (round 9);
+    # anything beyond it still gates loudly
     tbl2 = str(tmp_path / "gated")
     acts = [
-        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}},
+        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["columnMapping"]}},
         D._meta_action(_mk(spark, 1).schema, tbl2, ()),
     ]
     assert D.try_commit(tbl2, 0, acts)
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
         D.snapshot(tbl2)
+    tbl3 = str(tmp_path / "dv_ok")
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}},
+        D._meta_action(_mk(spark, 1).schema, tbl3, ()),
+    ]
+    assert D.try_commit(tbl3, 0, acts)
+    assert D.snapshot(tbl3).version == 0  # reads fine
 
 
 def test_partition_pruning_plan(spark, sf_dir):
