@@ -114,6 +114,10 @@ HEADLINE = [
     "streaming_delta_sink",
     "sqlite_scan",
     "iceberg_scan",
+    # round 9 additions: the merge-on-read read paths (positional
+    # deletes / deletion vectors applied as metadata-column anti-joins)
+    "iceberg_mor_scan",
+    "delta_dv_scan",
 ]
 
 
@@ -253,6 +257,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # calib-normalized twins (round-8 verdict item 7): query_sec /
+    # calib_shuffle_sec is a host-independent unit ("how many frozen
+    # contention-probe runs this query costs"), so cross-round
+    # comparison no longer needs manual host-factor arithmetic —
+    # BENCH_rN.queries_norm[q] / BENCH_rM.queries_norm[q] reads
+    # directly as the query's own change.
+    norm_base = calib_shuffle if calib_shuffle > 0 else None
+    queries_norm = (
+        {n: round(t / norm_base, 3) for n, t in timings.items()} if norm_base else {}
+    )
     print(
         json.dumps(
             {
@@ -260,6 +274,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_norm": queries_norm,
+                "value_norm": (
+                    round(sum(timings.values()) / norm_base, 3) if norm_base else None
+                ),
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "pass_totals_sec": pass_totals,
                 "calib_sec": calib,

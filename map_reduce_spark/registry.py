@@ -76,47 +76,40 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# The round-8 window:
+# The round-9 window:
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the queries with NO driver row yet (r8 additions avro_scan,
-#     ann_maintenance_decision, the delta family — scan / time travel /
-#     merge / OPTIMIZE / ZORDER / change feed / streaming sink / the
-#     composed ingest-dedup loop — sqlite_scan, and the iceberg pair);
-#     these eleven push
-#     the window's former tail (scd2_merge, session_window,
-#     window_sliding/tumbling, unpivot_stack, asof_join) past rank 50 —
-#     all hold green r2-era rows on files unchanged since, the right
-#     trade against never-verified queries;
-#   - every r8 behaviorally-changed surface under the file-granularity
-#     staleness rule: the health family (monitoring.py: psic-from-feats
-#     + feats localCheckpoint), the dedup compaction family (dedup.py:
-#     batch-state cache hook, broadcast hints dropped in the verify;
-#     streaming/jobs.py: append-leg consolidation + vacuum), the
-#     recall family (similarity.py: _recall_parts refactor), and the
-#     watermark family (jobs.py: tumbling_render extraction);
-#   - the r7-verdict-named rotation targets: the composed pipelines
-#     (prepare_training_data r6, select_pretraining_data r5 — member
-#     CTEs changed under them in r5-r7) and the heavy stage_cache
-#     users outside the r7 window (contamination_minhash r5,
-#     bpe_train_merges/bpe_encode r6), plus the r4-era heavy pairwise
-#     generators (entity_resolution, sorted_neighborhood_pairs);
-#   - ALL eight remaining r1-era rows (set ops, string_funcs,
-#     sql_api_q6, window_lag_lead/cumulative, union_by_name);
-#   - the rest of the budget on the oldest (r2-era) oracled rows,
-#     LLM/corpus family first per NOTES rule 14.
-# Everything else holds a green r3-r7 row on an unchanged-or-
+#   - the six r9 additions with NO driver row yet (the merge-on-read
+#     pair + expire for Iceberg, the Delta deletion-vector scan, and
+#     the two schema-evolution-travel queries);
+#   - every query on an r9-changed file (file-granularity staleness
+#     rule): the whole delta_py family (DV support touched the
+#     protocol gate, checkpoint codec, and read path), the iceberg_py
+#     trio (scan plan + writer rewrite), and sqlite_scan (partition
+#     affinity gate);
+#   - the r8-verdict-named displaced six (scd2_merge, session_window,
+#     window_sliding/tumbling, unpivot_stack, asof_join) plus ALL
+#     remaining r2-era rows — after this window no query's latest
+#     green row predates round 2;
+#   - the rest of the budget on r3-era rows, LLM/corpus family first
+#     (NOTES rule 14), then the oldest TPC-H/join rows.
+# Everything else holds a green r3-r8 row on an unchanged-or-
 # comment-only file and follows in registration order; the builder's
-# full-catalog 10x parity sweep (SCALE_r08) covers the whole registry.
-# The round-7 window comment (for the r7 rationale) is in git history.
+# full-catalog sf0.01 drive covers the whole registry each round.
+# The round-8 window comment (for the r8 rationale) is in git history.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # round-8 additions (no driver row yet): avro + table-format +
-    # DB-source families
-    "avro_scan",
-    "ann_maintenance_decision",
+    # round-9 additions (no driver row yet): merge-on-read + DV +
+    # schema evolution + snapshot expiry
+    "iceberg_mor_scan",
+    "iceberg_mor_changes",
+    "iceberg_expire_snapshots",
+    "delta_dv_scan",
+    "delta_schema_evolution_travel",
+    "iceberg_schema_evolution_travel",
+    # r9-changed: delta_py family (DV gate/checkpoint/read path)
     "delta_scan",
     "delta_time_travel",
     "delta_merge_upsert",
@@ -125,63 +118,45 @@ _PRIORITY: tuple[str, ...] = (
     "delta_changes_scan",
     "delta_ingest_dedup",
     "delta_optimize_zorder",
+    # r9-changed: iceberg_py trio (scan plan + writer rewrite)
     "iceberg_scan",
     "iceberg_snapshot_travel",
     "iceberg_changes_scan",
+    # r9-changed: sqlite_py (partition affinity gate)
     "sqlite_scan",
-    # r8-changed: health family (monitoring.py)
-    "health_report_fold",
-    "streaming_health_report",
-    "corpus_health_report",
-    "drift_psi",
-    "streaming_drift_psi",
-    # r8-changed: dedup compaction family (dedup.py + streaming/jobs.py)
-    "dedup_index_compact",
-    "streaming_dedup_incremental",
-    "dedup_incremental",
-    "dedup_minhash_lsh_portable",
-    # r8-changed: recall family (similarity.py)
-    "ann_recall_eval",
-    "streaming_ann_upsert",
-    # r8-changed: watermark family (jobs.py tumbling_render)
-    "streaming_tumbling_watermark",
-    "streaming_session_window",
-    "streaming_dedup_watermark",
-    # r7-verdict rotation targets: composed pipelines + heavy cache users
-    "prepare_training_data",
-    "select_pretraining_data",
-    "contamination_minhash",
-    "bpe_train_merges",
-    "bpe_encode",
-    "entity_resolution",
-    "sorted_neighborhood_pairs",
-    # r1-era rows (the oldest in the catalog)
-    "set_intersect",
-    "set_except",
-    "set_union",
-    "union_by_name",
-    "string_funcs",
-    "sql_api_q6",
-    "window_lag_lead",
-    "window_cumulative",
-    # r2-era rows, LLM/corpus family first
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "pack_sequences",
-    "text_stats_by_source",
-    "map_funcs",
-    "percentiles_exact",
-    "pivot_event_counts",
-    "scalar_subquery",
+    # the r8-displaced six (verdict ask) + ALL remaining r2-era rows
     "scd2_merge",
     "session_window",
     "window_sliding",
     "window_tumbling",
     "unpivot_stack",
     "asof_join",
+    "pack_sequences",
+    "text_stats_by_source",
+    "map_funcs",
+    "percentiles_exact",
+    "pivot_event_counts",
+    "scalar_subquery",
+    "asof_join_cogroup",
+    "join_right",
+    "join_full_outer",
+    "python_udtf",
+    "pandas_scalar_norm",
+    "pandas_zscore_by_label",
+    "pandas_grouped_agg",
+    # r3-era rows: LLM/corpus family first (NOTES rule 14)
+    "contamination_check",
+    "repetition_stats",
+    "inverted_index",
+    "heavy_hitters",
+    "unigram_logprob",
+    "bm25_rank",
+    "vocab_coverage",
+    # r3-era rows: oldest TPC-H/join rows
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "join_salted",
+    "band_join_bucketed",
 )
 
 

@@ -2373,3 +2373,107 @@ def delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------
+# schema-evolution time travel fixture + query (round 9)
+# --------------------------------------------------------------------
+
+_CB8_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 8 AS INT)"
+)
+
+
+def ensure_delta_evo_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A customer-derived Delta table whose schema WIDENED mid-history:
+    v0 loads (c_custkey, c_mktsegment, bal_cents) for md5-bucket8 < 4,
+    v1 appends buckets 4-7 WITH a new c_nationkey column through
+    ``append_with_evolution`` — one atomic commit carrying the widened
+    schemaString. Built once per sf_dir, atomic-rename published."""
+    import tempfile
+
+    from map_reduce_spark.io import load_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_deltaevo_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        "c_nationkey",
+    )
+    b8 = _bucket(F.col("c_custkey"), 8)
+    write_delta_py(
+        c.filter(b8 < 4).drop("c_nationkey").repartitionByRange(2, "c_custkey"),
+        tmp,
+        mode="overwrite",
+        stats_cols=("c_custkey",),
+    )
+    append_with_evolution(
+        c.filter(b8 >= 4).repartitionByRange(2, "c_custkey"), tmp,
+        stats_cols=("c_custkey",),
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "delta_schema_evolution_travel",
+    oracle=f"""
+WITH d AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+         {_CB8_SQL} AS b8
+  FROM customer
+)
+SELECT 'v0' AS at_version, COUNT(*) AS cnt,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+       3 AS n_cols, CAST(-1 AS BIGINT) AS null_nation_rows
+FROM d WHERE b8 < 4
+UNION ALL
+SELECT 'latest', COUNT(*),
+       CAST(SUM(bal_cents) AS BIGINT),
+       4, (SELECT COUNT(*) FROM d WHERE b8 < 4)
+FROM d
+""",
+)
+def delta_schema_evolution_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format's schema-evolution contract, certified end to end:
+    time travel to v0 renders the table under its ORIGINAL 3-column
+    schema (n_cols proves which schemaString served the read), while
+    the latest version renders 4 columns with pre-evolution files
+    reading the new c_nationkey as NULL — null_nation_rows must equal
+    exactly the v0 row count. A reader that pinned the latest schema
+    for old versions, or dropped the widened metaData on replay, shows
+    up as a wrong n_cols / null count and hash-mismatches."""
+    tbl = ensure_delta_evo_fixture(spark, sf_dir)
+    v0 = read_delta_py(spark, tbl, version=0)
+    cur = read_delta_py(spark, tbl)
+    old = (
+        v0.agg(
+            F.count("*").alias("cnt"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+        .withColumn("at_version", F.lit("v0"))
+        .withColumn("n_cols", F.lit(len(v0.columns)))
+        .withColumn("null_nation_rows", F.lit(-1).cast("long"))
+    )
+    new = (
+        cur.agg(
+            F.count("*").alias("cnt"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+            F.count_if(F.col("c_nationkey").isNull()).alias("null_nation_rows"),
+        )
+        .withColumn("at_version", F.lit("latest"))
+        .withColumn("n_cols", F.lit(len(cur.columns)))
+    )
+    cols = ["at_version", "cnt", "sum_bal_cents", "n_cols", "null_nation_rows"]
+    return old.select(*cols).unionByName(new.select(*cols))

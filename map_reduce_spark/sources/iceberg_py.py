@@ -1386,3 +1386,91 @@ def iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").alias("sum_price_cents"),
         F.lit(int(result["expired_snapshots"])).alias("expired_snapshots"),
     )
+
+
+# --------------------------------------------------------------------
+# schema-evolution snapshot travel fixture + query (round 9)
+# --------------------------------------------------------------------
+
+
+def ensure_iceberg_evo_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An Iceberg table whose schema widened between snapshots:
+    snapshot 1 appends (l_returnflag, price_cents) for md5-bucket8
+    < 5 under schema-id 0; snapshot 2 appends buckets 5-7 WITH a new
+    qty_cents column, recorded as schema-id 1 — BOTH schemas stay in
+    metadata (``_evolve_iceberg_schemas`` preserves history) and each
+    snapshot records its own schema-id, so travel renders each under
+    its schema (the spec's contract)."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_icebergevo_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _lineitem_frame(spark, sf_dir)
+    b8 = _li_bucket(8)
+    narrow = d.filter(b8 < 5).select("l_returnflag", "price_cents")
+    wide = d.filter(b8 >= 5).select("l_returnflag", "price_cents", "qty_cents")
+    append_iceberg_snapshot(narrow.repartition(2), tmp)
+    append_iceberg_snapshot(wide.repartition(2), tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "iceberg_schema_evolution_travel",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         {_L_B8_SQL} AS b8
+  FROM lineitem
+)
+SELECT 's1' AS at_snapshot, COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+       2 AS n_cols, CAST(-1 AS BIGINT) AS null_qty_rows
+FROM d WHERE b8 < 5
+UNION ALL
+SELECT 'current', COUNT(*),
+       CAST(SUM(price_cents) AS BIGINT),
+       3, (SELECT COUNT(*) FROM d WHERE b8 < 5)
+FROM d
+""",
+)
+def iceberg_schema_evolution_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot travel under schema evolution: snapshot 1 must render
+    its OWN 2-column schema (n_cols proves which schema-id served the
+    read) while the current snapshot renders 3 columns with snapshot
+    1's files reading qty_cents as NULL — null_qty_rows must equal
+    exactly snapshot 1's row count. The Delta twin is
+    ``delta_schema_evolution_travel``; together they certify the
+    format contract (each version under ITS schema) across both
+    table formats."""
+    tbl = ensure_iceberg_evo_fixture(spark, sf_dir)
+    s1 = read_iceberg_py(spark, tbl, snapshot_id=1)
+    cur = read_iceberg_py(spark, tbl)
+    old = (
+        s1.agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .withColumn("at_snapshot", F.lit("s1"))
+        .withColumn("n_cols", F.lit(len(s1.columns)))
+        .withColumn("null_qty_rows", F.lit(-1).cast("long"))
+    )
+    new = (
+        cur.agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_price_cents"),
+            F.count_if(F.col("qty_cents").isNull()).alias("null_qty_rows"),
+        )
+        .withColumn("at_snapshot", F.lit("current"))
+        .withColumn("n_cols", F.lit(len(cur.columns)))
+    )
+    cols = ["at_snapshot", "cnt", "sum_price_cents", "n_cols", "null_qty_rows"]
+    return old.select(*cols).unionByName(new.select(*cols))
