@@ -79,9 +79,10 @@ def register(name: str, oracle: str | None = None):
 # The round-9 window:
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the six r9 additions with NO driver row yet (the merge-on-read
-#     pair + expire for Iceberg, the Delta deletion-vector scan, and
-#     the two schema-evolution-travel queries);
+#   - the seven r9 additions with NO driver row yet (the merge-on-read
+#     pair + expire for Iceberg, the Delta deletion-vector and
+#     column-mapping scans, and the two schema-evolution-travel
+#     queries);
 #   - every query on an r9-changed file (file-granularity staleness
 #     rule): the whole delta_py family (DV support touched the
 #     protocol gate, checkpoint codec, and read path), the iceberg_py
@@ -107,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_mor_changes",
     "iceberg_expire_snapshots",
     "delta_dv_scan",
+    "delta_column_mapping_scan",
     "delta_schema_evolution_travel",
     "iceberg_schema_evolution_travel",
     # r9-changed: delta_py family (DV gate/checkpoint/read path)
@@ -152,11 +154,11 @@ _PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "bm25_rank",
     "vocab_coverage",
-    # r3-era rows: oldest TPC-H/join rows
+    # r3-era rows: oldest TPC-H/join rows (band_join_bucketed, the
+    # 51st, yields its slot to the never-driven column-mapping scan)
     "q4_order_priority",
     "q13_customer_distribution",
     "join_salted",
-    "band_join_bucketed",
 )
 
 

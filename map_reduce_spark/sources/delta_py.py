@@ -67,7 +67,7 @@ import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from map_reduce_spark.registry import register
 
@@ -159,20 +159,22 @@ def try_commit(table: str, version: int, actions: list[dict]) -> bool:
 
 def _gate_protocol(protocol: dict) -> None:
     """Reader-feature gate. minReaderVersion<=1 always reads;
-    minReaderVersion=3 reads iff every listed readerFeature is one we
-    implement (deletionVectors, round 9). Anything else — column
-    mapping, v2Checkpoint, timestampNtz feature tables — still raises
-    loudly rather than mis-reading."""
+    minReaderVersion=2 reads (its only reader-visible capability is
+    column mapping, implemented in round 9); minReaderVersion=3 reads
+    iff every listed readerFeature is one we implement
+    (deletionVectors, columnMapping). Anything else — v2Checkpoint,
+    timestampNtz feature tables — still raises loudly rather than
+    mis-reading."""
     mrv = protocol.get("minReaderVersion", 1)
     features = set(protocol.get("readerFeatures") or [])
-    if mrv <= 1 and not features:
+    if mrv <= 2 and not features:
         return
-    if mrv == 3 and features <= {"deletionVectors"}:
+    if mrv == 3 and features <= {"deletionVectors", "columnMapping"}:
         return
     raise NotImplementedError(
         "this pure-Python Delta reader supports protocol "
-        "minReaderVersion<=1, or minReaderVersion=3 with readerFeatures "
-        f"⊆ {{deletionVectors}}; table requires {protocol}"
+        "minReaderVersion<=2, or minReaderVersion=3 with readerFeatures "
+        f"⊆ {{deletionVectors, columnMapping}}; table requires {protocol}"
     )
 
 
@@ -200,6 +202,43 @@ class DeltaSnapshot:
     @property
     def partition_columns(self) -> list[str]:
         return list(self.metadata.get("partitionColumns") or [])
+
+    def column_mapping(self) -> dict[str, str] | None:
+        """LOGICAL -> PHYSICAL column names when the table uses column
+        mapping (delta.columnMapping.mode = name|id), else None. Both
+        modes resolve through the per-field physicalName the spec
+        requires writers to record (id mode ALSO writes parquet
+        field ids, but the physical names are present and unique, so
+        one read path serves both)."""
+        mode = (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        if not mode or mode == "none":
+            return None
+        if mode not in ("name", "id"):
+            raise NotImplementedError(f"columnMapping mode {mode!r}")
+        out = {}
+        for f in self.schema.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise NotImplementedError(
+                    f"columnMapping table lacks physicalName for {f.name!r}"
+                )
+            out[f.name] = phys
+        return out
+
+    def physical_schema(self) -> StructType:
+        """The schema under PHYSICAL names — what the parquet files
+        (and hive partition dirs) actually carry."""
+        mapping = self.column_mapping()
+        if not mapping:
+            return self.schema
+        return StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in self.schema.fields
+            ]
+        )
 
     def file_paths(self) -> list[str]:
         """Absolute, url-decoded data file paths (the spec stores
@@ -246,6 +285,8 @@ def _read_checkpoint(table: str, version: int) -> dict:
                 # pyarrow map<str,str> -> list of (k, v) pairs
                 if kind == "add" and isinstance(v.get("partitionValues"), list):
                     v = dict(v, partitionValues=dict(v["partitionValues"]))
+                if kind == "metaData" and isinstance(v.get("configuration"), list):
+                    v = dict(v, configuration=dict(v["configuration"]))
                 if kind in ("protocol", "add"):
                     # lane padding writes absent optionals as None —
                     # strip them so replayed actions keep the JSON shape
@@ -354,6 +395,9 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            # columnMapping mode lives here — dropping it through a
+            # checkpoint would misread every physical column as null
+            ("configuration", part_t),
         ]
     )
 
@@ -385,6 +429,9 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
             "format": {"provider": "parquet"},
             "schemaString": snap.metadata["schemaString"],
             "partitionColumns": snap.partition_columns,
+            "configuration": list(
+                (snap.metadata.get("configuration") or {}).items()
+            ),
         }
     )
     rows_add = [_add_row(a) for _, a in sorted(snap.adds.items())]
@@ -482,7 +529,12 @@ def skip_files(snap: DeltaSnapshot, col: str, lo, hi) -> list[str]:
     """Log-level data skipping: active files whose ``add.stats`` range
     on ``col`` intersects [lo, hi] — files with no stats for the column
     are conservatively kept. Runs on the driver over file-granularity
-    metadata; the pruned list feeds a native parquet scan."""
+    metadata; the pruned list feeds a native parquet scan. ``col`` is
+    the LOGICAL name; under column mapping the stats keys are physical
+    and the translation happens here."""
+    mapping = snap.column_mapping()
+    if mapping:
+        col = mapping.get(col, col)
     keep = []
     for path in sorted(snap.adds):
         a = snap.adds[path]
@@ -535,19 +587,28 @@ def read_delta_py(
     narrows the scan to a stats-pruned subset (sound under deletion
     vectors too — a DV only removes rows, so per-file min/max stay
     conservative). Active adds carrying a deletionVector apply as a
-    merge-on-read anti-join (``_apply_deletion_vectors``)."""
+    merge-on-read anti-join (``_apply_deletion_vectors``). Column
+    mapping (name/id mode) scans under PHYSICAL names — parquet
+    columns and hive partition dirs both carry them — then projects
+    back to logical names, after the DV join (``_metadata`` resolves
+    only on the scan relation)."""
     snap = snapshot(table, version)
     paths = snap.file_paths() if files is None else files
     schema = snap.schema
     if not paths:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
+    mapping = snap.column_mapping()
+    reader = spark.read.schema(snap.physical_schema() if mapping else schema)
     if snap.partition_columns:
         reader = reader.option("basePath", table)
     df = reader.parquet(*paths)
     if any(a.get("deletionVector") for a in snap.adds.values()):
         sel = None if files is None else {os.path.abspath(p) for p in paths}
         df = _apply_deletion_vectors(spark, df, snap, sel)
+    if mapping:
+        df = df.select(
+            [F.col(phys).alias(logical) for logical, phys in mapping.items()]
+        )
     return df
 
 
@@ -1225,25 +1286,22 @@ def _apply_deletion_vectors(
 
 
 def _gate_dv_rewrite(snap: DeltaSnapshot, what: str) -> None:
-    """Rewriting operators are not DV-aware (a rewrite that read a
-    DV-carrying file without applying its DV would resurrect deleted
-    rows) — gate loudly; deletes on DV tables go through
-    ``delete_where_dv``."""
+    """Rewriting operators are not DV- or column-mapping-aware (a
+    rewrite that read a DV-carrying file without applying its DV would
+    resurrect deleted rows; one that staged files under LOGICAL names
+    into a mapped table would strand them behind unreadable columns) —
+    gate loudly; deletes on such tables go through
+    ``delete_where_dv`` (which handles both)."""
     if any(a.get("deletionVector") for a in snap.adds.values()):
         raise NotImplementedError(
             f"{what} on a deletion-vector table is not supported — use "
             "delete_where_dv for deletes, or rewrite via read + overwrite"
         )
-
-
-_DV_PROTOCOL_ACTION = {
-    "protocol": {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
-    }
-}
+    if snap.column_mapping():
+        raise NotImplementedError(
+            f"{what} on a column-mapping table is not supported — use "
+            "delete_where_dv for deletes, or rewrite via read + overwrite"
+        )
 
 
 def delete_where_dv(
@@ -1271,7 +1329,10 @@ def delete_where_dv(
         paths = snap.file_paths()
         if not paths:
             return snap.version
-        reader = spark.read.schema(snap.schema)
+        mapping = snap.column_mapping()
+        reader = spark.read.schema(
+            snap.physical_schema() if mapping else snap.schema
+        )
         if snap.partition_columns:
             reader = reader.option("basePath", table)
         src = reader.parquet(*paths).withColumns(
@@ -1280,6 +1341,13 @@ def delete_where_dv(
                 "__pos": F.col("_metadata.row_index"),
             }
         )
+        if mapping:
+            # project physical -> logical AFTER the metadata-column
+            # capture so the caller's predicate sees logical names
+            src = src.select(
+                [F.col(p).alias(n) for n, p in mapping.items()]
+                + [F.col("__fp"), F.col("__pos")]
+            )
         dv_rows = _snapshot_dvs(snap, None)
         if dv_rows:
             dele = _dv_positions_frame(spark, dv_rows)
@@ -1341,8 +1409,25 @@ def delete_where_dv(
         fps = [r.fp for r in rows]
         rel_by_fp = dict(zip(fps, _rel_paths(snap, fps)))
         actions: list[dict] = []
-        if snap.protocol.get("minReaderVersion", 1) < 3:
-            actions.append(_DV_PROTOCOL_ACTION)
+        if "deletionVectors" not in (snap.protocol.get("readerFeatures") or []):
+            # feature-table upgrade must CARRY existing capabilities:
+            # dropping columnMapping from readerFeatures here would
+            # strand a mapped table behind a misdescribed protocol
+            rf = {"deletionVectors"} | set(snap.protocol.get("readerFeatures") or [])
+            wf = {"deletionVectors"} | set(snap.protocol.get("writerFeatures") or [])
+            if mapping:
+                rf.add("columnMapping")
+                wf.add("columnMapping")
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf),
+                        "writerFeatures": sorted(wf),
+                    }
+                }
+            )
         for r in rows:
             rel = rel_by_fp[r.fp]
             old_add = snap.adds[rel]
@@ -2477,3 +2562,142 @@ def delta_schema_evolution_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cols = ["at_version", "cnt", "sum_bal_cents", "n_cols", "null_nation_rows"]
     return old.select(*cols).unionByName(new.select(*cols))
+
+
+# --------------------------------------------------------------------
+# column mapping (round 9): fresh-mapped-table writer + fixture + query
+# --------------------------------------------------------------------
+
+
+def write_mapped_table(
+    df: DataFrame,
+    table: str,
+    partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Create a FRESH column-mapped Delta table (the shape
+    delta-spark's `delta.columnMapping.mode = name` produces): parquet
+    files and hive partition dirs carry opaque PHYSICAL names
+    (col-<hash>, deterministic — NOTES rule 15), the schemaString's
+    per-field metadata records delta.columnMapping.id/physicalName,
+    and the protocol declares minReaderVersion=2/minWriterVersion=5.
+    Single initial commit (v0); appends/deletes then go through the
+    mapping-aware paths (``delete_where_dv``)."""
+    mapping = {
+        name: "col-" + hashlib.md5(
+            (os.path.abspath(table) + "\x00" + name).encode()
+        ).hexdigest()[:10]
+        for name in df.columns
+    }
+    phys_df = df.select([F.col(n).alias(p) for n, p in mapping.items()])
+    moved = _stage_and_move(phys_df, table, tuple(mapping[c] for c in partition_by))
+    adds = _add_actions(table, moved, tuple(mapping[c] for c in stats_cols))
+    fields = [
+        StructField(
+            f.name,
+            f.dataType,
+            f.nullable,
+            {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": mapping[f.name],
+            },
+        )
+        for i, f in enumerate(df.schema.fields)
+    ]
+    meta = {
+        "metaData": {
+            "id": hashlib.md5(os.path.abspath(table).encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": StructType(fields).json(),
+            "partitionColumns": list(partition_by),  # LOGICAL names
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            },
+        }
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        *adds,
+        {"commitInfo": {"operation": "CREATE", "engine": "map_reduce_spark"}},
+    ]
+    while True:
+        cur = latest_version(table)
+        if cur is not None:
+            raise ValueError(f"{table!r} already exists; mapped writer creates only")
+        if try_commit(table, 0, actions):
+            return 0
+
+
+def ensure_delta_cm_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A column-mapped orders table (hive-partitioned by o_year under
+    its PHYSICAL dir name) carrying a deletion-vector DELETE on top —
+    the full minReaderVersion=3 readerFeatures=[columnMapping,
+    deletionVectors] combination — plus a parquet checkpoint so the
+    mapping mode and the DVs both replay from the checkpoint path."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_deltacm_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir)
+    write_mapped_table(
+        d.repartitionByRange(4, "o_orderkey"),
+        tmp,
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+    )
+    delete_where_dv(
+        spark, tmp, _bucket(F.col("o_orderkey"), 16) == 7, checkpoint_interval=0
+    )
+    write_checkpoint(tmp, snapshot(tmp))
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "delta_column_mapping_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) AS o_year,
+         {_B16_SQL} AS b16
+  FROM orders
+)
+SELECT o_year,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM d
+WHERE NOT (b16 = 7)
+GROUP BY o_year
+""",
+)
+def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping merge-on-read scan (closes the LAST Delta read
+    gate): parquet columns and hive dirs carry opaque physical names
+    (col-<hash>), resolved to logical names through the schemaString's
+    columnMapping metadata; a deletion-vector DELETE rides on top and
+    both replay through a parquet checkpoint. A reader that scanned
+    logical names would return all NULLs; one that dropped the
+    configuration through the checkpoint would too — either
+    hash-mismatches the plain-orders oracle.
+
+    Reference parity: SURVEY.md §2.2 scans/sources, the Delta row
+    (delta-io PROTOCOL.md 'Column Mapping')."""
+    from map_reduce_spark.io import read_delta
+
+    df = read_delta(spark, ensure_delta_cm_fixture(spark, sf_dir))
+    return df.groupBy("o_year").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+    )
