@@ -79,8 +79,9 @@ def register(name: str, oracle: str | None = None):
 # The round-9 window:
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the seven r9 additions with NO driver row yet (the merge-on-read
-#     pair + expire for Iceberg, the Delta deletion-vector and
+#   - the eight r9 additions with NO driver row yet (the merge-on-read
+#     trio — positional, incremental-with-deletes, equality — plus
+#     expire for Iceberg, the Delta deletion-vector and
 #     column-mapping scans, and the two schema-evolution-travel
 #     queries);
 #   - every query on an r9-changed file (file-granularity staleness
@@ -106,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     # schema evolution + snapshot expiry
     "iceberg_mor_scan",
     "iceberg_mor_changes",
+    "iceberg_eq_delete_scan",
     "iceberg_expire_snapshots",
     "delta_dv_scan",
     "delta_column_mapping_scan",
@@ -154,11 +156,11 @@ _PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "bm25_rank",
     "vocab_coverage",
-    # r3-era rows: oldest TPC-H/join rows (band_join_bucketed, the
-    # 51st, yields its slot to the never-driven column-mapping scan)
+    # r3-era rows: oldest TPC-H/join rows (join_salted and
+    # band_join_bucketed, ranks 51-52, yield their slots to the
+    # never-driven column-mapping and equality-delete scans)
     "q4_order_priority",
     "q13_customer_distribution",
-    "join_salted",
 )
 
 

@@ -15,13 +15,17 @@ scan, exactly like the Delta reader's active-file list (pushdown,
 column pruning, codegen intact; Iceberg data files carry partition
 columns in-file, so no hive-path recovery is needed).
 
-Merge-on-read (round 9): v2 POSITIONAL deletes are fully supported —
-delete manifests' (file_path, pos) parquet files apply as an anti-join
-on the native ``_metadata.file_path`` / ``_metadata.row_index`` row
-ids, with small delete sets broadcast so the data side never shuffles.
-Deliberate gates that remain (raise loudly, never mis-read): equality
-deletes (content=2 — they need sequence-number ordering this reader
-does not model) and non-parquet data files.
+Merge-on-read (round 9): v2 row-level deletes are fully supported.
+POSITIONAL deletes — (file_path, pos) parquet files — apply as an
+anti-join on the native ``_metadata.file_path`` /
+``_metadata.row_index`` row ids; EQUALITY deletes apply as
+sequence-scoped null-safe anti-joins per equality-id group (a delete
+hits only data files with strictly lower data sequence numbers, so
+delete-then-reinsert upserts come out exact). Small delete sets
+broadcast (by ROW count) so the data side never shuffles; past the
+threshold the anti-join shuffles and AQE handles skew. The remaining
+gates (raise loudly, never mis-read): format-version 3 and
+non-parquet data files.
 
 The manifest plane is DRIVER-side metadata — manifests are KBs — so
 the Avro decode here needs no Spark plumbing at all. It uses a
@@ -409,30 +413,46 @@ def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
     """Manifest-list -> manifests -> the snapshot's SCAN PLAN:
 
     - ``data_files``: live data files (absolute local paths),
+    - ``data_seqs``: local data path -> data sequence number (what
+      equality-delete scoping orders on),
     - ``delete_files``: positional-delete parquet files to anti-join,
     - ``delete_rows``: their total record count (broadcast decision
       input — ROWS, not bytes: a compact positions parquet can hide a
       hash relation far bigger than its file size),
+    - ``eq_deletes``: equality-delete descriptors
+      [(local path, sequence number, tuple(equality field ids))],
     - ``stored_to_local``: stored data-file path -> local path (the
-      delete files reference data files by their STORED paths).
+      positional delete files reference data files by their STORED
+      paths).
 
     All of it is file-granularity driver metadata, exactly the spec's
-    intended planning shape. Gates loudly on equality deletes
-    (content=2 — applying those needs sequence-number ordering this
-    reader does not model) and non-parquet files.
+    intended planning shape. Sequence numbers follow v2 inheritance:
+    an entry's null ``sequence_number`` inherits the sequence of the
+    snapshot that added its manifest. Gates loudly on non-parquet
+    files only.
 
     Reference parity: this replaces the round-8 hard gate on DELETE
     manifests — merge-on-read tables written by Spark/Flink with
-    row-level deletes now read correctly instead of refusing."""
+    row-level deletes (positional AND equality) now read correctly
+    instead of refusing."""
     av = make_generic_avro()
     _local = _make_localizer(table, meta)
+    snap_seq = {
+        s["snapshot-id"]: s.get("sequence-number", s["snapshot-id"])
+        for s in meta.get("snapshots") or []
+    }
     _, manifests = av.read_file(_local(snap["manifest-list"]))
     data: list[str] = []
+    data_seqs: dict[str, int] = {}
     deletes: list[str] = []
     delete_rows = 0
+    eq_deletes: list[tuple[str, int, tuple[int, ...], int]] = []
     stored_to_local: dict[str, str] = {}
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == 1
+        manifest_seq = m.get("sequence_number")
+        if manifest_seq is None:
+            manifest_seq = snap_seq.get(m.get("added_snapshot_id"), 0)
         _, entries = av.read_file(_local(m["manifest_path"]))
         for e in entries:
             if e.get("status") == 2:  # DELETED
@@ -446,23 +466,39 @@ def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
             content = df.get("content")
             if content is None:
                 content = 1 if is_delete_manifest else 0
+            seq = e.get("sequence_number")
+            if seq is None:
+                sid = e.get("snapshot_id")
+                seq = snap_seq.get(sid, manifest_seq) if sid else manifest_seq
             local = os.path.abspath(_local(df["file_path"]))
             if content == 0:
                 data.append(local)
+                data_seqs[local] = int(seq)
                 stored_to_local[df["file_path"]] = local
-            elif content == 1:  # position deletes
+            elif content == 1:  # position deletes: exact by (file, pos)
                 deletes.append(local)
                 delete_rows += int(df.get("record_count") or 0)
-            else:
-                raise NotImplementedError(
-                    "iceberg_py: equality deletes (content=2) are not "
-                    "supported — rewrite them to position deletes or "
-                    "compact the table"
+            else:  # equality deletes: scoped by sequence number
+                ids = df.get("equality_ids") or e.get("equality_ids")
+                if not ids:
+                    raise NotImplementedError(
+                        "iceberg_py: equality delete file without "
+                        "equality_ids"
+                    )
+                eq_deletes.append(
+                    (
+                        local,
+                        int(seq),
+                        tuple(int(i) for i in ids),
+                        int(df.get("record_count") or 0),
+                    )
                 )
     return {
         "data_files": data,
+        "data_seqs": data_seqs,
         "delete_files": deletes,
         "delete_rows": delete_rows,
+        "eq_deletes": eq_deletes,
         "stored_to_local": stored_to_local,
     }
 
@@ -543,28 +579,106 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: dict) ->
     )
 
 
+def _apply_equality_deletes(
+    spark: SparkSession, src: DataFrame, plan: dict, ice_schema: dict
+) -> DataFrame:
+    """v2 EQUALITY deletes, sequence-scoped: a row is deleted when an
+    equality-delete row matches it null-safely on the delete's
+    equality columns AND the row's data file carries a STRICTLY LOWER
+    data sequence number than the delete file (the spec's ordering —
+    rows appended after the delete survive, which is what makes
+    delete-then-reinsert upserts work).
+
+    ``src`` must carry ``__mr_fp`` (the stripped scan file path — the
+    caller computes it once for all merge-on-read joins). Per-file
+    sequence numbers attach via broadcast file-granularity maps on
+    both sides; the delete side groups by its equality-id tuple, one
+    anti-join per group, broadcast under the same row threshold as
+    positional deletes."""
+    fields_by_id = {f["id"]: f for f in ice_schema["fields"]}
+    seq_map = spark.createDataFrame(
+        sorted(plan["data_seqs"].items()), "__mr_sf string, __mr_dseq long"
+    )
+    src = src.join(
+        F.broadcast(seq_map), src["__mr_fp"] == F.col("__mr_sf"), "left"
+    ).drop("__mr_sf")
+    by_ids: dict[tuple, list[tuple]] = {}
+    for path, seq, ids, rows in plan["eq_deletes"]:
+        by_ids.setdefault(ids, []).append((path, seq, rows))
+    for ids in sorted(by_ids):
+        files = by_ids[ids]
+        missing = [i for i in ids if i not in fields_by_id]
+        if missing:
+            raise NotImplementedError(
+                f"iceberg_py: equality_ids {missing} not in the current "
+                "schema (dropped-column deletes)"
+            )
+        sub = {"fields": [fields_by_id[i] for i in ids]}
+        cols = [fields_by_id[i]["name"] for i in ids]
+        ddl = _iceberg_schema_to_ddl(sub)
+        dmap = spark.createDataFrame(
+            [(p, s) for p, s, _ in files], "__mr_df string, __mr_eseq long"
+        )
+        dele = (
+            spark.read.schema(ddl).parquet(*[p for p, _, _ in files])
+            .withColumn("__mr_dfp", _strip_file_scheme(F.col("_metadata.file_path")))
+            .join(F.broadcast(dmap), F.col("__mr_dfp") == F.col("__mr_df"), "inner")
+            .select(
+                *[F.col(c).alias(f"__mr_eq_{c}") for c in cols],
+                F.col("__mr_eseq"),
+            )
+            .distinct()
+        )
+        if sum(r for _, _, r in files) <= _DELETE_BROADCAST_ROWS:
+            dele = F.broadcast(dele)
+        cond = src["__mr_dseq"] < dele["__mr_eseq"]
+        for c in cols:
+            cond = cond & src[c].eqNullSafe(dele[f"__mr_eq_{c}"])
+        src = src.join(dele, cond, "left_anti")
+    return src.drop("__mr_dseq")
+
+
 def read_iceberg_py(
     spark: SparkSession, table: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Read an Iceberg table at the current (or a pinned) snapshot:
     metadata plane on the driver, then a plain NATIVE parquet scan
     over the live data-file set (module docstring), with v2
-    positional deletes applied as a merge-on-read anti-join when the
-    snapshot carries them."""
+    positional AND equality deletes applied as merge-on-read
+    anti-joins when the snapshot carries them (the shared
+    ``__mr_fp``/``__mr_pos`` row ids are computed once, on the scan
+    relation, where ``_metadata`` resolves)."""
     meta = load_table_metadata(table)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError(
             f"iceberg_py: format-version {meta['format-version']} > 2"
         )
     snap = _pick_snapshot(meta, snapshot_id)
-    schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
+    ice_schema = _schema_for_snapshot(meta, snap)
+    schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
     plan = scan_plan_for_snapshot(table, meta, snap)
     if not plan["data_files"]:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*plan["data_files"])
+    if not plan["delete_files"] and not plan["eq_deletes"]:
+        return df
+    src = df.withColumns(
+        {
+            "__mr_fp": _strip_file_scheme(F.col("_metadata.file_path")),
+            "__mr_pos": F.col("_metadata.row_index"),
+        }
+    )
     if plan["delete_files"]:
-        df = _apply_positional_deletes(spark, df, plan)
-    return df
+        dele = _pos_delete_frame(spark, plan)
+        src = src.join(
+            dele,
+            (src["__mr_fp"] == dele["__mr_del_fp"])
+            & (src["__mr_pos"] == dele["__mr_del_pos"]),
+            "left_anti",
+        )
+    if plan["eq_deletes"]:
+        src = _apply_equality_deletes(spark, src, plan, ice_schema)
+    return src.drop("__mr_fp", "__mr_pos")
 
 
 # --------------------------------------------------------------------
@@ -589,6 +703,11 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string", "field-id": 101},
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "field-id": 135,
+                    },
                 ],
             },
         },
@@ -1480,3 +1599,105 @@ def iceberg_schema_evolution_travel(spark: SparkSession, sf_dir: str) -> DataFra
     )
     cols = ["at_snapshot", "cnt", "sum_price_cents", "n_cols", "null_qty_rows"]
     return old.select(*cols).unionByName(new.select(*cols))
+
+
+# --------------------------------------------------------------------
+# equality deletes (round 9): writer + fixture + query
+# --------------------------------------------------------------------
+
+
+def commit_equality_deletes(
+    spark: SparkSession, table: str, delete_df: DataFrame, equality_cols: list[str]
+) -> int:
+    """v2 EQUALITY delete commit: stage the distinct delete-key rows
+    as parquet delete files (content=2, equality_ids = the columns'
+    field ids in the CURRENT schema) inside a DELETE manifest. The
+    delete's data sequence number is the new snapshot's, so it scopes
+    to all data files with strictly lower sequence — rows re-appended
+    AFTER this commit survive, which is exactly the upsert
+    (delete-then-reinsert) contract real engines use equality deletes
+    for. No data file is read or rewritten: commit cost is O(delete
+    keys)."""
+    meta = load_table_metadata(table)
+    snap = _pick_snapshot(meta, None)
+    ice_schema = _schema_for_snapshot(meta, snap)
+    by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns {missing} not in table schema")
+    ids = [int(by_name[c]) for c in equality_cols]
+    descs = _stage_parquet_files(
+        delete_df.select(*equality_cols).distinct(), table, "eqdelete"
+    )
+    if not descs:
+        return snap["snapshot-id"]
+    for d in descs:
+        d["content"] = 2
+        d["equality_ids"] = ids
+    return _commit_snapshot(
+        table, descs, manifest_content=1, operation="delete", dtypes=None
+    )
+
+
+def ensure_iceberg_eq_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The equality-delete upsert story in three snapshots: s1 appends
+    ALL of the lineitem frame; s2 commits EQUALITY deletes on the
+    (l_orderkey, l_linenumber) keys of md5-bucket8 ∈ {6,7}; s3
+    re-appends the bucket-7 rows. Sequence scoping makes the outcome
+    exact: bucket-6 rows are gone, s1's bucket-7 rows are gone, s3's
+    bucket-7 rows SURVIVE (their data sequence exceeds the delete's) —
+    so the current snapshot equals lineitem WHERE b8 != 6, and any
+    sequence-ordering slip double-counts or empties bucket 7."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_eq_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _lineitem_frame(spark, sf_dir)
+    b8 = _li_bucket(8)
+    append_iceberg_snapshot(d.repartition(4), tmp)
+    commit_equality_deletes(
+        spark, tmp, d.filter(b8 >= 6), ["l_orderkey", "l_linenumber"]
+    )
+    append_iceberg_snapshot(d.filter(b8 == 7).repartition(2), tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "iceberg_eq_delete_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         {_L_B8_SQL} AS b8
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+FROM d
+WHERE b8 <> 6
+GROUP BY l_returnflag
+""",
+)
+def iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete merge-on-read scan (removes the reader's LAST
+    row-level-delete gate): sequence-scoped null-safe anti-join per
+    equality-id group over the fixture's delete-then-reinsert history.
+    Deleted-never-reinserted rows (bucket 6) must vanish, reinserted
+    rows (bucket 7, appended AFTER the delete) must survive exactly
+    once — the three failure modes (ignore deletes, ignore sequence
+    scoping, over-delete) each produce a distinct hash mismatch
+    against the plain-lineitem oracle."""
+    df = read_iceberg_py(spark, ensure_iceberg_eq_fixture(spark, sf_dir))
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )

@@ -124,17 +124,19 @@ def test_deleted_entries_are_filtered(spark, tmp_path):
     assert len(files) == n_files - 1
 
 
-def test_equality_delete_gate(spark, tmp_path):
-    """Positional deletes now read; equality deletes (content=2) still
-    gate loudly rather than mis-reading."""
+def test_malformed_equality_delete_gate(spark, tmp_path):
+    """Equality deletes now read (round 9) — but a content=2 entry
+    WITHOUT equality_ids is malformed and still gates loudly rather
+    than guessing."""
     tbl = str(tmp_path / "t")
     I.append_iceberg_snapshot(_mk(spark, 10), tbl)
     av, meta, snap, manifests = _first_manifest(tbl)
     mpath = manifests[0]["manifest_path"]
     _, entries = av.read_file(mpath)
     entries[0]["data_file"]["content"] = 2  # equality delete file
+    entries[0]["data_file"]["equality_ids"] = None
     av.write_file(mpath, I._MANIFEST_ENTRY_SCHEMA, entries)
-    with pytest.raises(NotImplementedError, match="equality deletes"):
+    with pytest.raises(NotImplementedError, match="equality_ids"):
         I.read_iceberg_py(spark, tbl)
 
 

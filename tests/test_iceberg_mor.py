@@ -198,3 +198,77 @@ def test_mor_queries_match_fixture(spark, sf_dir):
         mor.agg(F.sum("cnt")).first()[0] == chg.agg(F.sum("cnt")).first()[0]
     )
     assert exp.select("expired_snapshots").distinct().first()[0] == 2
+
+
+# ------------------------------------------------------------------
+# equality deletes (round 9)
+# ------------------------------------------------------------------
+
+
+def test_equality_delete_upsert_roundtrip(spark, tmp_path):
+    """The delete-then-reinsert contract: deleted keys vanish from
+    OLDER data files, re-appended rows with the same keys survive
+    (their data sequence exceeds the delete's)."""
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(_mk(spark, 40), tbl)  # s1, seq 1
+    keys = _mk(spark, 40).filter(F.col("k") >= 30).select("k")
+    I.commit_equality_deletes(spark, tbl, keys, ["k"])  # s2, seq 2
+    assert I.read_iceberg_py(spark, tbl).count() == 30
+    # reinsert half the deleted keys with NEW values
+    reins = _mk(spark, 40).filter(F.col("k") >= 35).withColumn("v", F.col("k") * 100)
+    I.append_iceberg_snapshot(reins, tbl)  # s3, seq 3
+    got = I.read_iceberg_py(spark, tbl)
+    assert got.count() == 35
+    assert got.filter((F.col("k") >= 30) & (F.col("k") < 35)).count() == 0
+    # the surviving 35..39 are s3's rows, not s1's
+    assert got.filter(F.col("k") >= 35).agg(F.min("v")).first()[0] == 3500
+    # time travel before the delete still sees everything
+    assert I.read_iceberg_py(spark, tbl, snapshot_id=1).count() == 40
+
+
+def test_equality_delete_null_safe_match(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    d = _mk(spark, 20).withColumn(
+        "v", F.when(F.col("k") < 5, None).otherwise(F.col("v"))
+    )
+    I.append_iceberg_snapshot(d, tbl)
+    # delete on v: one NULL key row must match the 5 NULL-v rows
+    keys = spark.createDataFrame([(None,), (30,)], "v bigint")
+    I.commit_equality_deletes(spark, tbl, keys, ["v"])
+    got = I.read_iceberg_py(spark, tbl)
+    # deleted: 5 NULL-v rows + v=30 (k=10)
+    assert got.count() == 14
+    assert got.filter(F.col("v").isNull()).count() == 0
+    assert got.filter(F.col("k") == 10).count() == 0
+
+
+def test_equality_and_positional_deletes_compose(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(_mk(spark, 30), tbl)
+    I.commit_positional_deletes(spark, tbl, F.col("k") < 5)
+    I.commit_equality_deletes(
+        spark, tbl, _mk(spark, 30).filter(F.col("k") >= 25).select("k"), ["k"]
+    )
+    got = I.read_iceberg_py(spark, tbl)
+    assert got.count() == 20
+    assert got.agg(F.min("k"), F.max("k")).first() == (5, 24)
+
+
+def test_equality_delete_multi_column_key(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    d = _mk(spark, 30).withColumn("g", (F.col("k") % 3))
+    I.append_iceberg_snapshot(d, tbl)
+    keys = d.filter((F.col("g") == 1) & (F.col("k") < 15)).select("g", "k")
+    I.commit_equality_deletes(spark, tbl, keys, ["g", "k"])
+    got = I.read_iceberg_py(spark, tbl)
+    assert got.count() == 25  # k in {1,4,7,10,13} deleted
+    assert got.filter((F.col("g") == 1) & (F.col("k") < 15)).count() == 0
+
+
+def test_eq_fixture_query_matches_predicate(spark, sf_dir):
+    tbl = I.ensure_iceberg_eq_fixture(spark, sf_dir)
+    got = I.read_iceberg_py(spark, tbl)
+    d = I._lineitem_frame(spark, sf_dir)
+    expected = d.filter(I._li_bucket(8) != 6)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
