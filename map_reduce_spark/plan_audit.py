@@ -44,6 +44,14 @@ SF_DIR = "/root/testdata/sf0.001"
 # the reason — the audit fails loudly on any UNLISTED occurrence so
 # new red flags can't slip in silently
 ACCEPTED_1PART: dict[str, str] = {
+    "delta_schema_evolution_travel": (
+        "two single-row global aggregates (one per schema version) "
+        "unioned into a 2-row certification frame"
+    ),
+    "iceberg_schema_evolution_travel": (
+        "two single-row global aggregates (one per snapshot schema) "
+        "unioned into a 2-row certification frame"
+    ),
     "ivf_topk": "nprobe ranking over the ONE query vector's k cell distances",
     "percentiles_exact": "3-group exact percentile rollup (constant-size final agg)",
     "agg_approx_distinct": "single-row sketch summary",

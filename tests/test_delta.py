@@ -171,11 +171,11 @@ def test_merge_guards(spark, tbl):
 
 
 def test_protocol_gate(spark, tmp_path):
-    # deletionVectors is now a SUPPORTED reader feature (round 9);
-    # anything beyond it still gates loudly
+    # deletionVectors + columnMapping are now SUPPORTED reader
+    # features (round 9); anything beyond them still gates loudly
     tbl2 = str(tmp_path / "gated")
     acts = [
-        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["columnMapping"]}},
+        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]}},
         D._meta_action(_mk(spark, 1).schema, tbl2, ()),
     ]
     assert D.try_commit(tbl2, 0, acts)
