@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "map_reduce_spark.operators.modern_sql",
     "map_reduce_spark.operators.python_source",
     "map_reduce_spark.sources.avro_py",
+    "map_reduce_spark.sources.plain_formats",
     "map_reduce_spark.sources.delta_py",
     "map_reduce_spark.sources.sqlite_py",
     "map_reduce_spark.sources.iceberg_py",
