@@ -409,7 +409,9 @@ def _make_localizer(table: str, meta: dict):
     return _local
 
 
-def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
+def scan_plan_for_snapshot(
+    table: str, meta: dict, snap: dict, predicates=None
+) -> dict:
     """Manifest-list -> manifests -> the snapshot's SCAN PLAN:
 
     - ``data_files``: live data files (absolute local paths),
@@ -434,22 +436,74 @@ def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
     Reference parity: this replaces the round-8 hard gate on DELETE
     manifests — merge-on-read tables written by Spark/Flink with
     row-level deletes (positional AND equality) now read correctly
-    instead of refusing."""
+    instead of refusing.
+
+    ``predicates`` (``[(column, op, literal)]`` conjuncts, ops
+    ``= < <= > >= in``; timestamp literals as epoch µs) engage
+    metadata pruning — Iceberg's inclusive projection, three layers
+    deep: whole MANIFESTS skipped via the manifest list's partition
+    value summaries, FILES skipped via their entry's partition tuple,
+    then via the entry's column lower/upper bounds. Pruning is
+    file-granularity driver metadata work (never a data read), always
+    sound-inclusive (unknown keeps), and only removes provably-dead
+    IO — kept files still need the residual row filter. Delete files
+    are never pruned (a positional delete for a pruned data file
+    anti-joins nothing). ``files_total``/``files_pruned`` in the
+    returned plan are the skip evidence."""
+    from map_reduce_spark.sources.iceberg_transforms import (
+        bounds_survive,
+        partition_value_survives,
+        project_predicates,
+        summary_survives,
+    )
+
     av = make_generic_avro()
     _local = _make_localizer(table, meta)
     snap_seq = {
         s["snapshot-id"]: s.get("sequence-number", s["snapshot-id"])
         for s in meta.get("snapshots") or []
     }
+    ice_schema = _schema_for_snapshot(meta, snap)
+    specs_by_id = {
+        s.get("spec-id", 0): s.get("fields") or []
+        for s in meta.get("partition-specs") or []
+    }
+    projected_cache: dict[int, list] = {}
+
+    def projected_for(spec_id: int):
+        if spec_id not in projected_cache:
+            projected_cache[spec_id] = project_predicates(
+                predicates, specs_by_id.get(spec_id, []), ice_schema
+            )
+        return projected_cache[spec_id]
+
+    def kv_to_map(v):
+        if not v:
+            return {}
+        if isinstance(v, dict):  # true avro map: string keys
+            return {int(k): val for k, val in v.items()}
+        return {int(r["key"]): r["value"] for r in v}
+
     _, manifests = av.read_file(_local(snap["manifest-list"]))
     data: list[str] = []
     data_seqs: dict[str, int] = {}
     deletes: list[str] = []
     delete_rows = 0
+    files_total = 0
+    files_pruned = 0
+    manifests_pruned = 0
     eq_deletes: list[tuple[str, int, tuple[int, ...], int]] = []
     stored_to_local: dict[str, str] = {}
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == 1
+        spec_id = m.get("partition_spec_id", 0)
+        if predicates and not is_delete_manifest:
+            proj = projected_for(spec_id)
+            if proj and not summary_survives(
+                proj, m.get("partitions"), specs_by_id.get(spec_id, []), ice_schema
+            ):
+                manifests_pruned += 1
+                continue  # whole manifest provably dead
         manifest_seq = m.get("sequence_number")
         if manifest_seq is None:
             manifest_seq = snap_seq.get(m.get("added_snapshot_id"), 0)
@@ -472,6 +526,23 @@ def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
                 seq = snap_seq.get(sid, manifest_seq) if sid else manifest_seq
             local = os.path.abspath(_local(df["file_path"]))
             if content == 0:
+                files_total += 1
+                if predicates:
+                    proj = projected_for(spec_id)
+                    part = df.get("partition") or {}
+                    if proj and not partition_value_survives(
+                        proj, part, specs_by_id.get(spec_id, [])
+                    ):
+                        files_pruned += 1
+                        continue
+                    if not bounds_survive(
+                        predicates,
+                        kv_to_map(df.get("lower_bounds")),
+                        kv_to_map(df.get("upper_bounds")),
+                        ice_schema,
+                    ):
+                        files_pruned += 1
+                        continue
                 data.append(local)
                 data_seqs[local] = int(seq)
                 stored_to_local[df["file_path"]] = local
@@ -500,6 +571,9 @@ def scan_plan_for_snapshot(table: str, meta: dict, snap: dict) -> dict:
         "delete_rows": delete_rows,
         "eq_deletes": eq_deletes,
         "stored_to_local": stored_to_local,
+        "files_total": files_total,
+        "files_pruned": files_pruned,
+        "manifests_pruned": manifests_pruned,
     }
 
 
@@ -639,7 +713,10 @@ def _apply_equality_deletes(
 
 
 def read_iceberg_py(
-    spark: SparkSession, table: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    predicates=None,
 ) -> DataFrame:
     """Read an Iceberg table at the current (or a pinned) snapshot:
     metadata plane on the driver, then a plain NATIVE parquet scan
@@ -647,7 +724,10 @@ def read_iceberg_py(
     positional AND equality deletes applied as merge-on-read
     anti-joins when the snapshot carries them (the shared
     ``__mr_fp``/``__mr_pos`` row ids are computed once, on the scan
-    relation, where ``_metadata`` resolves)."""
+    relation, where ``_metadata`` resolves). ``predicates`` engages
+    partition/bounds metadata pruning (see ``scan_plan_for_snapshot``)
+    — INCLUSIVE: the caller still applies the full row filter to the
+    returned frame; pruning only removes provably-dead file IO."""
     meta = load_table_metadata(table)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError(
@@ -656,7 +736,7 @@ def read_iceberg_py(
     snap = _pick_snapshot(meta, snapshot_id)
     ice_schema = _schema_for_snapshot(meta, snap)
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
-    plan = scan_plan_for_snapshot(table, meta, snap)
+    plan = scan_plan_for_snapshot(table, meta, snap, predicates=predicates)
     if not plan["data_files"]:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*plan["data_files"])
@@ -685,32 +765,13 @@ def read_iceberg_py(
 # fixture writer (spec-layout table so the read path parses the real thing)
 # --------------------------------------------------------------------
 
-_MANIFEST_ENTRY_SCHEMA = {
+_FIELD_SUMMARY_SCHEMA = {
     "type": "record",
-    "name": "manifest_entry",
+    "name": "field_summary",
     "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {
-            "name": "data_file",
-            "field-id": 2,
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int", "field-id": 134},
-                    {"name": "file_path", "type": "string", "field-id": 100},
-                    {"name": "file_format", "type": "string", "field-id": 101},
-                    {"name": "record_count", "type": "long", "field-id": 103},
-                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-                    {
-                        "name": "equality_ids",
-                        "type": ["null", {"type": "array", "items": "int"}],
-                        "field-id": 135,
-                    },
-                ],
-            },
-        },
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
     ],
 }
 
@@ -723,8 +784,92 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "content", "type": "int", "field-id": 517},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY_SCHEMA}],
+            "field-id": 507,
+        },
     ],
 }
+
+_ICE_TO_AVRO = {"int": "int", "long": "long", "string": "string", "date": "int"}
+
+_BOUNDS_KV_SCHEMA = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "kv_bound",
+        "fields": [
+            {"name": "key", "type": "int", "field-id": 117},
+            {"name": "value", "type": "bytes", "field-id": 118},
+        ],
+    },
+}
+
+
+def _entry_schema_for_spec(spec_value_types: list[tuple[str, str]]) -> dict:
+    """The manifest-entry Avro schema for a table whose default spec
+    carries ``[(field_name, partition value iceberg type)]`` — the
+    spec's r102 ``partition`` record plus the k/v-array
+    ``lower_bounds``/``upper_bounds`` maps (Iceberg encodes manifest
+    maps as key/value record arrays). Empty spec → no partition field
+    (byte-compatible with the pre-partitioning manifests)."""
+    data_file_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "field-id": 135,
+        },
+        {
+            "name": "lower_bounds",
+            "type": ["null", _BOUNDS_KV_SCHEMA],
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": ["null", _BOUNDS_KV_SCHEMA],
+            "field-id": 128,
+        },
+    ]
+    if spec_value_types:
+        part_fields = [
+            {
+                "name": name,
+                "type": ["null", _ICE_TO_AVRO[vt]],
+                "field-id": 1000 + i,
+            }
+            for i, (name, vt) in enumerate(spec_value_types)
+        ]
+        data_file_fields.insert(
+            2,
+            {
+                "name": "partition",
+                "field-id": 102,
+                "type": {"type": "record", "name": "r102", "fields": part_fields},
+            },
+        )
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": data_file_fields,
+                },
+            },
+        ],
+    }
 
 
 def _spark_to_iceberg_type(t: str) -> str:
@@ -745,11 +890,61 @@ def _write_token() -> str:
     return f"{os.getpid()}-{next(_WRITE_SEQ)}"
 
 
+# spark dtype -> can this column's parquet footer min/max become
+# manifest bounds? (strings excluded: writers may TRUNCATE physical
+# string stats, and a truncated max understates the upper bound —
+# the same soundness rule as delta_py._file_stats)
+_BOUNDABLE_SPARK = ("bigint", "int", "smallint", "double", "float",
+                    "date", "timestamp", "timestamp_ntz")
+
+
+def _footer_bounds(path: str) -> dict[str, tuple]:
+    """{column: (min, max)} from the parquet footer, aggregated across
+    row groups, numerics/dates/timestamps only (values normalized to
+    the manifest grid: µs for timestamps, day ordinals for dates).
+    Columns with any stats-less chunk are omitted — partial bounds
+    could under-cover the file."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    bad: set[str] = set()
+
+    def norm(v):
+        if isinstance(v, _dt.datetime):
+            return int(
+                (v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
+                / _dt.timedelta(microseconds=1)
+            )
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return v
+
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max or isinstance(st.min, (bytes, str)):
+                bad.add(name)
+                continue
+            mn, mx = norm(st.min), norm(st.max)
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {n: (lo[n], hi[n]) for n in lo if n not in bad}
+
+
 def _stage_parquet_files(spark_df: DataFrame, table: str, prefix: str) -> list[dict]:
     """Write ``spark_df`` to a scratch dir inside the table, move the
     parquet parts into ``data/`` under collision-free names, and
     return spec-shape data_file descriptors (without content — the
-    caller sets 0/1)."""
+    caller sets 0/1). Each descriptor carries ``_bounds_by_name``
+    (column → (min, max) python values from the footer) which
+    ``_commit_snapshot`` serializes into the manifest's
+    lower/upper_bounds once field ids are resolved."""
     import pyarrow.parquet as pq
 
     data_dir = os.path.join(table, "data")
@@ -773,8 +968,96 @@ def _stage_parquet_files(spark_df: DataFrame, table: str, prefix: str) -> list[d
                 "file_format": "PARQUET",
                 "record_count": n_rows,
                 "file_size_in_bytes": os.path.getsize(dest),
+                "_bounds_by_name": _footer_bounds(dest),
             }
         )
+    shutil.rmtree(staging, ignore_errors=True)
+    return descs
+
+
+def _spec_field_name(col: str, kind: str) -> str:
+    if kind == "identity":
+        return col
+    return f"{col}_{'trunc' if kind == 'truncate' else kind}"
+
+
+def _stage_partitioned_files(
+    spark_df: DataFrame,
+    table: str,
+    prefix: str,
+    partition_by: list[tuple[str, str]],
+) -> list[dict]:
+    """Partitioned staging: compute each spec field's partition value
+    as a derived ``__p{i}`` column (spec transforms — see
+    iceberg_transforms; bucket values come from the Arrow-batched
+    murmur3 UDF, everything else stays whole-stage codegen), write
+    with ``partitionBy`` so every data file holds exactly one
+    partition tuple, recover the tuple from the hive-layout directory
+    names, and return descriptors carrying ``partition`` (by spec
+    field name) plus footer bounds. The derived columns are dropped by
+    ``partitionBy`` itself; the SOURCE columns stay in the data files
+    (hidden partitioning — the spec's whole point)."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    from map_reduce_spark.sources.iceberg_transforms import (
+        parse_transform,
+        transform_column,
+        transform_result_type,
+    )
+
+    dtypes = dict(spark_df.dtypes)
+    pcols, pnames, ptypes = [], [], []
+    out = spark_df
+    for i, (col, transform) in enumerate(partition_by):
+        kind, arg = parse_transform(transform)
+        ice_t = _spark_to_iceberg_type(dtypes[col])
+        pc = f"__p{i}"
+        out = out.withColumn(pc, transform_column(col, kind, arg, ice_t))
+        pcols.append(pc)
+        pnames.append(_spec_field_name(col, kind))
+        ptypes.append(transform_result_type(kind, ice_t))
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(table, f".staging-{_write_token()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    out.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+
+    def parse_val(raw: str, vt: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        raw = urllib.parse.unquote(raw)
+        return int(raw) if vt in ("int", "long", "date") else raw
+
+    descs = []
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, staging)
+            parts = {}
+            for seg in [] if rel == "." else rel.split(os.sep):
+                k, _, v = seg.partition("=")
+                idx = pcols.index(k)
+                parts[pnames[idx]] = parse_val(v, ptypes[idx])
+            src = os.path.join(root, name)
+            dest = os.path.join(data_dir, f"{prefix}-{_write_token()}-{name}")
+            os.rename(src, dest)
+            n_rows = pq.ParquetFile(dest).metadata.num_rows
+            if n_rows == 0:
+                os.remove(dest)
+                continue
+            descs.append(
+                {
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "partition": parts,
+                    "_bounds_by_name": _footer_bounds(dest),
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
     return descs
 
@@ -873,12 +1156,63 @@ def _try_publish_metadata(table: str, version: int, new_meta: dict) -> bool:
     return won
 
 
+def _resolve_spec(
+    meta: dict | None,
+    partition_by: list[tuple[str, str]] | None,
+    schema_fields: list[dict],
+) -> list[dict]:
+    """The table's default partition-spec fields (metadata JSON shape:
+    source-id/field-id/name/transform). A new table takes
+    ``partition_by``; an existing table's stored spec is authoritative
+    and a conflicting ``partition_by`` is refused loudly — partition
+    SPEC EVOLUTION is a separate feature this writer does not claim."""
+    from map_reduce_spark.sources.iceberg_transforms import parse_transform
+
+    by_name = {f["name"]: f for f in schema_fields}
+    stored = None
+    if meta is not None:
+        sid = meta.get("default-spec-id", 0)
+        for s in meta.get("partition-specs") or []:
+            if s.get("spec-id") == sid:
+                stored = s["fields"]
+    if stored:
+        if partition_by is not None:
+            by_id = {f["id"]: f["name"] for f in schema_fields}
+            want = [
+                (by_id.get(f["source-id"]), f["transform"]) for f in stored
+            ]
+            if [(c, t) for c, t in partition_by] != want:
+                raise NotImplementedError(
+                    "iceberg_py: partition-spec evolution is not supported; "
+                    f"table spec is {want}, append asked for {partition_by}"
+                )
+        return stored
+    if not partition_by:
+        return []
+    fields = []
+    for i, (col, transform) in enumerate(partition_by):
+        kind, _ = parse_transform(transform)
+        src = by_name.get(col)
+        if src is None:
+            raise KeyError(f"partition source column {col!r} not in schema")
+        fields.append(
+            {
+                "source-id": src["id"],
+                "field-id": 1000 + i,
+                "name": _spec_field_name(col, kind),
+                "transform": transform,
+            }
+        )
+    return fields
+
+
 def _commit_snapshot(
     table: str,
     entry_descs: list[dict],
     manifest_content: int,
     operation: str,
     dtypes=None,
+    partition_by: list[tuple[str, str]] | None = None,
     _max_retries: int = 20,
 ) -> int:
     """The optimistic commit loop: build the new snapshot's manifest +
@@ -886,7 +1220,19 @@ def _commit_snapshot(
     put-if-absent, and on losing the version slot re-derive everything
     from the winner's state and retry. Appends and delete-file commits
     never conflict semantically (both only ADD a manifest), so a blind
-    retry is always safe — exactly Iceberg's own fast-append path."""
+    retry is always safe — exactly Iceberg's own fast-append path.
+
+    Manifest entries carry the spec's ``partition`` tuple plus
+    ``lower_bounds``/``upper_bounds`` serialized from the staged
+    files' parquet footers; the manifest-list row carries per-spec-
+    field value summaries — the three metadata layers the reader's
+    pruning consumes."""
+    from map_reduce_spark.sources.iceberg_transforms import (
+        parse_transform,
+        sv_serialize,
+        transform_result_type,
+    )
+
     av = make_generic_avro()
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -901,13 +1247,68 @@ def _commit_snapshot(
             last_col = meta.get("last-column-id", 0)
         else:
             raise ValueError("cannot commit deletes to a table with no metadata")
-        token = _write_token()
-        entries = [
-            {"status": 1, "snapshot_id": snap_id, "data_file": d}
-            for d in entry_descs
+        cur_schema = next(
+            s for s in schemas if s.get("schema-id") == cur_schema_id
+        )
+        spec_fields = _resolve_spec(meta, partition_by, cur_schema["fields"])
+        by_id = {f["id"]: f for f in cur_schema["fields"]}
+        by_name = {f["name"]: f for f in cur_schema["fields"]}
+        spec_value_types = [
+            (
+                f["name"],
+                transform_result_type(
+                    parse_transform(f["transform"])[0],
+                    by_id[f["source-id"]]["type"],
+                ),
+            )
+            for f in spec_fields
         ]
+        token = _write_token()
+        carry_partition = manifest_content == 0 and bool(spec_fields)
+        entries = []
+        for d in entry_descs:
+            df_rec = {k: v for k, v in d.items() if not k.startswith("_")}
+            bounds = d.get("_bounds_by_name") or {}
+            lo_kv, hi_kv = [], []
+            for col, (mn, mx) in sorted(bounds.items()):
+                f = by_name.get(col)
+                if f is None or not isinstance(f["type"], str):
+                    continue
+                try:
+                    lo_kv.append({"key": f["id"], "value": sv_serialize(mn, f["type"])})
+                    hi_kv.append({"key": f["id"], "value": sv_serialize(mx, f["type"])})
+                except NotImplementedError:
+                    continue
+            df_rec["lower_bounds"] = lo_kv or None
+            df_rec["upper_bounds"] = hi_kv or None
+            if not carry_partition:
+                df_rec.pop("partition", None)
+            entries.append(
+                {"status": 1, "snapshot_id": snap_id, "data_file": df_rec}
+            )
         manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
-        av.write_file(manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+        av.write_file(
+            manifest,
+            _entry_schema_for_spec(spec_value_types if carry_partition else []),
+            entries,
+        )
+        summaries = None
+        if carry_partition:
+            summaries = []
+            for name, vt in spec_value_types:
+                vals = [
+                    e["data_file"]["partition"].get(name)
+                    for e in entries
+                    if e["data_file"].get("partition")
+                ]
+                nn = [v for v in vals if v is not None]
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "lower_bound": sv_serialize(min(nn), vt) if nn else None,
+                        "upper_bound": sv_serialize(max(nn), vt) if nn else None,
+                    }
+                )
         prev_manifests = []
         if meta is not None and (meta.get("snapshots") or []):
             cur = _pick_snapshot(meta, None)
@@ -925,6 +1326,7 @@ def _commit_snapshot(
                     "partition_spec_id": 0,
                     "content": manifest_content,
                     "added_snapshot_id": snap_id,
+                    "partitions": summaries,
                 }
             ],
         )
@@ -939,8 +1341,8 @@ def _commit_snapshot(
             "current-schema-id": cur_schema_id,
             "schemas": schemas,
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "current-snapshot-id": snap_id,
@@ -969,20 +1371,58 @@ def _commit_snapshot(
     raise RuntimeError(f"iceberg commit on {table!r} lost {_max_retries} races")
 
 
-def append_iceberg_snapshot(spark_df: DataFrame, table: str) -> int:
+def append_iceberg_snapshot(
+    spark_df: DataFrame,
+    table: str,
+    partition_by: list[tuple[str, str]] | None = None,
+) -> int:
     """Optimistic append: stage ``spark_df`` as parquet data files,
     wrap them in a spec-layout manifest + manifest list, and publish
     the next ``v{N}.metadata.json`` via the put-if-absent commit loop
     (``_commit_snapshot``) — concurrent appenders all land, in some
     serial order, exactly like ``delta_py.write_delta_py``. Schema
     evolution preserves prior schemas in metadata so snapshot time
-    travel renders each snapshot under its own schema."""
-    descs = _stage_parquet_files(spark_df, table, "s")
+    travel renders each snapshot under its own schema.
+
+    ``partition_by`` = ``[(column, transform)]`` with transforms
+    ``identity``/``bucket[N]``/``truncate[W]``/``year``/``month``/
+    ``day``/``hour`` (iceberg_transforms) creates a PARTITIONED table:
+    data files are split per partition tuple, manifest entries carry
+    the tuple + footer bounds, and the manifest list carries value
+    summaries — the metadata the reader's predicate pruning skips on.
+    Appends to an existing partitioned table inherit its spec (pass
+    None); a different spec is refused (spec evolution unclaimed)."""
+    if partition_by is None:
+        meta, _v = _load_meta_versioned(table)
+        if meta is not None:
+            sid = meta.get("default-spec-id", 0)
+            stored = next(
+                (
+                    s["fields"]
+                    for s in meta.get("partition-specs") or []
+                    if s.get("spec-id") == sid
+                ),
+                None,
+            )
+            if stored:
+                cur = next(
+                    s
+                    for s in meta.get("schemas") or []
+                    if s.get("schema-id") == meta.get("current-schema-id", 0)
+                )
+                by_id = {f["id"]: f["name"] for f in cur["fields"]}
+                partition_by = [
+                    (by_id[f["source-id"]], f["transform"]) for f in stored
+                ]
+    if partition_by:
+        descs = _stage_partitioned_files(spark_df, table, "s", partition_by)
+    else:
+        descs = _stage_parquet_files(spark_df, table, "s")
     for d in descs:
         d["content"] = 0
     return _commit_snapshot(
         table, descs, manifest_content=0, operation="append",
-        dtypes=spark_df.dtypes,
+        dtypes=spark_df.dtypes, partition_by=partition_by,
     )
 
 
@@ -1700,4 +2140,171 @@ def iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("cnt"),
         F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+# --------------------------------------------------------------------
+# partitioned tables: hidden-partition + min/max pruning (round 9)
+# --------------------------------------------------------------------
+
+_PART_SPEC = [("o_orderdate", "year"), ("o_custkey", "bucket[4]")]
+
+# epoch-µs window bounds (TZ-free integers; NOTES rules 4/6)
+_US_1996 = 820_454_400_000_000
+_US_1998 = 883_612_800_000_000
+# custkeys that all land in bucket_4 = 3 (verified via the spec's
+# murmur3 — see tests/test_iceberg_partitioned.py), so the bucket
+# dimension prunes 3 of 4 values while the query still returns rows
+_B3_KEYS = (3, 5, 7, 8, 9, 11, 17, 20, 25, 30, 34, 40)
+
+_ODATE_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+    "o_orderdate)"
+)
+
+
+def _orders_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with money on the cents grid and ``o_orderdate``
+    normalized to an epoch-built TIMESTAMP_NTZ — the civil value every
+    session renders identically (the parquet file reads NTZ or LTZ
+    depending on driver vintage; both paths land on the same µs
+    epoch)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    if o.schema["o_orderdate"].dataType.simpleString() == "timestamp":
+        o = o.withColumn(
+            "o_orderdate",
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(o_orderdate), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "totalprice_cents"
+        ),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def ensure_iceberg_part_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An orders-derived Iceberg v2 table PARTITIONED by
+    ``year(o_orderdate), bucket[4](o_custkey)`` with two appends
+    (even/odd orderkeys → two data manifests, so manifest-LEVEL
+    summary pruning is exercised, not just entry-level). Each append
+    is range-partitioned on ``totalprice_cents`` first, so every
+    partition directory yields files with narrow, mostly-disjoint
+    price ranges — the layout that makes the footer-bounds min/max
+    skipping measurable. Cached under tmp per sf_dir, atomic-rename
+    published."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_part_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir)
+    even = d.filter(F.col("o_orderkey") % 2 == 0)
+    odd = d.filter(F.col("o_orderkey") % 2 == 1)
+    append_iceberg_snapshot(
+        even.repartitionByRange(2, "totalprice_cents"), tmp, _PART_SPEC
+    )
+    append_iceberg_snapshot(odd.repartitionByRange(2, "totalprice_cents"), tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "iceberg_partition_prune",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE epoch_us(o_orderdate) >= {_US_1996}
+  AND epoch_us(o_orderdate) < {_US_1998}
+  AND o_custkey IN {_B3_KEYS}
+GROUP BY o_orderpriority
+""",
+)
+def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partition pruned scan: a two-year window over the
+    ``year`` transform plus a custkey IN-list over ``bucket[4]``. The
+    reader plans from manifest metadata only — whole manifests die on
+    the manifest-list value summaries, remaining files on their
+    partition tuples (inclusive projection: the year range becomes an
+    inclusive ordinal range, the IN-list becomes the bucketed value
+    set) — then the SAME predicate runs as the residual row filter, so
+    the hash match proves pruning dropped only provably-dead files.
+    This is the 100 TB access path: scan cost follows the query's
+    partition footprint (~2/7 years x 1/4 buckets here), not table
+    size, and planning never touches a data file."""
+    table = ensure_iceberg_part_fixture(spark, sf_dir)
+    predicates = [
+        ("o_orderdate", ">=", _US_1996),
+        ("o_orderdate", "<", _US_1998),
+        ("o_custkey", "in", _B3_KEYS),
+    ]
+    df = read_iceberg_py(spark, table, predicates=predicates)
+    us = F.expr(_ODATE_US)
+    return (
+        df.filter(
+            (us >= F.lit(_US_1996))
+            & (us < F.lit(_US_1998))
+            & F.col("o_custkey").isin(*_B3_KEYS)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_price_cents"),
+        )
+    )
+
+
+_MINMAX_CENTS = 45_000_000  # $450k — the high-price tail
+
+
+@register(
+    "iceberg_minmax_prune",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS min_price_cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= {_MINMAX_CENTS}
+GROUP BY o_orderstatus
+""",
+)
+def iceberg_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping on a NON-partition column: the manifest entries'
+    ``lower_bounds``/``upper_bounds`` (serialized from each staged
+    file's parquet footer at commit time) let the planner drop every
+    file whose price range sits wholly below the threshold — the
+    Iceberg twin of ``delta_py.skip_files``. The fixture's range
+    layout makes roughly the bottom half of each partition directory
+    prunable; the residual filter keeps the kept files honest. At
+    100 TB this is the difference between scanning the 10% tail and
+    scanning everything when the predicate isn't a partition key."""
+    table = ensure_iceberg_part_fixture(spark, sf_dir)
+    df = read_iceberg_py(
+        spark, table, predicates=[("totalprice_cents", ">=", _MINMAX_CENTS)]
+    )
+    return (
+        df.filter(F.col("totalprice_cents") >= _MINMAX_CENTS)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_price_cents"),
+            F.min("totalprice_cents").alias("min_price_cents"),
+        )
     )

@@ -115,11 +115,11 @@ def test_deleted_entries_are_filtered(spark, tmp_path):
     I.append_iceberg_snapshot(_mk(spark, 40), tbl)
     av, meta, snap, manifests = _first_manifest(tbl)
     mpath = manifests[0]["manifest_path"]
-    _, entries = av.read_file(mpath)
+    mschema, entries = av.read_file(mpath)
     n_files = len(entries)
     assert n_files >= 1
     entries[0]["status"] = 2
-    av.write_file(mpath, I._MANIFEST_ENTRY_SCHEMA, entries)
+    av.write_file(mpath, mschema, entries)
     files = I.data_files_for_snapshot(tbl, meta, snap)
     assert len(files) == n_files - 1
 
@@ -132,10 +132,10 @@ def test_malformed_equality_delete_gate(spark, tmp_path):
     I.append_iceberg_snapshot(_mk(spark, 10), tbl)
     av, meta, snap, manifests = _first_manifest(tbl)
     mpath = manifests[0]["manifest_path"]
-    _, entries = av.read_file(mpath)
+    mschema, entries = av.read_file(mpath)
     entries[0]["data_file"]["content"] = 2  # equality delete file
     entries[0]["data_file"]["equality_ids"] = None
-    av.write_file(mpath, I._MANIFEST_ENTRY_SCHEMA, entries)
+    av.write_file(mpath, mschema, entries)
     with pytest.raises(NotImplementedError, match="equality_ids"):
         I.read_iceberg_py(spark, tbl)
 

@@ -117,7 +117,7 @@ def test_iceberg_changes_inherits_manifest_snapshot_id(spark, tmp_path):
     for e in entries:
         e["snapshot_id"] = None  # inherit
         e["status"] = 0  # EXISTING (manifest merge re-record)
-    av.write_file(mpath, I._MANIFEST_ENTRY_SCHEMA, entries)
+    av.write_file(mpath, schema, entries)
     feed = I.read_iceberg_changes(spark, tbl, from_snapshot=1)
     # pre-fix: null/EXISTING entries were silently excluded -> empty
     assert feed.count() == 5
