@@ -1206,6 +1206,64 @@ def _resolve_spec(
     return fields
 
 
+def _build_manifest_entries(
+    entry_descs: list[dict],
+    schema_by_name: dict,
+    snap_id: int,
+    carry_partition: bool,
+) -> list[dict]:
+    """Manifest entries from staged descriptors: serialize the footer
+    bounds (``_bounds_by_name``) into field-id-keyed k/v arrays and
+    strip staging-private keys."""
+    from map_reduce_spark.sources.iceberg_transforms import sv_serialize
+
+    entries = []
+    for d in entry_descs:
+        df_rec = {k: v for k, v in d.items() if not k.startswith("_")}
+        bounds = d.get("_bounds_by_name") or {}
+        lo_kv, hi_kv = [], []
+        for col, (mn, mx) in sorted(bounds.items()):
+            f = schema_by_name.get(col)
+            if f is None or not isinstance(f["type"], str):
+                continue
+            try:
+                lo_kv.append({"key": f["id"], "value": sv_serialize(mn, f["type"])})
+                hi_kv.append({"key": f["id"], "value": sv_serialize(mx, f["type"])})
+            except NotImplementedError:
+                continue
+        df_rec["lower_bounds"] = lo_kv or None
+        df_rec["upper_bounds"] = hi_kv or None
+        if not carry_partition:
+            df_rec.pop("partition", None)
+        entries.append({"status": 1, "snapshot_id": snap_id, "data_file": df_rec})
+    return entries
+
+
+def _partition_summaries(
+    entries: list[dict], spec_value_types: list[tuple[str, str]]
+) -> list[dict]:
+    """Manifest-list field summaries over the entries' partition
+    tuples (per spec field: contains_null + value bounds)."""
+    from map_reduce_spark.sources.iceberg_transforms import sv_serialize
+
+    summaries = []
+    for name, vt in spec_value_types:
+        vals = [
+            e["data_file"]["partition"].get(name)
+            for e in entries
+            if e["data_file"].get("partition")
+        ]
+        nn = [v for v in vals if v is not None]
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "lower_bound": sv_serialize(min(nn), vt) if nn else None,
+                "upper_bound": sv_serialize(max(nn), vt) if nn else None,
+            }
+        )
+    return summaries
+
+
 def _commit_snapshot(
     table: str,
     entry_descs: list[dict],
@@ -1265,50 +1323,20 @@ def _commit_snapshot(
         ]
         token = _write_token()
         carry_partition = manifest_content == 0 and bool(spec_fields)
-        entries = []
-        for d in entry_descs:
-            df_rec = {k: v for k, v in d.items() if not k.startswith("_")}
-            bounds = d.get("_bounds_by_name") or {}
-            lo_kv, hi_kv = [], []
-            for col, (mn, mx) in sorted(bounds.items()):
-                f = by_name.get(col)
-                if f is None or not isinstance(f["type"], str):
-                    continue
-                try:
-                    lo_kv.append({"key": f["id"], "value": sv_serialize(mn, f["type"])})
-                    hi_kv.append({"key": f["id"], "value": sv_serialize(mx, f["type"])})
-                except NotImplementedError:
-                    continue
-            df_rec["lower_bounds"] = lo_kv or None
-            df_rec["upper_bounds"] = hi_kv or None
-            if not carry_partition:
-                df_rec.pop("partition", None)
-            entries.append(
-                {"status": 1, "snapshot_id": snap_id, "data_file": df_rec}
-            )
+        entries = _build_manifest_entries(
+            entry_descs, by_name, snap_id, carry_partition
+        )
         manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
         av.write_file(
             manifest,
             _entry_schema_for_spec(spec_value_types if carry_partition else []),
             entries,
         )
-        summaries = None
-        if carry_partition:
-            summaries = []
-            for name, vt in spec_value_types:
-                vals = [
-                    e["data_file"]["partition"].get(name)
-                    for e in entries
-                    if e["data_file"].get("partition")
-                ]
-                nn = [v for v in vals if v is not None]
-                summaries.append(
-                    {
-                        "contains_null": any(v is None for v in vals),
-                        "lower_bound": sv_serialize(min(nn), vt) if nn else None,
-                        "upper_bound": sv_serialize(max(nn), vt) if nn else None,
-                    }
-                )
+        summaries = (
+            _partition_summaries(entries, spec_value_types)
+            if carry_partition
+            else None
+        )
         prev_manifests = []
         if meta is not None and (meta.get("snapshots") or []):
             cur = _pick_snapshot(meta, None)
@@ -2307,4 +2335,442 @@ def iceberg_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("totalprice_cents").alias("sum_price_cents"),
             F.min("totalprice_cents").alias("min_price_cents"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# copy-on-write MERGE (round 9): the delta_py.merge_upsert twin
+# --------------------------------------------------------------------
+
+
+def clone_iceberg_table(src: str, dest: str) -> None:
+    """Private hardlink clone (mutating queries never share fixture
+    state — the delta_py.clone_delta_table twin). Every file in the
+    table tree is immutable once committed, so hardlinks are safe; the
+    clone's first commit writes only NEW files into its own tree, and
+    the localizer re-anchors stored paths (old snapshots keep reading
+    the shared immutable files)."""
+    for root, dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dest, rel) if rel != "." else dest
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            try:
+                os.link(os.path.join(root, f), os.path.join(out, f))
+            except FileExistsError:
+                pass
+
+
+def _try_commit_rewrite(
+    table: str,
+    victim_locals: set[str],
+    new_descs: list[dict],
+    operation: str = "overwrite",
+    base: tuple[dict, int] | None = None,
+) -> int | None:
+    """ONE optimistic attempt at a rewrite commit: the new snapshot's
+    manifest list re-wraps every current manifest with its victim
+    entries filtered out (a manifest left victim-free is carried
+    as-is; one left empty is dropped), plus a fresh manifest adding
+    ``new_descs``. Returns the committed snapshot id, or None on
+    losing the version race — the CALLER re-derives victims and the
+    rewrite against the winner's state (delta_py.try_commit
+    discipline; a blind retry here could resurrect rows).
+
+    Filtered manifests keep their original ``added_snapshot_id`` and
+    every surviving entry's ``snapshot_id``, so v2 sequence-number
+    inheritance is unchanged; their summaries carry over (they may
+    over-cover after filtering, which is sound — pruning bounds only
+    ever need to be INCLUSIVE)."""
+    from map_reduce_spark.sources.iceberg_transforms import (
+        parse_transform,
+        transform_result_type,
+    )
+
+    av = make_generic_avro()
+    mdir = os.path.join(table, "metadata")
+    # the commit is PINNED to the state the caller planned against
+    # (``base``); a racer taking that version slot fails the publish
+    # and the caller replans — committing against a silently-reloaded
+    # newer state would base the rewrite on rows it never read
+    meta, version = base if base is not None else _load_meta_versioned(table)
+    if meta is None:
+        raise ValueError("rewrite commit on a table with no metadata")
+    snap_id = version + 1
+    schemas = meta.get("schemas") or []
+    cur_schema_id = meta.get("current-schema-id", 0)
+    cur_schema = next(s for s in schemas if s.get("schema-id") == cur_schema_id)
+    spec_fields = _resolve_spec(meta, None, cur_schema["fields"])
+    by_id = {f["id"]: f for f in cur_schema["fields"]}
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    spec_value_types = [
+        (
+            f["name"],
+            transform_result_type(
+                parse_transform(f["transform"])[0],
+                by_id[f["source-id"]]["type"],
+            ),
+        )
+        for f in spec_fields
+    ]
+    _local = _make_localizer(table, meta)
+    token = _write_token()
+    rows = []
+    scratch: list[str] = []  # this attempt's manifest files, removed on loss
+    if meta.get("snapshots"):
+        cur = _pick_snapshot(meta, None)
+        _, manifests = av.read_file(_local(cur["manifest-list"]))
+        for m in manifests:
+            mschema, entries = av.read_file(_local(m["manifest_path"]))
+            keep = [
+                e
+                for e in entries
+                if e.get("status") == 2
+                or (e["data_file"].get("content") or 0) != 0
+                or os.path.abspath(_local(e["data_file"]["file_path"]))
+                not in victim_locals
+            ]
+            if len(keep) == len(entries):
+                rows.append(m)
+                continue
+            if not any(
+                e.get("status") != 2 for e in keep
+            ):  # nothing live survives
+                continue
+            fpath = os.path.join(
+                mdir, f"manifest-{snap_id}-{token}-f{len(rows)}.avro"
+            )
+            av.write_file(fpath, mschema, keep)
+            scratch.append(fpath)
+            rows.append(
+                dict(
+                    m,
+                    manifest_path=fpath,
+                    manifest_length=os.path.getsize(fpath),
+                )
+            )
+    carry_partition = bool(spec_fields)
+    entries = _build_manifest_entries(new_descs, by_name, snap_id, carry_partition)
+    manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
+    av.write_file(
+        manifest,
+        _entry_schema_for_spec(spec_value_types if carry_partition else []),
+        entries,
+    )
+    scratch.append(manifest)
+    rows.append(
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": snap_id,
+            "partitions": _partition_summaries(entries, spec_value_types)
+            if carry_partition
+            else None,
+        }
+    )
+    mlist = os.path.join(mdir, f"snap-{snap_id}-{token}.avro")
+    av.write_file(mlist, _MANIFEST_LIST_SCHEMA, rows)
+    scratch.append(mlist)
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": snap_id,
+            "current-snapshot-id": snap_id,
+            "snapshots": (meta.get("snapshots") or [])
+            + [
+                {
+                    "snapshot-id": snap_id,
+                    "sequence-number": snap_id,
+                    "timestamp-ms": 0,
+                    "manifest-list": mlist,
+                    "schema-id": cur_schema_id,
+                    "summary": {"operation": operation},
+                }
+            ],
+        },
+    )
+    # KEEP the recorded location: surviving entries' stored paths share
+    # its prefix, which is exactly what the localizer re-anchors under
+    # the table's current root (a clone/rename). Overriding it with the
+    # current root would orphan every pre-rewrite path.
+    if _try_publish_metadata(table, snap_id, new_meta):
+        return snap_id
+    for p in scratch:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return None
+
+
+_MERGE_INLIST_MAX = 10_000
+
+
+def merge_iceberg_upsert(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key: str,
+    _max_retries: int = 5,
+) -> int:
+    """Copy-on-write MERGE (upsert) into an Iceberg table — the
+    delta_py.merge_upsert twin: matched target rows take the source
+    row's values, unmatched source rows insert. CANDIDATE files come
+    from the reader's own metadata pruning with the source-key IN-list
+    (bucket/identity partition projection + per-file key bounds), so
+    only files that can possibly hold a match are read or rewritten —
+    the write-amplification bound at 100 TB. Unmatched-source
+    detection anti-joins candidate rows only (inclusive pruning ⇒ any
+    match lives in a candidate file, so the anti-join is complete).
+    Partitioned tables restage the rewrite per partition tuple.
+
+    Source must be key-unique (the SQL MERGE precondition), enforced
+    by weaving ``assert_true`` into the key expression (the house
+    pattern — a free-standing guard column would be pruned). Tables
+    carrying merge-on-read deletes are refused loudly: rewriting a
+    file without applying its deletes resurrects rows (NOTES rule 42).
+    Returns the committed snapshot id."""
+    from pyspark.sql.window import Window
+
+    from map_reduce_spark.sources.delta_py import _control_plane_rows
+
+    meta0 = load_table_metadata(table)
+    ice_schema0 = _schema_for_snapshot(meta0, _pick_snapshot(meta0, None))
+    schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema0))
+    want = {f.name: f.dataType.simpleString() for f in schema.fields}
+    got = dict(source.dtypes)
+    if got != want:
+        raise TypeError(
+            f"merge source schema must match the table exactly: "
+            f"table {want}, source {got}"
+        )
+    key_type = got[key]
+    guarded_key = F.when(
+        F.count("*").over(Window.partitionBy(key)) > 1,
+        F.assert_true(
+            F.lit(False), F.lit("merge source has duplicate keys")
+        ).cast(key_type),
+    ).otherwise(F.col(key))
+    src = source.withColumn(key, guarded_key)
+    # candidate predicate: the exact key IN-list while it is metadata-
+    # sized (it prices like a pruning literal set, not data), else the
+    # single-row key bounds — a billion-key source must never collect
+    # its key set to the driver
+    key_rows = _control_plane_rows(
+        src.select(F.col(key).alias("k")).distinct().limit(_MERGE_INLIST_MAX + 1),
+        "merge key set (bounded)",
+    )
+    if len(key_rows) > _MERGE_INLIST_MAX:
+        b = _control_plane_rows(
+            src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")),
+            "merge key bounds",
+        )[0]
+        preds = (
+            [(key, ">=", b.lo), (key, "<=", b.hi)] if b.lo is not None else None
+        )
+    else:
+        key_set = tuple(sorted(r.k for r in key_rows if r.k is not None))
+        preds = [(key, "in", key_set)] if key_set else None
+    cols = [f.name for f in schema.fields]
+    src_named = src.select(*[F.col(c).alias(f"__s_{c}") for c in cols])
+    for _ in range(_max_retries):
+        meta, base_version = _load_meta_versioned(table)
+        snap = _pick_snapshot(meta, None)
+        plan = scan_plan_for_snapshot(table, meta, snap, predicates=preds)
+        if plan["delete_files"] or plan["eq_deletes"]:
+            raise NotImplementedError(
+                "merge_iceberg_upsert: table carries merge-on-read delete "
+                "files; compact them into data files first (rewriting a "
+                "file without applying its deletes would resurrect rows)"
+            )
+        cand = plan["data_files"]
+        if cand:
+            cand_rows = spark.read.schema(schema).parquet(*cand)
+            joined = cand_rows.join(
+                src_named, cand_rows[key] == src_named[f"__s_{key}"], "left"
+            )
+            rewritten = joined.select(
+                *[
+                    F.when(F.col(f"__s_{key}").isNotNull(), F.col(f"__s_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+            inserts = src_named.join(
+                cand_rows.select(F.col(key).alias("__t_k")),
+                src_named[f"__s_{key}"] == F.col("__t_k"),
+                "left_anti",
+            ).select(*[F.col(f"__s_{c}").alias(c) for c in cols])
+            out = rewritten.unionByName(inserts)
+        else:  # no file can hold a match: pure insert
+            out = src_named.select(*[F.col(f"__s_{c}").alias(c) for c in cols])
+        sid = meta.get("default-spec-id", 0)
+        stored = next(
+            (
+                s["fields"]
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == sid
+            ),
+            None,
+        )
+        if stored:
+            by_id = {f["id"]: f["name"] for f in ice_schema0["fields"]}
+            partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
+            descs = _stage_partitioned_files(out, table, "m", partition_by)
+        else:
+            descs = _stage_parquet_files(out, table, "m")
+        for d in descs:
+            d["content"] = 0
+        snap_id = _try_commit_rewrite(
+            table,
+            {os.path.abspath(p) for p in cand},
+            descs,
+            base=(meta, base_version),
+        )
+        if snap_id is not None:
+            return snap_id
+        for d in descs:  # lost the race: drop this attempt's data files
+            try:
+                os.remove(d["file_path"])
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"iceberg merge on {table!r} lost {_max_retries} races")
+
+
+def _cust_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+
+
+def ensure_iceberg_cust_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Customer as an Iceberg table partitioned by
+    ``bucket[4](c_nationkey)`` and range-clustered on ``c_custkey``
+    (6 ranges per partition directory), so a key-range merge source
+    implicates only the top custkey slice of each directory through
+    the per-file bounds — the layout that gives the COW merge real
+    write-amplification numbers. Cached/atomic-published like every
+    fixture."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_cust_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    append_iceberg_snapshot(
+        _cust_frame(spark, sf_dir).repartitionByRange(6, "c_custkey"),
+        tmp,
+        [("c_nationkey", "bucket[4]")],
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "iceberg_merge_upsert",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+         c_mktsegment
+  FROM customer
+),
+mk AS (SELECT MAX(c_custkey) AS mk FROM c),
+thresh AS (SELECT CAST(floor((mk * 9) / 10) AS BIGINT) AS th, mk FROM mk),
+kept AS (
+  SELECT c_custkey, c_nationkey, acctbal_cents, c_mktsegment AS seg
+  FROM c, thresh WHERE c_custkey <= th
+),
+upd AS (
+  SELECT c_custkey, c_nationkey, acctbal_cents + 555 AS acctbal_cents,
+         'ICEMERGED' AS seg
+  FROM c, thresh WHERE c_custkey > th
+),
+ins AS (
+  SELECT mk + i AS c_custkey, CAST((mk + i) % 25 AS BIGINT) AS c_nationkey,
+         CAST((mk + i) * 17 AS BIGINT) AS acctbal_cents, 'ICENEW' AS seg
+  FROM thresh, (SELECT unnest(range(1, 41)) AS i)
+),
+merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT seg,
+       COUNT(*) AS cnt,
+       CAST(SUM(acctbal_cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM merged
+GROUP BY seg
+""",
+)
+def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE into an Iceberg-resident customer table
+    (the ``delta_merge_upsert`` twin on the other format): the top
+    decile of custkeys updates (balance +555, segment 'ICEMERGED'),
+    40 new keys above the current max insert ('ICENEW'). Runs on a
+    PRIVATE hardlink clone; candidate files come from the reader's
+    metadata pruning over the source-key IN-list against per-file
+    custkey bounds, so only the top range slice of each bucket
+    directory rewrites (locked in tests/test_iceberg_partitioned.py);
+    the table's ``bucket[4](c_nationkey)`` spec makes the rewrite
+    restage per partition tuple. Content-idempotent: source values
+    derive from the BASE table, so replaying the merge converges to
+    the same state (re-run inserts become same-value updates)."""
+    import tempfile
+
+    base = ensure_iceberg_cust_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_merge_{key}")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+
+    cust = _cust_frame(spark, sf_dir)
+    mk = cust.agg(F.max("c_custkey").alias("mk"))
+    th = F.floor(F.col("mk") * 9 / 10).cast("long")
+    upd = (
+        cust.crossJoin(F.broadcast(mk))
+        .filter(F.col("c_custkey") > th)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("acctbal_cents") + 555).alias("acctbal_cents"),
+            F.lit("ICEMERGED").alias("c_mktsegment"),
+        )
+    )
+    newk = F.col("mk") + F.col("id")
+    types = dict(cust.dtypes)
+    ins = (
+        spark.range(1, 41)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            newk.cast(types["c_custkey"]).alias("c_custkey"),
+            F.concat(F.lit("icenew#"), newk.cast("string")).alias("c_name"),
+            (newk % 25).cast(types["c_nationkey"]).alias("c_nationkey"),
+            (newk * 17).cast(types["acctbal_cents"]).alias("acctbal_cents"),
+            F.lit("ICENEW").alias("c_mktsegment"),
+        )
+    )
+    merge_iceberg_upsert(spark, table, upd.unionByName(ins), "c_custkey")
+    out = read_iceberg_py(spark, table)
+    return out.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("acctbal_cents").alias("sum_cents"),
+        F.sum("c_nationkey").alias("sum_nation"),
+        F.max("c_custkey").alias("max_key"),
     )
