@@ -114,6 +114,15 @@ _PRIORITY: tuple[str, ...] = (
     "delta_column_mapping_scan",
     "delta_schema_evolution_travel",
     "iceberg_schema_evolution_travel",
+    # later-r9 additions (no driver row yet): partitioned-Iceberg
+    # pruning pair, the COW merge, and the plain-format scans
+    "iceberg_partition_prune",
+    "iceberg_minmax_prune",
+    "iceberg_merge_upsert",
+    "streaming_iceberg_sink",
+    "orc_scan",
+    "csv_scan",
+    "json_scan",
     # r9-changed: delta_py family (DV gate/checkpoint/read path)
     "delta_scan",
     "delta_time_travel",
@@ -149,7 +158,12 @@ _PRIORITY: tuple[str, ...] = (
     "pandas_scalar_norm",
     "pandas_zscore_by_label",
     "pandas_grouped_agg",
-    # r3-era rows: LLM/corpus family first (NOTES rule 14)
+    # r3-era rows: LLM/corpus family first (NOTES rule 14). The later
+    # six r9 additions above displaced heavy_hitters, unigram_logprob,
+    # bm25_rank, vocab_coverage, q4_order_priority and
+    # q13_customer_distribution past rank 50 (never-driven beats
+    # stale-row refresh); they keep their green r3 rows and the
+    # builder's full-catalog sf0.01 drive re-covers them this round.
     "contamination_check",
     "repetition_stats",
     "inverted_index",
@@ -157,9 +171,6 @@ _PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "bm25_rank",
     "vocab_coverage",
-    # r3-era rows: oldest TPC-H/join rows (join_salted and
-    # band_join_bucketed, ranks 51-52, yield their slots to the
-    # never-driven column-mapping and equality-delete scans)
     "q4_order_priority",
     "q13_customer_distribution",
 )

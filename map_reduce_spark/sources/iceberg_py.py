@@ -1264,6 +1264,18 @@ def _partition_summaries(
     return summaries
 
 
+def _txn_ledger(meta: dict | None, app_id: str) -> int:
+    """Highest epoch this appId has committed to the table, tracked in
+    snapshot summaries (Iceberg has no txn action; summary properties
+    are the spec's extension point) — -1 for never."""
+    best = -1
+    for s in (meta.get("snapshots") if meta else None) or []:
+        sm = s.get("summary") or {}
+        if sm.get("mr-app-id") == app_id:
+            best = max(best, int(sm.get("mr-epoch", -1)))
+    return best
+
+
 def _commit_snapshot(
     table: str,
     entry_descs: list[dict],
@@ -1271,8 +1283,9 @@ def _commit_snapshot(
     operation: str,
     dtypes=None,
     partition_by: list[tuple[str, str]] | None = None,
+    txn: tuple[str, int] | None = None,
     _max_retries: int = 20,
-) -> int:
+) -> int | None:
     """The optimistic commit loop: build the new snapshot's manifest +
     manifest list + metadata against the CURRENT table state, publish
     put-if-absent, and on losing the version slot re-derive everything
@@ -1297,6 +1310,16 @@ def _commit_snapshot(
     for _ in range(_max_retries):
         meta, version = _load_meta_versioned(table)
         snap_id = version + 1
+        if txn is not None and _txn_ledger(meta, txn[0]) >= txn[1]:
+            # post-commit replay (possibly our own appId's previous
+            # incarnation winning a race mid-loop): orphan this
+            # attempt's staged data files, commit nothing
+            for d in entry_descs:
+                try:
+                    os.remove(d["file_path"])
+                except FileNotFoundError:
+                    pass
+            return None
         if dtypes is not None:
             schemas, cur_schema_id, last_col = _evolve_iceberg_schemas(meta, dtypes)
         elif meta is not None:
@@ -1382,7 +1405,13 @@ def _commit_snapshot(
                     "timestamp-ms": 0,
                     "manifest-list": mlist,
                     "schema-id": cur_schema_id,
-                    "summary": {"operation": operation},
+                    "summary": {"operation": operation}
+                    if txn is None
+                    else {
+                        "operation": operation,
+                        "mr-app-id": txn[0],
+                        "mr-epoch": str(txn[1]),
+                    },
                 }
             ],
         }
@@ -2773,4 +2802,135 @@ def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("acctbal_cents").alias("sum_cents"),
         F.sum("c_nationkey").alias("sum_nation"),
         F.max("c_custkey").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------
+# exactly-once streaming sink (round 9): the streaming_delta_sink twin
+# --------------------------------------------------------------------
+
+
+def append_iceberg_stream_batch(
+    df: DataFrame,
+    table: str,
+    app_id: str,
+    epoch_id: int,
+    partition_by: list[tuple[str, str]] | None = None,
+) -> int | None:
+    """Exactly-once micro-batch append: the snapshot summary carries
+    ``{mr-app-id, mr-epoch}`` (Iceberg has no Delta-style ``txn``
+    action; summary properties are the spec's sanctioned extension
+    point), and a batch whose epoch is already <= the table's recorded
+    ledger for this appId is a POST-COMMIT REPLAY — skipped before
+    staging anything. The dedup travels inside the same atomic
+    metadata publish as the data, and the racing-incarnation window is
+    re-checked inside the commit loop (a previous incarnation of the
+    same appId winning mid-loop orphans this attempt's files instead
+    of double-landing the epoch). Returns the committed snapshot id,
+    or None for a skipped replay."""
+    meta, _v = _load_meta_versioned(table)
+    if _txn_ledger(meta, app_id) >= epoch_id:
+        return None
+    if partition_by is None and meta is not None:
+        sid = meta.get("default-spec-id", 0)
+        stored = next(
+            (
+                s["fields"]
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == sid
+            ),
+            None,
+        )
+        if stored:
+            cur = next(
+                s
+                for s in meta.get("schemas") or []
+                if s.get("schema-id") == meta.get("current-schema-id", 0)
+            )
+            by_id = {f["id"]: f["name"] for f in cur["fields"]}
+            partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
+    if partition_by:
+        descs = _stage_partitioned_files(df, table, "s", partition_by)
+    else:
+        descs = _stage_parquet_files(df, table, "s")
+    for d in descs:
+        d["content"] = 0
+    return _commit_snapshot(
+        table,
+        descs,
+        manifest_content=0,
+        operation="append",
+        dtypes=df.dtypes,
+        partition_by=partition_by,
+        txn=(app_id, epoch_id),
+    )
+
+
+def write_stream_iceberg(
+    source: DataFrame,
+    table: str,
+    app_id: str,
+    checkpoint_dir: str,
+    partition_by: list[tuple[str, str]] | None = None,
+) -> None:
+    """Drain a stream into an Iceberg table via ``foreachBatch`` +
+    ``append_iceberg_stream_batch`` (AvailableNow — the scheduled-
+    deployment trigger; drop it for a continuous run)."""
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        append_iceberg_stream_batch(df, table, app_id, epoch_id, partition_by)
+
+    q = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "streaming_iceberg_sink",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest stream landing in an Iceberg table: events stream
+    (AvailableNow) -> foreachBatch -> snapshots whose summaries carry
+    the {appId, epoch} exactly-once ledger, read back through the
+    manifest chain and aggregated per event type. The oracle is the
+    batch SQL over the same events — a dropped batch, a
+    double-committed replay, or a torn append all mismatch. Replay and
+    racing-incarnation dedup are fault-injected in
+    tests/test_iceberg_stream.py; this run certifies the happy path
+    plus read-back. Scale shape matches the Delta twin: O(batch) per
+    micro-batch (stage, move, one put-if-absent metadata link), table
+    readable throughout."""
+    import shutil as _sh
+    import tempfile
+
+    from map_reduce_spark.streaming.jobs import stream_events
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"mr_spark_ice_stream_{os.getpid()}"
+    )
+    _sh.rmtree(scratch, ignore_errors=True)
+    table = os.path.join(scratch, "tbl")
+    chk = os.path.join(scratch, "chk")
+    src = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    write_stream_iceberg(src, table, app_id="events_ingest", checkpoint_dir=chk)
+    df = read_iceberg_py(spark, table)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
     )
