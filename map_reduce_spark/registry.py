@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_partition_prune",
     "iceberg_minmax_prune",
     "iceberg_merge_upsert",
+    "iceberg_delete_where",
     "streaming_iceberg_sink",
     "orc_scan",
     "csv_scan",

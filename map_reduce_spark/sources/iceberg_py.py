@@ -2480,25 +2480,26 @@ def _try_commit_rewrite(
             )
     carry_partition = bool(spec_fields)
     entries = _build_manifest_entries(new_descs, by_name, snap_id, carry_partition)
-    manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
-    av.write_file(
-        manifest,
-        _entry_schema_for_spec(spec_value_types if carry_partition else []),
-        entries,
-    )
-    scratch.append(manifest)
-    rows.append(
-        {
-            "manifest_path": manifest,
-            "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
-            "content": 0,
-            "added_snapshot_id": snap_id,
-            "partitions": _partition_summaries(entries, spec_value_types)
-            if carry_partition
-            else None,
-        }
-    )
+    if entries:  # a pure delete (every victim row dropped) adds nothing
+        manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
+        av.write_file(
+            manifest,
+            _entry_schema_for_spec(spec_value_types if carry_partition else []),
+            entries,
+        )
+        scratch.append(manifest)
+        rows.append(
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+                "partitions": _partition_summaries(entries, spec_value_types)
+                if carry_partition
+                else None,
+            }
+        )
     mlist = os.path.join(mdir, f"snap-{snap_id}-{token}.avro")
     av.write_file(mlist, _MANIFEST_LIST_SCHEMA, rows)
     scratch.append(mlist)
@@ -2933,4 +2934,131 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
+    )
+
+
+def delete_iceberg_where(
+    spark: SparkSession, table: str, predicate, _max_retries: int = 5
+) -> int:
+    """Copy-on-write DELETE — the delta_py.delete_where twin: find the
+    files actually CONTAINING matching rows (file-granularity control
+    plane via ``_metadata.file_path`` on one scan), rewrite only those
+    files minus the matches, commit as a manifest rewrite. Untouched
+    files are carried, so a selective delete rewrites a handful of
+    files at 100 TB, never the table. Returns the committed (or, for a
+    no-match no-op, current) snapshot id.
+
+    SQL DELETE semantics on NULLs: only predicate-TRUE rows are
+    deleted — NULL-predicate rows are KEPT, so victim selection and
+    the rewrite filter both go through ``coalesce(predicate, false)``
+    (a bare ``~predicate`` maps NULL to NULL and would silently drop
+    those rows from the rewrite). Merge-on-read tables are refused
+    (rewriting without applying delete files resurrects rows)."""
+    from map_reduce_spark.sources.delta_py import _control_plane_rows
+
+    pred_true = F.coalesce(predicate, F.lit(False))
+    for _ in range(_max_retries):
+        meta, base_version = _load_meta_versioned(table)
+        snap = _pick_snapshot(meta, None)
+        plan = scan_plan_for_snapshot(table, meta, snap)
+        if plan["delete_files"] or plan["eq_deletes"]:
+            raise NotImplementedError(
+                "delete_iceberg_where: table carries merge-on-read delete "
+                "files; compact first (or use commit_positional_deletes "
+                "for another MOR delete)"
+            )
+        ice_schema = _schema_for_snapshot(meta, snap)
+        schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
+        if not plan["data_files"]:
+            return snap["snapshot-id"]
+        active = spark.read.schema(schema).parquet(*plan["data_files"])
+        victims_df = (
+            active.filter(pred_true)
+            .select(_strip_file_scheme(F.col("_metadata.file_path")).alias("fp"))
+            .distinct()
+        )
+        victims = {
+            os.path.abspath(r.fp)
+            for r in _control_plane_rows(victims_df, "delete rewrite set")
+        }
+        if not victims:
+            return snap["snapshot-id"]  # nothing matches: no-op
+        keep_rows = (
+            spark.read.schema(schema).parquet(*sorted(victims)).filter(~pred_true)
+        )
+        sid = meta.get("default-spec-id", 0)
+        stored = next(
+            (
+                s["fields"]
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == sid
+            ),
+            None,
+        )
+        if stored:
+            by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+            partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
+            descs = _stage_partitioned_files(keep_rows, table, "d", partition_by)
+        else:
+            descs = _stage_parquet_files(keep_rows, table, "d")
+        for d in descs:
+            d["content"] = 0
+        snap_id = _try_commit_rewrite(
+            table, victims, descs, operation="delete", base=(meta, base_version)
+        )
+        if snap_id is not None:
+            return snap_id
+        for d in descs:  # lost the race: re-derive against the winner
+            try:
+                os.remove(d["file_path"])
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"iceberg delete on {table!r} lost {_max_retries} races")
+
+
+@register(
+    "iceberg_delete_where",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(totalprice_cents) AS BIGINT) AS sum_price_cents
+FROM d
+WHERE NOT (o_orderstatus = 'F' AND totalprice_cents > {_MINMAX_CENTS})
+GROUP BY o_orderpriority
+""",
+)
+def iceberg_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on a private clone of the PARTITIONED
+    orders fixture: finished orders above the price threshold vanish;
+    the rewrite restages only the files that actually held matches
+    (per-file victim detection, not pruning bounds) per partition
+    tuple. The oracle recomputes the final state relationally —
+    over-deletion (the NULL trap), under-deletion, and resurrected
+    rows all hash-mismatch. Content-idempotent: a replay matches
+    nothing and no-ops."""
+    import tempfile
+
+    base = ensure_iceberg_part_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_del_{key}")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+    delete_iceberg_where(
+        spark,
+        table,
+        (F.col("o_orderstatus") == "F")
+        & (F.col("totalprice_cents") > _MINMAX_CENTS),
+    )
+    return (
+        read_iceberg_py(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_price_cents"),
+        )
     )

@@ -109,3 +109,46 @@ def test_merge_refuses_mor_tables(spark, tmp_path):
     I.commit_positional_deletes(spark, tbl, F.col("id") < 3)
     with pytest.raises(NotImplementedError, match="merge-on-read"):
         I.merge_iceberg_upsert(spark, tbl, _source(spark), "id")
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    """SQL DELETE keeps NULL-predicate rows — the exact trap the r8
+    advisor found in the Delta delete: a victim file mixing TRUE and
+    NULL rows must keep its NULL rows in the rewrite."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)], "id bigint, v bigint"
+    )
+    I.append_iceberg_snapshot(d, tbl)
+    I.delete_iceberg_where(spark, tbl, F.col("v") > 20)  # NULL for 2,4
+    got = sorted(r["id"] for r in I.read_iceberg_py(spark, tbl).collect())
+    assert got == [1, 2, 4]  # NULL rows kept, only v>20 deleted
+
+
+def test_delete_where_touches_only_victim_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(
+        _mk(spark).repartitionByRange(5, "id"), tbl
+    )
+    meta = I.load_table_metadata(tbl)
+    snap = I._pick_snapshot(meta, None)
+    before = set(I.scan_plan_for_snapshot(tbl, meta, snap)["data_files"])
+    I.delete_iceberg_where(spark, tbl, F.col("id") >= 95)
+    meta2 = I.load_table_metadata(tbl)
+    snap2 = I._pick_snapshot(meta2, None)
+    after = set(I.scan_plan_for_snapshot(tbl, meta2, snap2)["data_files"])
+    assert before & after, "non-victim files must be carried untouched"
+    assert I.read_iceberg_py(spark, tbl).count() == 95
+    # replay is a no-op commit (content-idempotent)
+    v = I.delete_iceberg_where(spark, tbl, F.col("id") >= 95)
+    assert I.read_iceberg_py(spark, tbl).count() == 95
+    assert v == I._pick_snapshot(I.load_table_metadata(tbl), None)["snapshot-id"]
+
+
+def test_delete_where_all_rows_of_a_file(spark, tmp_path):
+    """A victim file whose every row matches produces an EMPTY rewrite:
+    the commit carries only the manifest filter, no new files."""
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(_mk(spark, 50).repartitionByRange(5, "id"), tbl)
+    I.delete_iceberg_where(spark, tbl, F.lit(True))
+    assert I.read_iceberg_py(spark, tbl).count() == 0
