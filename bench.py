@@ -118,6 +118,17 @@ HEADLINE = [
     # deletes / deletion vectors applied as metadata-column anti-joins)
     "iceberg_mor_scan",
     "delta_dv_scan",
+    # later round 9: partitioned-Iceberg plan pruning (hidden partitions
+    # + footer bounds), the COW merge/delete pair, the exactly-once
+    # Iceberg stream sink, and the plain-format scans
+    "iceberg_partition_prune",
+    "iceberg_minmax_prune",
+    "iceberg_merge_upsert",
+    "iceberg_delete_where",
+    "streaming_iceberg_sink",
+    "orc_scan",
+    "csv_scan",
+    "json_scan",
 ]
 
 
