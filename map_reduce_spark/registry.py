@@ -120,6 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_minmax_prune",
     "iceberg_merge_upsert",
     "iceberg_delete_where",
+    "iceberg_compact_mor",
+    "iceberg_partition_evolution",
     "streaming_iceberg_sink",
     "orc_scan",
     "csv_scan",

@@ -1332,6 +1332,7 @@ def _commit_snapshot(
             s for s in schemas if s.get("schema-id") == cur_schema_id
         )
         spec_fields = _resolve_spec(meta, partition_by, cur_schema["fields"])
+        default_sid = meta.get("default-spec-id", 0) if meta else 0
         by_id = {f["id"]: f for f in cur_schema["fields"]}
         by_name = {f["name"]: f for f in cur_schema["fields"]}
         spec_value_types = [
@@ -1374,26 +1375,39 @@ def _commit_snapshot(
                 {
                     "manifest_path": manifest,
                     "manifest_length": os.path.getsize(manifest),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": default_sid,
                     "content": manifest_content,
                     "added_snapshot_id": snap_id,
                     "partitions": summaries,
                 }
             ],
         )
+        # preserve the table's full spec HISTORY (partition evolution:
+        # old manifests keep reading/pruning under THEIR spec ids)
+        if meta is not None and meta.get("partition-specs"):
+            specs_list = meta["partition-specs"]
+            last_part_id = meta.get(
+                "last-partition-id", 999 + sum(len(s["fields"]) for s in specs_list)
+            )
+        else:
+            specs_list = [{"spec-id": 0, "fields": spec_fields}]
+            last_part_id = 999 + len(spec_fields)
         snapshots = (meta.get("snapshots") if meta else None) or []
         new_meta = {
             "format-version": 2,
             "table-uuid": hashlib.md5(os.path.abspath(table).encode()).hexdigest(),
-            "location": table,
+            # an existing table KEEPS its recorded location: stored
+            # paths share its prefix, which is what the localizer
+            # re-anchors under the current root after a rename/clone
+            "location": meta.get("location", table) if meta else table,
             "last-sequence-number": snap_id,
             "last-updated-ms": 0,
             "last-column-id": last_col,
             "current-schema-id": cur_schema_id,
             "schemas": schemas,
-            "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "last-partition-id": 999 + len(spec_fields),
+            "default-spec-id": default_sid,
+            "partition-specs": specs_list,
+            "last-partition-id": last_part_id,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "current-snapshot-id": snap_id,
@@ -3057,6 +3071,306 @@ def iceberg_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_iceberg_py(spark, table)
         .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_price_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# compaction: rewrite data files, RESOLVING merge-on-read deletes
+# --------------------------------------------------------------------
+
+
+def compact_iceberg_files(
+    spark: SparkSession, table: str, out_files: int = 4, _max_retries: int = 5
+) -> int:
+    """Rewrite the current snapshot's data files into ``out_files``
+    right-sized files per partition tuple, APPLYING any positional /
+    equality delete files in the process and dropping them from the
+    new snapshot — the maintenance operator the merge/delete MOR gates
+    point at ("compact first"), and the Iceberg twin of
+    ``delta_py.optimize_compact`` with the extra job real Iceberg
+    compaction does: folding the delete backlog back into plain data
+    files so every downstream rewrite is safe again.
+
+    The read side is the ordinary MOR-resolving reader, so resolution
+    correctness is the already-certified path; the commit publishes a
+    manifest list containing ONLY the new data manifest (old data AND
+    delete manifests fall away atomically). Content-idempotent: the
+    table state before and after hashes identically — compaction moves
+    bytes, never rows."""
+    for _ in range(_max_retries):
+        meta, version = _load_meta_versioned(table)
+        if meta is None:
+            raise ValueError("compact on a table with no metadata")
+        snap = _pick_snapshot(meta, None)
+        snap_id = version + 1
+        resolved = read_iceberg_py(spark, table)
+        sid = meta.get("default-spec-id", 0)
+        stored = next(
+            (
+                s["fields"]
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == sid
+            ),
+            None,
+        )
+        ice_schema = _schema_for_snapshot(meta, snap)
+        if stored:
+            by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+            partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
+            descs = _stage_partitioned_files(
+                resolved.repartition(out_files), table, "c", partition_by
+            )
+        else:
+            descs = _stage_parquet_files(
+                resolved.repartition(out_files), table, "c"
+            )
+        for d in descs:
+            d["content"] = 0
+        # commit: a manifest list holding ONLY the new manifest — every
+        # old data file and delete file leaves the live set atomically
+        from map_reduce_spark.sources.iceberg_transforms import (
+            parse_transform,
+            transform_result_type,
+        )
+
+        av = make_generic_avro()
+        mdir = os.path.join(table, "metadata")
+        schemas = meta.get("schemas") or []
+        cur_schema_id = meta.get("current-schema-id", 0)
+        cur_schema = next(
+            s for s in schemas if s.get("schema-id") == cur_schema_id
+        )
+        spec_fields = stored or []
+        by_id_f = {f["id"]: f for f in cur_schema["fields"]}
+        by_name = {f["name"]: f for f in cur_schema["fields"]}
+        spec_value_types = [
+            (
+                f["name"],
+                transform_result_type(
+                    parse_transform(f["transform"])[0],
+                    by_id_f[f["source-id"]]["type"],
+                ),
+            )
+            for f in spec_fields
+        ]
+        carry = bool(spec_fields)
+        entries = _build_manifest_entries(descs, by_name, snap_id, carry)
+        token = _write_token()
+        manifest = os.path.join(mdir, f"manifest-{snap_id}-{token}.avro")
+        av.write_file(
+            manifest,
+            _entry_schema_for_spec(spec_value_types if carry else []),
+            entries,
+        )
+        mlist = os.path.join(mdir, f"snap-{snap_id}-{token}.avro")
+        av.write_file(
+            mlist,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": sid,
+                    "content": 0,
+                    "added_snapshot_id": snap_id,
+                    "partitions": _partition_summaries(entries, spec_value_types)
+                    if carry
+                    else None,
+                }
+            ],
+        )
+        new_meta = dict(
+            meta,
+            **{
+                "last-sequence-number": snap_id,
+                "current-snapshot-id": snap_id,
+                "snapshots": (meta.get("snapshots") or [])
+                + [
+                    {
+                        "snapshot-id": snap_id,
+                        "sequence-number": snap_id,
+                        "timestamp-ms": 0,
+                        "manifest-list": mlist,
+                        "schema-id": cur_schema_id,
+                        "summary": {"operation": "replace"},
+                    }
+                ],
+            },
+        )
+        if _try_publish_metadata(table, snap_id, new_meta):
+            return snap_id
+        for p in (manifest, mlist):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+        for d in descs:
+            try:
+                os.remove(d["file_path"])
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"iceberg compact on {table!r} lost {_max_retries} races")
+
+
+@register(
+    "iceberg_compact_mor",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_cents,
+         {_L_B8_SQL} AS b8
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents
+FROM d
+WHERE b8 < 6
+GROUP BY l_returnflag
+""",
+)
+def iceberg_compact_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of a merge-on-read table on a private clone of the
+    MOR fixture: the positional-delete backlog folds back into plain
+    data files, the delete manifests leave the live set, and the
+    post-compaction aggregate must hash-equal the MOR reader's view
+    (the same oracle as ``iceberg_mor_scan`` — compaction moves bytes,
+    never rows). tests/test_iceberg_compact.py additionally locks that
+    delete files are gone, the COW merge gate reopens, and time travel
+    still sees the pre-compaction MOR view."""
+    import tempfile
+
+    base = ensure_iceberg_mor_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_compact_{key}")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+    compact_iceberg_files(spark, table)
+    df = read_iceberg_py(spark, table)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum("qty_cents").alias("sum_qty_cents"),
+    )
+
+
+# --------------------------------------------------------------------
+# partition-spec evolution (round 9): re-layout WITHOUT rewriting data
+# --------------------------------------------------------------------
+
+
+def evolve_iceberg_partition_spec(
+    table: str, new_partition_by: list[tuple[str, str]], _max_retries: int = 20
+) -> int:
+    """Iceberg's headline layout feature: change the partition spec
+    WITHOUT touching a single data file. A new spec (next spec-id,
+    partition field ids continuing from ``last-partition-id``) becomes
+    the default; old manifests keep their spec id and keep pruning
+    under THEIR spec, new appends lay out and prune under the new one
+    — exactly the spec's contract, and the reader's per-manifest
+    projection cache already evaluates each manifest under its own
+    spec. Metadata-only put-if-absent commit (no snapshot added);
+    returns the new spec id."""
+    from map_reduce_spark.sources.iceberg_transforms import parse_transform
+
+    for _ in range(_max_retries):
+        meta, version = _load_meta_versioned(table)
+        if meta is None:
+            raise ValueError("cannot evolve the spec of a table with no metadata")
+        cur_schema = next(
+            s
+            for s in meta.get("schemas") or []
+            if s.get("schema-id") == meta.get("current-schema-id", 0)
+        )
+        by_name = {f["name"]: f for f in cur_schema["fields"]}
+        specs = list(meta.get("partition-specs") or [])
+        last_pid = meta.get("last-partition-id", 999)
+        new_sid = max((s.get("spec-id", 0) for s in specs), default=-1) + 1
+        fields = []
+        for col, transform in new_partition_by:
+            kind, _ = parse_transform(transform)
+            src = by_name.get(col)
+            if src is None:
+                raise KeyError(f"partition source column {col!r} not in schema")
+            last_pid += 1
+            fields.append(
+                {
+                    "source-id": src["id"],
+                    "field-id": last_pid,
+                    "name": _spec_field_name(col, kind),
+                    "transform": transform,
+                }
+            )
+        new_meta = dict(
+            meta,
+            **{
+                "partition-specs": specs + [{"spec-id": new_sid, "fields": fields}],
+                "default-spec-id": new_sid,
+                "last-partition-id": last_pid,
+            },
+        )
+        if _try_publish_metadata(table, version + 1, new_meta):
+            return new_sid
+    raise RuntimeError(f"spec evolution on {table!r} lost {_max_retries} races")
+
+
+@register(
+    "iceberg_partition_evolution",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE epoch_us(o_orderdate) >= {_US_1996}
+  AND epoch_us(o_orderdate) < {_US_1998}
+GROUP BY o_orderstatus
+""",
+)
+def iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end to end: half of orders lands under
+    spec 0 (``year(o_orderdate)``), the spec evolves — zero data files
+    rewritten — and the other half lands under spec 1 (``year`` +
+    ``bucket[4](o_custkey)``). The two-year-window read then prunes
+    EACH manifest under its own spec id (the per-manifest projection
+    the reader caches), and the residual filter + oracle prove the
+    evolved table still answers exactly. This is the 100 TB
+    re-layout story: changing the partitioning of a petabyte table is
+    a metadata commit, not a rewrite."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_evo_{key}")
+    if not os.path.isdir(table):
+        tmp = f"{table}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        d = _orders_frame(spark, sf_dir)
+        append_iceberg_snapshot(
+            d.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+            tmp,
+            [("o_orderdate", "year")],
+        )
+        evolve_iceberg_partition_spec(
+            tmp, [("o_orderdate", "year"), ("o_custkey", "bucket[4]")]
+        )
+        append_iceberg_snapshot(
+            d.filter(F.col("o_orderkey") % 2 == 1).repartition(2), tmp
+        )
+        try:
+            os.rename(tmp, table)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    predicates = [
+        ("o_orderdate", ">=", _US_1996),
+        ("o_orderdate", "<", _US_1998),
+    ]
+    df = read_iceberg_py(spark, table, predicates=predicates)
+    us = F.expr(_ODATE_US)
+    return (
+        df.filter((us >= F.lit(_US_1996)) & (us < F.lit(_US_1998)))
+        .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("cnt"),
             F.sum("totalprice_cents").alias("sum_price_cents"),

@@ -198,3 +198,43 @@ def test_bounds_recorded_without_strings(spark, tmp_path):
     hi = {kv["key"]: kv["value"] for kv in dfm["upper_bounds"]}
     assert sv_deserialize(lo[schema_fields["id"]], "long") == 1
     assert sv_deserialize(hi[schema_fields["x"]], "double") == 2.5
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Evolving the spec rewrites ZERO data files; each manifest prunes
+    under its own spec afterwards; the pre-evolution append's files
+    never move."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    d = _mk(spark, 120)
+    II.append_iceberg_snapshot(d.filter("id < 60"), tbl, [("ts", "month")])
+    meta1 = II.load_table_metadata(tbl)
+    snap1 = II._pick_snapshot(meta1, None)
+    files_before = set(II.scan_plan_for_snapshot(tbl, meta1, snap1)["data_files"])
+    new_sid = II.evolve_iceberg_partition_spec(
+        tbl, [("ts", "month"), ("grp", "bucket[4]")]
+    )
+    assert new_sid == 1
+    II.append_iceberg_snapshot(d.filter("id >= 60"), tbl)  # inherits spec 1
+    meta2 = II.load_table_metadata(tbl)
+    assert meta2["default-spec-id"] == 1
+    assert [s["spec-id"] for s in meta2["partition-specs"]] == [0, 1]
+    # spec-1 field ids continue past spec-0's (global partition id space)
+    ids0 = [f["field-id"] for f in meta2["partition-specs"][0]["fields"]]
+    ids1 = [f["field-id"] for f in meta2["partition-specs"][1]["fields"]]
+    assert min(ids1) > max(ids0)
+    snap2 = II._pick_snapshot(meta2, None)
+    files_after = set(II.scan_plan_for_snapshot(tbl, meta2, snap2)["data_files"])
+    assert files_before <= files_after  # zero rewrites: old files carried
+    # the grp predicate prunes only spec-1 manifests (spec-0 ones keep
+    # all their files — grp wasn't a partition column there)
+    plan = II.scan_plan_for_snapshot(tbl, meta2, snap2, predicates=[("grp", "=", 2)])
+    assert plan["files_pruned"] > 0
+    assert files_before <= set(plan["data_files"]) | files_before
+    full = II.read_iceberg_py(spark, tbl)
+    got = II.read_iceberg_py(spark, tbl, predicates=[("grp", "=", 2)]).filter(
+        F.col("grp") == 2
+    )
+    want = full.filter(F.col("grp") == 2)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
