@@ -129,6 +129,11 @@ HEADLINE = [
     "orc_scan",
     "csv_scan",
     "json_scan",
+    # later round 9: MOR-resolving compaction, spec evolution, and the
+    # zero-copy Delta->Iceberg migration
+    "iceberg_compact_mor",
+    "iceberg_partition_evolution",
+    "migrate_delta_to_iceberg",
 ]
 
 

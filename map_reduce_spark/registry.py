@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_delete_where",
     "iceberg_compact_mor",
     "iceberg_partition_evolution",
+    "migrate_delta_to_iceberg",
     "streaming_iceberg_sink",
     "orc_scan",
     "csv_scan",

@@ -3376,3 +3376,114 @@ def iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("totalprice_cents").alias("sum_price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# cross-format migration: Delta -> Iceberg without moving a byte
+# --------------------------------------------------------------------
+
+
+def migrate_delta_to_iceberg(
+    spark: SparkSession, delta_table: str, iceberg_table: str
+) -> int:
+    """Metadata-only table migration (the real-world ``snapshot`` /
+    ``migrate`` action): the Delta table's ACTIVE file set becomes an
+    Iceberg v2 snapshot — each parquet data file HARDLINKED (zero data
+    movement, but immune to a later Delta VACUUM, unlike a pure
+    in-place reference) into the new table, wrapped in manifests with
+    freshly computed footer bounds, committed through the ordinary
+    optimistic loop. The Delta side is read-only throughout.
+
+    Gates loudly on what a file-level migration cannot express:
+    deletion-vector files (rows would resurrect), column mapping
+    (physical names would strand), and hive-partitioned layouts
+    (partition values live in directory names, not in the files the
+    manifests would point at — Iceberg requires source columns IN the
+    data). At 100 TB this is the migration users actually run:
+    O(files) metadata work, zero bytes rewritten."""
+    from map_reduce_spark.sources.delta_py import _gate_dv_rewrite, snapshot
+
+    snap = snapshot(delta_table)
+    _gate_dv_rewrite(snap, "migrate_delta_to_iceberg")
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "migrate_delta_to_iceberg: hive-partitioned Delta layouts keep "
+            "partition values in directory names, not in the data files — "
+            "rewrite via read + partitioned append instead"
+        )
+    data_dir = os.path.join(iceberg_table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    descs = []
+    for rel in sorted(snap.adds):
+        src = os.path.join(delta_table, rel)
+        dest = os.path.join(
+            data_dir, f"mig-{_write_token()}-{os.path.basename(rel)}"
+        )
+        try:
+            os.link(src, dest)
+        except FileExistsError:
+            pass
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(dest).metadata.num_rows
+        if n_rows == 0:
+            os.remove(dest)
+            continue
+        descs.append(
+            {
+                "file_path": dest,
+                "file_format": "PARQUET",
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "content": 0,
+                "_bounds_by_name": _footer_bounds(dest),
+            }
+        )
+    dtypes = [(f.name, f.dataType.simpleString()) for f in snap.schema.fields]
+    return _commit_snapshot(
+        iceberg_table, descs, manifest_content=0, operation="append",
+        dtypes=dtypes,
+    )
+
+
+@register(
+    "migrate_delta_to_iceberg",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def migrate_delta_to_iceberg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end format migration: the Delta-resident customer
+    fixture snapshots into a brand-new Iceberg table without moving a
+    byte (hardlinked data files — tests assert shared inodes), and the
+    Iceberg reader's aggregate must hash-equal the plain batch SQL.
+    Post-migration the table is a full citizen: footer bounds are in
+    its manifests, so min/max pruning works immediately
+    (tests/test_iceberg_migrate.py)."""
+    import tempfile
+
+    from map_reduce_spark.sources.delta_py import ensure_customer_delta
+
+    base = ensure_customer_delta(spark, sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_mig_{key}")
+    if not os.path.isdir(dest):
+        tmp = f"{dest}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        migrate_delta_to_iceberg(spark, base, tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    df = read_iceberg_py(spark, dest)
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.sum("acctbal_cents").alias("sum_cents"),
+        F.max("c_custkey").alias("max_key"),
+    )
