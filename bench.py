@@ -134,6 +134,7 @@ HEADLINE = [
     "iceberg_compact_mor",
     "iceberg_partition_evolution",
     "migrate_delta_to_iceberg",
+    "migrate_iceberg_to_delta",
 ]
 
 

@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_compact_mor",
     "iceberg_partition_evolution",
     "migrate_delta_to_iceberg",
+    "migrate_iceberg_to_delta",
     "streaming_iceberg_sink",
     "orc_scan",
     "csv_scan",

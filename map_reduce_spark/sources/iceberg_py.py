@@ -3487,3 +3487,99 @@ def migrate_delta_to_iceberg_query(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("acctbal_cents").alias("sum_cents"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+def migrate_iceberg_to_delta(
+    spark: SparkSession,
+    iceberg_table: str,
+    delta_table: str,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """The reverse migration: the Iceberg table's current live file
+    set becomes Delta version 0 — data files hardlinked into the new
+    table root, add actions carrying per-file stats (numRecords always,
+    min/max for ``stats_cols``), one atomic ``try_commit``. Iceberg
+    partitioned tables migrate fine (hidden partitioning keeps source
+    columns IN the data files; the Delta table is simply unpartitioned
+    and relies on its per-file stats for skipping). Merge-on-read
+    tables are refused — compact first. The destination must not
+    already be a Delta table."""
+    from map_reduce_spark.sources.delta_py import (
+        _PROTOCOL_ACTION,
+        _add_actions,
+        _meta_action,
+        latest_version,
+        try_commit,
+    )
+
+    if latest_version(delta_table) is not None:
+        raise ValueError(f"{delta_table!r} is already a Delta table")
+    meta = load_table_metadata(iceberg_table)
+    snap = _pick_snapshot(meta, None)
+    plan = scan_plan_for_snapshot(iceberg_table, meta, snap)
+    if plan["delete_files"] or plan["eq_deletes"]:
+        raise NotImplementedError(
+            "migrate_iceberg_to_delta: table carries merge-on-read delete "
+            "files; compact_iceberg_files first"
+        )
+    ice_schema = _schema_for_snapshot(meta, snap)
+    schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
+    os.makedirs(delta_table, exist_ok=True)
+    moved = []
+    for src in sorted(plan["data_files"]):
+        rel = f"mig-{_write_token()}-{os.path.basename(src)}"
+        try:
+            os.link(src, os.path.join(delta_table, rel))
+        except FileExistsError:
+            pass
+        moved.append((rel, {}, os.path.getsize(src)))
+    actions = [_PROTOCOL_ACTION, _meta_action(schema, delta_table, ())]
+    actions.extend(_add_actions(delta_table, moved, stats_cols))
+    actions.append(
+        {"commitInfo": {"operation": "MIGRATE", "engine": "map_reduce_spark"}}
+    )
+    if not try_commit(delta_table, 0, actions):
+        raise RuntimeError(f"lost the creation race for {delta_table!r}")
+    return 0
+
+
+@register(
+    "migrate_iceberg_to_delta",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def migrate_iceberg_to_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip the other way: the Iceberg-resident lineitem fixture
+    snapshots into a brand-new Delta table (hardlinked files, per-file
+    c-key stats in the add actions), and the Delta log-replay reader's
+    aggregate must hash-equal the plain batch SQL. Together with
+    ``migrate_delta_to_iceberg`` this closes the format-migration
+    pair: a user can move either direction as a metadata commit."""
+    import tempfile
+
+    from map_reduce_spark.sources.delta_py import read_delta_py
+
+    base = ensure_iceberg_fixture(spark, sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_mig_{key}")
+    if not os.path.isdir(dest):
+        tmp = f"{dest}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        migrate_iceberg_to_delta(
+            spark, base, tmp, stats_cols=("l_orderkey",)
+        )
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    df = read_delta_py(spark, dest)
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )

@@ -64,3 +64,35 @@ def test_migration_gates(spark, tmp_path):
     D.delete_where_dv(spark, delta2, F.col("id") < 5)
     with pytest.raises(NotImplementedError, match="deletion-vector"):
         I.migrate_delta_to_iceberg(spark, delta2, str(tmp_path / "i2"))
+
+
+def test_reverse_migration_roundtrip(spark, tmp_path):
+    """Iceberg → Delta: shared inodes, row equality — including from a
+    PARTITIONED iceberg table (hidden partitioning keeps source
+    columns in the files, so the Delta import is lossless)."""
+    ice = str(tmp_path / "i")
+    delta = str(tmp_path / "d")
+    d = _mk(spark)
+    I.append_iceberg_snapshot(
+        d.withColumn("g", F.col("id") % 3), ice, [("g", "bucket[2]")]
+    )
+    I.migrate_iceberg_to_delta(spark, ice, delta, stats_cols=("id",))
+    got = D.read_delta_py(spark, delta)
+    want = d.withColumn("g", F.col("id") % 3)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    ice_inodes = {
+        os.stat(os.path.join(ice, "data", f)).st_ino
+        for f in os.listdir(os.path.join(ice, "data"))
+    }
+    for f in os.listdir(delta):
+        if f.endswith(".parquet"):
+            assert os.stat(os.path.join(delta, f)).st_ino in ice_inodes
+    # stats landed: delta-side skipping prunes on id immediately
+    snap = D.snapshot(delta)
+    assert len(D.skip_files(snap, "id", 70, 200)) < len(snap.adds)
+    # destination-exists and MOR gates
+    with pytest.raises(ValueError, match="already a Delta table"):
+        I.migrate_iceberg_to_delta(spark, ice, delta)
+    I.commit_positional_deletes(spark, ice, F.col("id") < 3)
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        I.migrate_iceberg_to_delta(spark, ice, str(tmp_path / "d2"))
