@@ -135,6 +135,7 @@ HEADLINE = [
     "iceberg_partition_evolution",
     "migrate_delta_to_iceberg",
     "migrate_iceberg_to_delta",
+    "iceberg_production_loop",
 ]
 
 

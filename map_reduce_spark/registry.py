@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_partition_evolution",
     "migrate_delta_to_iceberg",
     "migrate_iceberg_to_delta",
+    "iceberg_production_loop",
     "streaming_iceberg_sink",
     "orc_scan",
     "csv_scan",

@@ -3583,3 +3583,107 @@ def migrate_iceberg_to_delta_query(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("cnt"),
         F.sum("price_cents").alias("sum_price_cents"),
     )
+
+
+@register(
+    "iceberg_production_loop",
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderpriority
+  FROM orders
+),
+mk AS (SELECT MAX(o_orderkey) AS mk FROM c),
+th AS (SELECT CAST(floor((mk * 9) / 10) AS BIGINT) AS th, mk FROM mk),
+kept AS (
+  SELECT o_orderkey, o_orderstatus, cents, o_orderpriority AS prio
+  FROM c, th WHERE o_orderkey <= th AND o_orderkey % 97 <> 0
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, cents + 333 AS cents, 'LOOP' AS prio
+  FROM c, th WHERE o_orderkey > th
+),
+ins AS (
+  SELECT mk + i AS o_orderkey, 'N' AS o_orderstatus,
+         CAST((mk + i) * 19 AS BIGINT) AS cents, 'LOOPNEW' AS prio
+  FROM th, (SELECT unnest(range(1, 21)) AS i)
+),
+state AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM merged UNION ALL SELECT * FROM ins
+),
+final AS (
+  SELECT * FROM state
+  WHERE NOT (o_orderstatus = 'F' AND cents > {_MINMAX_CENTS})
+)
+SELECT prio, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY prio
+""",
+)
+def iceberg_production_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed lakehouse maintenance loop on ONE partitioned
+    table, every operator this round added, in production order:
+    (1) a merge-on-read positional DELETE lands without rewriting
+    data, (2) COMPACTION folds the delete backlog back into plain
+    files (reopening the COW gates), (3) a MERGE upserts the top
+    orderkey decile (+333 cents, priority 'LOOP') and inserts 20 new
+    keys — the MOR-deleted keys in that range come back as inserts,
+    which the oracle models exactly, (4) a COW DELETE drops finished
+    orders above the price threshold. One relational oracle replays
+    all four states, so any cross-operator interaction bug (deletes
+    resurrected by the merge, compaction changing rows, pruning
+    dropping live files) hash-mismatches. Content-idempotent: a
+    replay converges to the identical state because every source
+    derives from the BASE table."""
+    import tempfile
+
+    base = ensure_iceberg_part_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_loop_{key}")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+    commit_positional_deletes(spark, table, F.col("o_orderkey") % 97 == 0)
+    compact_iceberg_files(spark, table, out_files=8)
+    cust = _orders_frame(spark, sf_dir)
+    mk = cust.agg(F.max("o_orderkey").alias("mk"))
+    th = F.floor(F.col("mk") * 9 / 10).cast("long")
+    upd = (
+        cust.crossJoin(F.broadcast(mk))
+        .filter(F.col("o_orderkey") > th)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("totalprice_cents") + 333).alias("totalprice_cents"),
+            "o_orderdate",
+            F.lit("LOOP").alias("o_orderpriority"),
+        )
+    )
+    newk = F.col("mk") + F.col("id")
+    ins = (
+        spark.range(1, 21)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            newk.alias("o_orderkey"),
+            (newk % 100).alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            (newk * 19).alias("totalprice_cents"),
+            F.lit("1996-06-01 00:00:00").cast("timestamp_ntz").alias("o_orderdate"),
+            F.lit("LOOPNEW").alias("o_orderpriority"),
+        )
+    )
+    merge_iceberg_upsert(spark, table, upd.unionByName(ins), "o_orderkey")
+    delete_iceberg_where(
+        spark,
+        table,
+        (F.col("o_orderstatus") == "F")
+        & (F.col("totalprice_cents") > _MINMAX_CENTS),
+    )
+    return (
+        read_iceberg_py(spark, table)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_cents"),
+        )
+    )
