@@ -136,6 +136,7 @@ HEADLINE = [
     "migrate_delta_to_iceberg",
     "migrate_iceberg_to_delta",
     "iceberg_production_loop",
+    "delta_partition_prune",
 ]
 
 

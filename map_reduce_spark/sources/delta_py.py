@@ -2701,3 +2701,78 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").alias("sum_cents"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+def ensure_delta_part_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as a hive-partitioned Delta table (``o_year`` string
+    partition column recovered from the directory layout at read
+    time), cached per sf_dir with the usual atomic publish. The year
+    column is derived TZ-free from the µs epoch so the fixture is
+    byte-identical under any session timezone."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_part_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    if o.schema["o_orderdate"].dataType.simpleString() == "timestamp":
+        o = o.withColumn(
+            "o_orderdate",
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(o_orderdate), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "totalprice_cents"
+        ),
+        F.year("o_orderdate").cast("string").alias("o_year"),
+        "o_orderpriority",
+    )
+    write_delta_py(
+        d.repartition(2), tmp, mode="overwrite", partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "delta_partition_prune",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) IN ('1996', '1997')
+GROUP BY o_orderpriority
+""",
+)
+def delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-time partition pruning on a hive-partitioned Delta table —
+    the Delta-side twin of ``iceberg_partition_prune``, taking the
+    OTHER pruning path: the reader recovers the partition column from
+    the directory layout, so Catalyst itself prunes the scan
+    (PartitionFilters in the FileScan, locked by
+    tests/test_delta.py::test_partition_prune_plan) rather than the
+    driver-side manifest walk. At 100 TB both paths end the same way:
+    scan cost follows the predicate's partition footprint."""
+    df = read_delta_py(spark, ensure_delta_part_fixture(spark, sf_dir))
+    return (
+        df.filter(F.col("o_year").isin("1996", "1997"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_price_cents"),
+        )
+    )

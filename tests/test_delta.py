@@ -246,3 +246,28 @@ def test_stats_survive_checkpoint_for_skipping(spark, tbl):
     )
     snap = D.snapshot(tbl)  # seeded from cp@1
     assert len(D.skip_files(snap, "id", 1000, 1009)) == 1
+
+
+def test_partition_prune_plan(spark, sf_dir):
+    """The o_year predicate must prune at PLAN time: the FileScan's
+    partition filters carry it, and the scanned file count equals the
+    two matching years' directories, not the table."""
+    from map_reduce_spark.sources.delta_py import (
+        ensure_delta_part_fixture,
+        read_delta_py,
+        snapshot,
+    )
+
+    table = ensure_delta_part_fixture(spark, sf_dir)
+    df = read_delta_py(spark, table).filter(F.col("o_year").isin("1996", "1997"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    snap = snapshot(table)
+    matching = [
+        r for r, a in snap.adds.items()
+        if a["partitionValues"].get("o_year") in ("1996", "1997")
+    ]
+    assert 0 < len(matching) < len(snap.adds)
+    assert df.count() > 0
