@@ -77,29 +77,28 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# The round-9 window:
+# The round-9 window (final, after the second build wave):
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the eight r9 additions with NO driver row yet (the merge-on-read
-#     trio — positional, incremental-with-deletes, equality — plus
-#     expire for Iceberg, the Delta deletion-vector and
-#     column-mapping scans, and the two schema-evolution-travel
-#     queries);
-#   - every query on an r9-changed file (file-granularity staleness
-#     rule): the whole delta_py family (DV support touched the
-#     protocol gate, checkpoint codec, and read path), the iceberg_py
-#     trio (scan plan + writer rewrite), and sqlite_scan (partition
-#     affinity gate);
+#   - the 22 r9 additions with NO driver row yet: the merge-on-read
+#     trio + expire + DV/column-mapping scans + the two
+#     schema-evolution-travel queries (first wave), then the
+#     partitioned-Iceberg pruning pair, COW merge/delete, MOR
+#     compaction, partition-spec evolution, both zero-copy
+#     migrations, the composed production loop, the Delta
+#     partition-prune twin, the exactly-once Iceberg stream sink,
+#     and the three plain-format scans (second wave);
+#   - every query on an r9-changed file: the delta_py family, the
+#     iceberg_py trio, and sqlite_scan;
 #   - the r8-verdict-named displaced six (scd2_merge, session_window,
-#     window_sliding/tumbling, unpivot_stack, asof_join) plus ALL
-#     remaining r2-era rows — after this window no query's latest
-#     green row predates round 2;
-#   - the rest of the budget on r3-era rows, LLM/corpus family first
-#     (NOTES rule 14), then the oldest TPC-H/join rows.
-# Everything else holds a green r3-r8 row on an unchanged-or-
-# comment-only file and follows in registration order; the builder's
-# full-catalog sf0.01 drive covers the whole registry each round.
-# The round-8 window comment (for the r8 rationale) is in git history.
+#     window_sliding/tumbling, unpivot_stack, asof_join) and as many
+#     r2-era rows as the remaining budget holds.
+# Displaced past rank 50 by the second wave (never-driven beats
+# stale-row refresh): join_full_outer, the pandas-UDF trio,
+# python_udtf, and the r3-era LLM/TPC-H tail — all keep green r2/r3
+# rows on unchanged files, and the builder's full-catalog sf0.01
+# drive re-covers the whole registry on the final tree each round.
+# Prior windows' rationales are in git history.
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
