@@ -305,20 +305,31 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
         return read_delta_py(spark, path)
 
 
-def read_iceberg(spark: SparkSession, path: str, snapshot_id: int | None = None) -> DataFrame:
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    predicates=None,
+) -> DataFrame:
     """Apache Iceberg source. With the iceberg-spark runtime jar this
     is the native scan; without it — this image ships no external jars
     — it falls back to the engine's pure-Python metadata reader
     (``sources.iceberg_py``): metadata.json -> manifest list ->
     manifests (Avro, decoded driver-side) -> a plain native parquet
     scan over the live file set. Same rows either way. Snapshot-pinned
-    reads go straight to the Python path (the native format needs a
-    catalog for time travel); otherwise only the jar-absence failure
-    falls back and any other native error re-raises."""
+    or predicate-pruned reads go straight to the Python path (the
+    native format needs a catalog for time travel, and its own planner
+    does the pruning natively); otherwise only the jar-absence failure
+    falls back and any other native error re-raises.
+
+    ``predicates`` (``[(column, op, literal)]``) engages the Python
+    planner's hidden-partition + column-bounds pruning — ADVISORY:
+    pruning only removes provably-dead files, the caller still applies
+    the full row filter to the returned frame."""
     from map_reduce_spark.sources.iceberg_py import read_iceberg_py
 
-    if snapshot_id is not None:
-        return read_iceberg_py(spark, path, snapshot_id)
+    if snapshot_id is not None or predicates is not None:
+        return read_iceberg_py(spark, path, snapshot_id, predicates=predicates)
     try:
         return spark.read.format("iceberg").load(path)
     except Exception as e:  # jar absent -> Python path; else re-raise
