@@ -137,6 +137,7 @@ HEADLINE = [
     "migrate_iceberg_to_delta",
     "iceberg_production_loop",
     "delta_partition_prune",
+    "iceberg_rewrite_sorted",
 ]
 
 

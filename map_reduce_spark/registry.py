@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "migrate_delta_to_iceberg",
     "migrate_iceberg_to_delta",
     "iceberg_production_loop",
+    "iceberg_rewrite_sorted",
     "delta_partition_prune",
     "streaming_iceberg_sink",
     "orc_scan",

@@ -3084,7 +3084,11 @@ def iceberg_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def compact_iceberg_files(
-    spark: SparkSession, table: str, out_files: int = 4, _max_retries: int = 5
+    spark: SparkSession,
+    table: str,
+    out_files: int = 4,
+    order_by: tuple[str, ...] = (),
+    _max_retries: int = 5,
 ) -> int:
     """Rewrite the current snapshot's data files into ``out_files``
     right-sized files per partition tuple, APPLYING any positional /
@@ -3100,7 +3104,15 @@ def compact_iceberg_files(
     manifest list containing ONLY the new data manifest (old data AND
     delete manifests fall away atomically). Content-idempotent: the
     table state before and after hashes identically — compaction moves
-    bytes, never rows."""
+    bytes, never rows.
+
+    ``order_by`` turns compaction into a SORTED (clustering) rewrite:
+    the resolved rows range-partition and sort on those columns, so
+    each output file covers a narrow disjoint value range and the
+    manifests' footer bounds become maximally selective — compaction
+    that BUYS min/max pruning (the Iceberg twin of Delta's OPTIMIZE
+    ZORDER for the 1-D case). The sort order is recorded in metadata
+    ``sort-orders``."""
     for _ in range(_max_retries):
         meta, version = _load_meta_versioned(table)
         if meta is None:
@@ -3108,6 +3120,10 @@ def compact_iceberg_files(
         snap = _pick_snapshot(meta, None)
         snap_id = version + 1
         resolved = read_iceberg_py(spark, table)
+        if order_by:
+            resolved = resolved.repartitionByRange(
+                out_files, *order_by
+            ).sortWithinPartitions(*order_by)
         sid = meta.get("default-spec-id", 0)
         stored = next(
             (
@@ -3118,16 +3134,14 @@ def compact_iceberg_files(
             None,
         )
         ice_schema = _schema_for_snapshot(meta, snap)
+        if not order_by:  # a sorted rewrite already owns its layout
+            resolved = resolved.repartition(out_files)
         if stored:
             by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
             partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
-            descs = _stage_partitioned_files(
-                resolved.repartition(out_files), table, "c", partition_by
-            )
+            descs = _stage_partitioned_files(resolved, table, "c", partition_by)
         else:
-            descs = _stage_parquet_files(
-                resolved.repartition(out_files), table, "c"
-            )
+            descs = _stage_parquet_files(resolved, table, "c")
         for d in descs:
             d["content"] = 0
         # commit: a manifest list holding ONLY the new manifest — every
@@ -3183,8 +3197,32 @@ def compact_iceberg_files(
                 }
             ],
         )
+        sort_meta = {}
+        if order_by:
+            by_name_f = {f["name"]: f for f in cur_schema["fields"]}
+            prev_orders = meta.get("sort-orders") or []
+            order_id = max((o.get("order-id", 0) for o in prev_orders), default=0) + 1
+            sort_meta = {
+                "sort-orders": prev_orders
+                + [
+                    {
+                        "order-id": order_id,
+                        "fields": [
+                            {
+                                "transform": "identity",
+                                "source-id": by_name_f[c]["id"],
+                                "direction": "asc",
+                                "null-order": "nulls-first",
+                            }
+                            for c in order_by
+                        ],
+                    }
+                ],
+                "default-sort-order-id": order_id,
+            }
         new_meta = dict(
             meta,
+            **sort_meta,
             **{
                 "last-sequence-number": snap_id,
                 "current-snapshot-id": snap_id,
@@ -3685,5 +3723,57 @@ def iceberg_production_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum("totalprice_cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "iceberg_rewrite_sorted",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents
+FROM d
+WHERE cents >= {_MINMAX_CENTS}
+GROUP BY o_orderstatus
+""",
+)
+def iceberg_rewrite_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted (clustering) rewrite on a private clone of the
+    partitioned orders fixture: compaction range-clusters every
+    partition directory on ``totalprice_cents``, so the rewritten
+    manifests' footer bounds become disjoint and the SAME price
+    predicate that kept 50% of the original layout's files keeps a
+    strictly smaller share afterwards (locked in
+    tests/test_iceberg_compact.py). The query reads THROUGH the
+    pruned plan and must hash-equal the plain relational answer —
+    clustering moved bytes, never rows. This is storage maintenance
+    as a query-speed investment: at 100 TB, re-clustering buys every
+    future range predicate its pruning."""
+    import tempfile
+
+    base = ensure_iceberg_part_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_sort_{key}")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+    compact_iceberg_files(
+        spark, table, out_files=8, order_by=("totalprice_cents",)
+    )
+    df = read_iceberg_py(
+        spark, table, predicates=[("totalprice_cents", ">=", _MINMAX_CENTS)]
+    )
+    return (
+        df.filter(F.col("totalprice_cents") >= _MINMAX_CENTS)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_cents"),
+            F.min("totalprice_cents").alias("min_cents"),
         )
     )

@@ -65,3 +65,39 @@ def test_compact_reduces_files_and_keeps_partitioning(spark, tmp_path):
     # hardlink-shared bytes are mutated on a clone)
     for p in plan["data_files"]:
         assert p.startswith(os.path.realpath(tbl)) or p.startswith(tbl)
+
+
+def test_sorted_rewrite_buys_pruning(spark, tmp_path):
+    """After a sorted rewrite on v, per-file bounds become disjoint:
+    a range predicate must keep strictly fewer files than on the
+    shuffled layout, rows identical, sort order recorded."""
+    import random
+
+    tbl = str(tmp_path / "t")
+    vals = list(range(400))
+    random.Random(7).shuffle(vals)
+    d = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id bigint, v bigint")
+    I.append_iceberg_snapshot(d.repartition(8), tbl)
+    meta = I.load_table_metadata(tbl)
+    snap = I._pick_snapshot(meta, None)
+    preds = [("v", ">=", 360)]
+    before = I.scan_plan_for_snapshot(tbl, meta, snap, predicates=preds)
+    want = sorted(r["id"] for r in I.read_iceberg_py(spark, tbl).filter("v >= 360").collect())
+    I.compact_iceberg_files(spark, tbl, out_files=8, order_by=("v",))
+    meta2 = I.load_table_metadata(tbl)
+    snap2 = I._pick_snapshot(meta2, None)
+    after = I.scan_plan_for_snapshot(tbl, meta2, snap2, predicates=preds)
+    # shuffled layout: every file spans ~full range -> nothing pruned;
+    # sorted layout: only the top range file(s) survive
+    assert len(after["data_files"]) < max(1, len(before["data_files"]))
+    assert after["files_pruned"] >= after["files_total"] - 2
+    got = sorted(
+        r["id"]
+        for r in I.read_iceberg_py(spark, tbl, predicates=preds)
+        .filter("v >= 360")
+        .collect()
+    )
+    assert got == want
+    assert meta2["default-sort-order-id"] == 1
+    so = [o for o in meta2["sort-orders"] if o["order-id"] == 1][0]
+    assert [f["transform"] for f in so["fields"]] == ["identity"]
