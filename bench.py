@@ -138,6 +138,7 @@ HEADLINE = [
     "iceberg_production_loop",
     "delta_partition_prune",
     "iceberg_rewrite_sorted",
+    "streaming_iceberg_source",
 ]
 
 

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_rewrite_sorted",
     "delta_partition_prune",
     "streaming_iceberg_sink",
+    "streaming_iceberg_source",
     "orc_scan",
     "csv_scan",
     "json_scan",

@@ -82,3 +82,84 @@ def test_stream_restart_replays_clean(spark, tmp_path, sf_dir):
     assert (
         I.read_iceberg_py(spark, tbl).select("event_id").distinct().count() == n1
     )
+
+
+def _drain(spark, table, out_dir, chk, expect):
+    import time
+
+    import map_reduce_spark.sources.iceberg_py as II
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        II.stream_iceberg_appends(spark, table)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n >= expect:
+                return
+            if time.time() > deadline:
+                raise RuntimeError("stream source stalled")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_source_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Restarting the source on the SAME checkpoint after a new append
+    delivers exactly the new snapshot's rows — never a replayed old
+    one."""
+    tbl = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    d = _batch(spark, 0, 30)
+    I.append_iceberg_snapshot(d.filter("id < 10"), tbl)
+    I.append_iceberg_snapshot(d.filter("id >= 10 and id < 20"), tbl)
+    _drain(spark, tbl, out, chk, 20)
+    I.append_iceberg_snapshot(d.filter("id >= 20"), tbl)
+    _drain(spark, tbl, out, chk, 30)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert got.select("id").distinct().count() == 30  # no duplicates
+    want = I.read_iceberg_py(spark, tbl)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_source_refuses_delete_ranges(spark, tmp_path):
+    """A snapshot range containing delete files must surface a loud
+    error through the stream, not a silently-wrong increment."""
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(_batch(spark, 0, 20), tbl)
+    I.commit_positional_deletes(spark, tbl, FF.col("id") < 3)
+    import time
+
+    q = (
+        I.stream_iceberg_appends(spark, tbl)
+        .writeStream.format("memory")
+        .queryName("ice_refuse")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while q.exception() is None and time.time() < deadline:
+            time.sleep(0.2)
+        exc = q.exception()
+        assert exc is not None and "delete" in str(exc).lower()
+    finally:
+        q.stop()
