@@ -3948,10 +3948,15 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch SQL — a lost snapshot, a doubled file, or a
     mis-inherited entry snapshot-id all hash-mismatch. Closes the
     table-format streaming pair: the engine both LANDS streams in
-    Iceberg exactly-once and SERVES Iceberg as a stream."""
+    Iceberg exactly-once and SERVES Iceberg as a stream.
+
+    The drain is a checkpointed ``foreachBatch`` parquet sink — every
+    micro-batch lands distributed, so the harness scales with the
+    table instead of holding the stream's rows in driver memory (a
+    memory-sink variant OOM'd a default-heap driver at the 10x
+    decade: memory-table scans serialize row blocks INTO tasks)."""
     import tempfile
     import time
-    import uuid
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_src_{key}")
@@ -3971,26 +3976,41 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     n_rows = read_iceberg_py(spark, table).count()
-    sink = f"ice_src_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"mr_spark_ice_src_out_{os.getpid()}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    out_dir = os.path.join(scratch, "out")
+    chk = os.path.join(scratch, "chk")
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
     q = (
         stream_iceberg_appends(spark, table)
-        .writeStream.format("memory")
-        .queryName(sink)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
         .outputMode("append")
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while spark.table(sink).count() < n_rows:
+        deadline = time.time() + 180
+        while True:
             if q.exception() is not None:
                 raise q.exception()
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n >= n_rows:
+                break
             if time.time() > deadline:
-                raise RuntimeError(f"iceberg stream source stalled: {sink}")
+                raise RuntimeError("iceberg stream source stalled")
             time.sleep(0.2)
     finally:
         q.stop()
     q.awaitTermination(30)
-    return spark.table(sink).groupBy("o_orderstatus").agg(
+    return spark.read.parquet(out_dir).groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
         F.sum("totalprice_cents").alias("sum_cents"),
         F.min("o_orderkey").alias("min_key"),
