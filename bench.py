@@ -139,6 +139,10 @@ HEADLINE = [
     "delta_partition_prune",
     "iceberg_rewrite_sorted",
     "streaming_iceberg_source",
+    "delta_update_where",
+    "delta_restore",
+    "iceberg_update_where",
+    "iceberg_rollback",
 ]
 
 

@@ -125,7 +125,11 @@ _PRIORITY: tuple[str, ...] = (
     "migrate_iceberg_to_delta",
     "iceberg_production_loop",
     "iceberg_rewrite_sorted",
+    "iceberg_update_where",
+    "iceberg_rollback",
     "delta_partition_prune",
+    "delta_update_where",
+    "delta_restore",
     "streaming_iceberg_sink",
     "streaming_iceberg_source",
     "orc_scan",

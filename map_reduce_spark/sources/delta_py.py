@@ -2776,3 +2776,193 @@ def delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("totalprice_cents").alias("sum_price_cents"),
         )
     )
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+    _max_retries: int = 5,
+) -> int:
+    """Delta UPDATE: rewrite only the files containing predicate-TRUE
+    rows, applying ``set_exprs`` (column → Column) to those rows and
+    carrying every other row unchanged — the same file-granularity
+    control plane and NULL discipline as ``delete_where`` (NULL
+    predicate rows are NOT updated: the condition goes through
+    ``coalesce(pred, false)``). Returns the committed version."""
+    snap0 = snapshot(table)
+    cols = [f.name for f in snap0.schema.fields]
+    unknown = set(set_exprs) - set(cols)
+    if unknown:
+        raise KeyError(f"update_where: unknown columns {sorted(unknown)}")
+    pred_true = F.coalesce(predicate, F.lit(False))
+    for _ in range(_max_retries):
+        snap = snapshot(table)
+        _gate_dv_rewrite(snap, "update_where (file rewrite)")
+        active = read_delta_py(spark, table, snap.version)
+        victims_df = (
+            active.filter(pred_true)
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .distinct()
+        )
+        victims = {r.fp for r in _control_plane_rows(victims_df, "update rewrite set")}
+        if not victims:
+            return snap.version  # nothing matches: no-op
+        victim_rel = _rel_paths(snap, victims)
+        rows = read_delta_py(spark, table, snap.version, files=sorted(victims))
+        out = rows.select(
+            *[
+                F.when(pred_true, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        moved = _stage_and_move(out, table, tuple(snap.partition_columns))
+        actions = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+            for p in sorted(victim_rel)
+        ]
+        actions.extend(_add_actions(table, moved, stats_cols))
+        actions.append(
+            {"commitInfo": {"operation": "UPDATE", "engine": "map_reduce_spark"}}
+        )
+        if try_commit(table, snap.version + 1, actions):
+            _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)
+            return snap.version + 1
+    raise RuntimeError(f"update on {table!r} lost {_max_retries} commit races")
+
+
+def restore_table(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    stats_cols: tuple[str, ...] = (),
+    _max_retries: int = 5,
+) -> int:
+    """Delta RESTORE: commit a NEW version whose active file set is
+    exactly the target version's — removes for files added since,
+    re-adds for files removed since. Pure log arithmetic (no data
+    moves, no data reads): time travel that the table's HEAD follows,
+    with the full history intact above it. The standard recovery move
+    after a bad write."""
+    target = snapshot(table, version)
+    for _ in range(_max_retries):
+        cur = snapshot(table)
+        _gate_dv_rewrite(cur, "restore_table")
+        actions: list[dict] = []
+        for rel in sorted(set(cur.adds) - set(target.adds)):
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+            )
+        for rel in sorted(set(target.adds) - set(cur.adds)):
+            actions.append({"add": dict(target.adds[rel], dataChange=True)})
+        if not actions:
+            return cur.version  # already at the target state
+        actions.append(
+            {"commitInfo": {"operation": "RESTORE", "engine": "map_reduce_spark"}}
+        )
+        if try_commit(table, cur.version + 1, actions):
+            return cur.version + 1
+    raise RuntimeError(f"restore on {table!r} lost {_max_retries} commit races")
+
+
+@register(
+    "delta_update_where",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+         c_mktsegment
+  FROM customer
+),
+updated AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_mktsegment = 'BUILDING' AND cents < 0
+              THEN 0 ELSE cents END AS cents,
+         CASE WHEN c_mktsegment = 'BUILDING' AND cents < 0
+              THEN 'RESET' ELSE c_mktsegment END AS seg
+  FROM c
+)
+SELECT seg, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents
+FROM updated GROUP BY seg
+""",
+)
+def delta_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE on a private clone of the customer Delta fixture:
+    BUILDING-segment customers with negative balances reset to zero
+    and re-segment to 'RESET'. Only files holding a matching row
+    rewrite; the oracle recomputes the updated state relationally, so
+    over-update (the NULL trap), under-update, and lost carried rows
+    all hash-mismatch. Content-idempotent: the second run matches
+    nothing (no negatives remain) and no-ops."""
+    import tempfile
+
+    base = ensure_customer_delta(spark, sf_dir)
+    key = hashlib.md5(f"{base}:upd:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_upd_{key}")
+    if not os.path.isdir(table):
+        clone_delta_table(base, table)
+    update_where(
+        spark,
+        table,
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("acctbal_cents") < 0),
+        {
+            "acctbal_cents": F.lit(0).cast("long"),
+            "c_mktsegment": F.lit("RESET"),
+        },
+        stats_cols=("c_custkey",),
+    )
+    return (
+        read_delta_py(spark, table)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("acctbal_cents").alias("sum_cents"),
+            F.min("acctbal_cents").alias("min_cents"),
+        )
+    )
+
+
+@register(
+    "delta_restore",
+    oracle="""
+SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE after a bad write: a private clone takes a destructive
+    DELETE (every ACCTBAL-negative customer dropped), then restores to
+    the pre-delete version as a NEW commit — pure log arithmetic, no
+    data read or moved — and the read-back must hash-equal the
+    original table. History stays intact: the bad version remains
+    time-travelable below the restore (locked in tests)."""
+    import tempfile
+
+    base = ensure_customer_delta(spark, sf_dir)
+    key = hashlib.md5(f"{base}:rst:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_rst_{key}")
+    if not os.path.isdir(table):
+        clone_delta_table(base, table)
+    good = latest_version(table)
+    delete_where(spark, table, F.col("acctbal_cents") < 0)
+    restore_table(spark, table, good)
+    return (
+        read_delta_py(spark, table)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("acctbal_cents").alias("sum_cents"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )

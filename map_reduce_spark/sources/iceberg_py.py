@@ -4016,3 +4016,215 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------
+# UPDATE (copy-on-write) + snapshot ROLLBACK
+# --------------------------------------------------------------------
+
+
+def update_iceberg_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    _max_retries: int = 5,
+) -> int:
+    """Iceberg COW UPDATE — the delta_py.update_where twin: rewrite
+    only the files containing predicate-TRUE rows, applying
+    ``set_exprs`` (column → Column) to those rows, carrying the rest
+    unchanged, committing through the version-pinned manifest rewrite.
+    NULL-predicate rows are NOT updated (``coalesce(pred, false)``).
+    Merge-on-read tables are refused — compact first."""
+    from map_reduce_spark.sources.delta_py import _control_plane_rows
+
+    pred_true = F.coalesce(predicate, F.lit(False))
+    for _ in range(_max_retries):
+        meta, base_version = _load_meta_versioned(table)
+        snap = _pick_snapshot(meta, None)
+        plan = scan_plan_for_snapshot(table, meta, snap)
+        if plan["delete_files"] or plan["eq_deletes"]:
+            raise NotImplementedError(
+                "update_iceberg_where: table carries merge-on-read delete "
+                "files; compact_iceberg_files first"
+            )
+        ice_schema = _schema_for_snapshot(meta, snap)
+        schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
+        cols = [f.name for f in schema.fields]
+        unknown = set(set_exprs) - set(cols)
+        if unknown:
+            raise KeyError(f"update_iceberg_where: unknown columns {sorted(unknown)}")
+        if not plan["data_files"]:
+            return snap["snapshot-id"]
+        active = spark.read.schema(schema).parquet(*plan["data_files"])
+        victims_df = (
+            active.filter(pred_true)
+            .select(_strip_file_scheme(F.col("_metadata.file_path")).alias("fp"))
+            .distinct()
+        )
+        victims = {
+            os.path.abspath(r.fp)
+            for r in _control_plane_rows(victims_df, "update rewrite set")
+        }
+        if not victims:
+            return snap["snapshot-id"]
+        rows = spark.read.schema(schema).parquet(*sorted(victims))
+        out = rows.select(
+            *[
+                F.when(pred_true, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        sid = meta.get("default-spec-id", 0)
+        stored = next(
+            (
+                s["fields"]
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == sid
+            ),
+            None,
+        )
+        if stored:
+            by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+            partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
+            descs = _stage_partitioned_files(out, table, "u", partition_by)
+        else:
+            descs = _stage_parquet_files(out, table, "u")
+        for d in descs:
+            d["content"] = 0
+        snap_id = _try_commit_rewrite(
+            table, victims, descs, operation="update", base=(meta, base_version)
+        )
+        if snap_id is not None:
+            return snap_id
+        for d in descs:
+            try:
+                os.remove(d["file_path"])
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"iceberg update on {table!r} lost {_max_retries} races")
+
+
+def rollback_iceberg(table: str, snapshot_id: int, _max_retries: int = 20) -> int:
+    """Iceberg ROLLBACK: point the table's current snapshot back at an
+    older one as a NEW metadata commit — zero data or manifest work,
+    full history preserved above and below (the rolled-back snapshots
+    stay time-travelable until expire-snapshots). The standard
+    recovery move after a bad write."""
+    for _ in range(_max_retries):
+        meta, version = _load_meta_versioned(table)
+        if meta is None:
+            raise ValueError("rollback on a table with no metadata")
+        if not any(
+            s["snapshot-id"] == snapshot_id for s in meta.get("snapshots") or []
+        ):
+            raise KeyError(f"snapshot {snapshot_id} not in table history")
+        if meta.get("current-snapshot-id") == snapshot_id:
+            return version  # already there
+        new_meta = dict(meta, **{"current-snapshot-id": snapshot_id})
+        if _try_publish_metadata(table, version + 1, new_meta):
+            return version + 1
+    raise RuntimeError(f"rollback on {table!r} lost {_max_retries} races")
+
+
+@register(
+    "iceberg_update_where",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderpriority
+  FROM orders
+),
+updated AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' AND cents > {_MINMAX_CENTS}
+              THEN cents + 100 ELSE cents END AS cents,
+         CASE WHEN o_orderstatus = 'F' AND cents > {_MINMAX_CENTS}
+              THEN 'AUDITED' ELSE o_orderpriority END AS prio
+  FROM d
+)
+SELECT prio, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM updated GROUP BY prio
+""",
+)
+def iceberg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW UPDATE on a private clone of the PARTITIONED orders
+    fixture: finished orders above the price threshold take a +100
+    surcharge and re-prioritize to 'AUDITED'; only the files holding a
+    match rewrite, restaged per partition tuple. The +100 COMPOUNDS on
+    re-application (updated rows still satisfy the condition), so the
+    house mutating-fixture discipline — re-runs must be content-stable
+    — is enforced by a one-shot flag inside the clone: the oracle
+    models exactly one application and every replay reads the settled
+    state."""
+    import tempfile
+
+    base = ensure_iceberg_part_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_upd_{key}")
+    done = os.path.join(table, "_updated.flag")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+    if not os.path.exists(done):
+        update_iceberg_where(
+            spark,
+            table,
+            (F.col("o_orderstatus") == "F")
+            & (F.col("totalprice_cents") > _MINMAX_CENTS),
+            {
+                "totalprice_cents": F.col("totalprice_cents") + 100,
+                "o_orderpriority": F.lit("AUDITED"),
+            },
+        )
+        with open(done, "w") as fh:
+            fh.write("1")
+    return (
+        read_iceberg_py(spark, table)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "iceberg_rollback",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK after a bad write: a clone takes a destructive DELETE
+    (every urgent order dropped), then the table's current snapshot
+    points back at the pre-delete snapshot — one metadata commit, zero
+    data work — and the read-back hash-equals the original orders. The
+    bad snapshot stays in history (time travel still sees it) until
+    expire-snapshots reclaims it."""
+    import tempfile
+
+    base = ensure_iceberg_part_fixture(spark, sf_dir)
+    key = hashlib.md5(f"{base}:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_rb_{key}")
+    if not os.path.isdir(table):
+        clone_iceberg_table(base, table)
+    meta = load_table_metadata(table)
+    good = _pick_snapshot(meta, None)["snapshot-id"]
+    delete_iceberg_where(spark, table, F.col("o_orderpriority") == "1-URGENT")
+    rollback_iceberg(table, good)
+    return (
+        read_iceberg_py(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_cents"),
+        )
+    )

@@ -244,3 +244,29 @@ def test_zorder_prunes_both_dimensions(spark, tbl):
     assert got.agg(F.sum("a"), F.sum("b")).first() == df.agg(
         F.sum("a"), F.sum("b")
     ).first()
+
+
+def test_update_where_and_restore(spark, tmp_path):
+    """Delta UPDATE (NULL rows untouched, victim-file-only rewrite)
+    and RESTORE (log arithmetic back to a prior version, history
+    intact)."""
+    import map_reduce_spark.sources.delta_py as D
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, 40)], "id bigint, v bigint"
+    )
+    D.write_delta_py(d.repartition(2), tbl, mode="overwrite", stats_cols=("id",))
+    v0 = D.latest_version(tbl)
+    D.update_where(spark, tbl, F.col("v") > 20, {"v": F.col("v") * 2})
+    got = {r["id"]: r["v"] for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == {1: 10, 2: None, 3: 60, 4: 80}
+    D.restore_table(spark, tbl, v0)
+    back = {r["id"]: r["v"] for r in D.read_delta_py(spark, tbl).collect()}
+    assert back == {1: 10, 2: None, 3: 30, 4: 40}
+    # history intact: the updated version still time-travels
+    mid = {r["id"]: r["v"] for r in D.read_delta_py(spark, tbl, v0 + 1).collect()}
+    assert mid == {1: 10, 2: None, 3: 60, 4: 80}
+    # restoring to the current state is a no-op commit
+    v_now = D.latest_version(tbl)
+    assert D.restore_table(spark, tbl, v_now) == v_now

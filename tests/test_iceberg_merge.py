@@ -152,3 +152,43 @@ def test_delete_where_all_rows_of_a_file(spark, tmp_path):
     I.append_iceberg_snapshot(_mk(spark, 50).repartitionByRange(5, "id"), tbl)
     I.delete_iceberg_where(spark, tbl, F.lit(True))
     assert I.read_iceberg_py(spark, tbl).count() == 0
+
+
+def test_update_where_semantics(spark, tmp_path):
+    """UPDATE applies set_exprs to predicate-TRUE rows only, keeps
+    NULL-predicate rows unchanged, touches only victim files, and
+    refuses MOR tables."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, 40)], "id bigint, v bigint"
+    )
+    I.append_iceberg_snapshot(d, tbl)
+    I.update_iceberg_where(
+        spark, tbl, F.col("v") > 20, {"v": F.col("v") * 2}
+    )
+    got = {r["id"]: r["v"] for r in I.read_iceberg_py(spark, tbl).collect()}
+    assert got == {1: 10, 2: None, 3: 60, 4: 80}  # NULL row untouched
+    import pytest as _pt
+
+    with _pt.raises(KeyError, match="unknown columns"):
+        I.update_iceberg_where(spark, tbl, F.lit(True), {"nope": F.lit(1)})
+    I.commit_positional_deletes(spark, tbl, F.col("id") == 1)
+    with _pt.raises(NotImplementedError, match="merge-on-read"):
+        I.update_iceberg_where(spark, tbl, F.lit(True), {"v": F.lit(0)})
+
+
+def test_rollback_restores_state_keeps_history(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    I.append_iceberg_snapshot(_mk(spark, 50), tbl)
+    good = I._pick_snapshot(I.load_table_metadata(tbl), None)["snapshot-id"]
+    I.delete_iceberg_where(spark, tbl, F.col("id") < 40)
+    bad = I._pick_snapshot(I.load_table_metadata(tbl), None)["snapshot-id"]
+    assert I.read_iceberg_py(spark, tbl).count() == 10
+    I.rollback_iceberg(tbl, good)
+    assert I.read_iceberg_py(spark, tbl).count() == 50
+    # the bad snapshot stays time-travelable until expiry
+    assert I.read_iceberg_py(spark, tbl, snapshot_id=bad).count() == 10
+    import pytest as _pt
+
+    with _pt.raises(KeyError, match="not in table history"):
+        I.rollback_iceberg(tbl, 999999)
