@@ -80,14 +80,15 @@ def register(name: str, oracle: str | None = None):
 # The round-9 window (final, after the second build wave):
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the 22 r9 additions with NO driver row yet: the merge-on-read
+#   - the 28 r9 additions with NO driver row yet: the merge-on-read
 #     trio + expire + DV/column-mapping scans + the two
 #     schema-evolution-travel queries (first wave), then the
-#     partitioned-Iceberg pruning pair, COW merge/delete, MOR
-#     compaction, partition-spec evolution, both zero-copy
-#     migrations, the composed production loop, the Delta
-#     partition-prune twin, the exactly-once Iceberg stream sink,
-#     and the three plain-format scans (second wave);
+#     partitioned-Iceberg pruning pair, COW merge/update/delete +
+#     rollback, MOR compaction, sorted rewrite, partition-spec
+#     evolution, both zero-copy migrations, the composed production
+#     loop, the Delta partition-prune/update/restore trio, the
+#     exactly-once Iceberg stream sink + snapshot-offset stream
+#     source, and the three plain-format scans (second wave);
 #   - every query on an r9-changed file: the delta_py family, the
 #     iceberg_py trio, and sqlite_scan;
 #   - the r8-verdict-named displaced six (scd2_merge, session_window,
