@@ -224,7 +224,11 @@ def transform_column(col_name: str, kind: str, arg: int | None, ice_type: str):
                 f" `{col_name}`)"
             )
         if kind == "hour":
-            return (us / F.lit(3_600_000_000)).cast("long").cast("int")
+            # F.floor, NOT a truncating cast: pre-1970 instants have
+            # negative epochs, and truncation-toward-zero would put the
+            # write-side partition value one hour ABOVE the read-side
+            # projection (transform_value floors) — an unsound prune
+            return F.floor(us / F.lit(3_600_000_000)).cast("int")
         if kind == "year":
             return F.year(c) - F.lit(1970)
         if kind == "month":
@@ -476,9 +480,11 @@ def summary_survives(projected, summaries, spec_fields, ice_schema) -> bool:
         lo = sv_deserialize(s.get("lower_bound"), vt) if s.get("lower_bound") else None
         hi = sv_deserialize(s.get("upper_bound"), vt) if s.get("upper_bound") else None
         if lo is None or hi is None:
-            # no value bounds: only an all-null summary is prunable
-            if not s.get("contains_null", True):
-                return False  # no nulls AND no values -> empty: prune
+            # missing bounds are UNKNOWN, never "empty": the spec makes
+            # field-summary bounds optional, so a foreign engine may
+            # write contains_null=false and omit them for a manifest
+            # full of live values — inferring emptiness there would
+            # over-prune. Unknown keeps (entry-level checks still run).
             continue
         if op == "=" and not (lo <= lit <= hi):
             return False

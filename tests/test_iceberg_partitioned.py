@@ -238,3 +238,47 @@ def test_partition_spec_evolution(spark, tmp_path):
     )
     want = full.filter(F.col("grp") == 2)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_hour_transform_negative_epoch_write_read_agreement(spark):
+    """Pre-1970 instants: the write-side Column transform and the
+    driver-side literal projection must agree (floor, never
+    truncate-toward-zero) — disagreement is an unsound prune."""
+    from map_reduce_spark.sources.iceberg_transforms import (
+        transform_column,
+        transform_value,
+    )
+
+    rows = [
+        (-1,),  # 1969-12-31 23:59:59.999999 -> hour -1, day -1
+        (-3_600_000_001,),
+        (0,), (1,), (3_599_999_999,), (86_400_000_000,),
+        (-86_400_000_000,),
+    ]
+    df = spark.createDataFrame(rows, "us bigint").select(
+        F.expr(
+            "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ts"),
+        "us",
+    )
+    for kind in ("hour", "day", "month", "year"):
+        got = [
+            r["p"]
+            for r in df.select(
+                transform_column("ts", kind, None, "timestamp").alias("p")
+            ).collect()
+        ]
+        want = [transform_value(us, kind, None, "timestamp") for (us,) in rows]
+        assert got == want, (kind, got, want)
+
+
+def test_summary_missing_bounds_is_unknown_not_empty():
+    """A foreign engine may write contains_null=false with NO value
+    bounds for a manifest full of live rows — the summary must KEEP,
+    never infer emptiness."""
+    from map_reduce_spark.sources.iceberg_transforms import summary_survives
+
+    schema = {"fields": [{"id": 1, "name": "k", "type": "long"}]}
+    spec = [{"source-id": 1, "field-id": 1000, "name": "k", "transform": "identity"}]
+    summaries = [{"contains_null": False, "lower_bound": None, "upper_bound": None}]
+    assert summary_survives([(0, "=", 7)], summaries, spec, schema)
