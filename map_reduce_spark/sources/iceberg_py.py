@@ -3784,6 +3784,98 @@ def iceberg_rewrite_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def make_appends_planner(table_abs: str):
+    """Closure factory for the stream source's range planner (module-
+    level factory so tests can probe planning directly; the returned
+    CLOSURE pickles by value into the plan-time worker — NOTES rule
+    39). ``plan(lo, hi)`` returns the local data-file paths ADDED by
+    the append snapshots in (lo, hi], with the append-only and
+    replayability guards:
+
+    - any non-append snapshot in range is refused (its rewritten rows
+      would surface as fresh adds — duplicates),
+    - planning reads the END-offset snapshot's immutable manifest
+      list, never the current one, so a checkpoint REPLAY of an old
+      range sees the same files even after a later compaction dropped
+      them from the live set; an EXPIRED end snapshot refuses with a
+      reset-the-checkpoint message."""
+    av = make_generic_avro()
+
+    def plan(lo: int, hi: int) -> list:
+        import json as _json
+        import os as _os
+
+        if hi <= lo:
+            return []
+        mdir = _os.path.join(table_abs, "metadata")
+        versions = [
+            int(f[1:].split(".")[0])
+            for f in _os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ]
+        with open(_os.path.join(mdir, f"v{max(versions)}.metadata.json")) as fh:
+            m = _json.load(fh)
+        loc = m.get("location", "")
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+
+        def local(p):
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            if loc and p.startswith(loc):
+                return _os.path.join(table_abs, p[len(loc):].lstrip("/"))
+            return p
+
+        for s in m.get("snapshots") or []:
+            sid_ = s["snapshot-id"]
+            if lo < sid_ <= hi and (
+                (s.get("summary") or {}).get("operation", "append") != "append"
+            ):
+                raise ValueError(
+                    "iceberg stream source: snapshot "
+                    f"{sid_} is a {s['summary']['operation']!r} — the "
+                    "append-only feed refuses ranges containing "
+                    "rewrites; consume past them with a batch read"
+                )
+        snap = next(
+            (s for s in m.get("snapshots") or [] if s["snapshot-id"] == hi),
+            None,
+        )
+        if snap is None:
+            raise ValueError(
+                f"iceberg stream source: offset snapshot {hi} no longer "
+                "in table history (expired?) — the replayed range "
+                "cannot be reconstructed exactly; reset the checkpoint"
+            )
+        _, manifests = av.read_file(local(snap["manifest-list"]))
+        files = []
+        for mf in manifests:
+            added = mf.get("added_snapshot_id") or 0
+            if not (lo < added <= hi):
+                continue
+            if mf.get("content", 0) == 1:
+                raise ValueError(
+                    "iceberg stream source: snapshot range contains "
+                    "DELETE manifests — the append-only feed refuses "
+                    "rather than emitting wrong increments"
+                )
+            _, entries = av.read_file(local(mf["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_ = e["data_file"]
+                if (df_.get("content") or 0) != 0:
+                    raise ValueError(
+                        "iceberg stream source: delete files in range"
+                    )
+                sid = e.get("snapshot_id") or added
+                if lo < sid <= hi:
+                    files.append(local(df_["file_path"]))
+        return files
+
+    return plan
+
+
 def stream_iceberg_appends(spark: SparkSession, table: str) -> DataFrame:
     """Structured-streaming SOURCE over an Iceberg table's append
     history (the consumer side of ``streaming_iceberg_sink``): offsets
@@ -3808,8 +3900,8 @@ def stream_iceberg_appends(spark: SparkSession, table: str) -> DataFrame:
     snap0 = _pick_snapshot(meta0, None)
     ddl = _iceberg_schema_to_ddl(_schema_for_snapshot(meta0, snap0))
     cols = [f["name"] for f in _schema_for_snapshot(meta0, snap0)["fields"]]
-    av = make_generic_avro()  # closure namespace: pickles by value
     table_abs = os.path.abspath(table)
+    planner = make_appends_planner(table_abs)  # closure: pickles by value
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -3844,62 +3936,7 @@ def stream_iceberg_appends(spark: SparkSession, table: str) -> DataFrame:
             return {"v": int(cur)}
 
         def partitions(self, start, end):
-            import json as _json
-            import os as _os
-
-            lo, hi = start["v"], end["v"]
-            if hi <= lo:
-                return [InputPartition(None)]
-            mdir = _os.path.join(table_abs, "metadata")
-            versions = [
-                int(f[1:].split(".")[0])
-                for f in _os.listdir(mdir)
-                if f.startswith("v") and f.endswith(".metadata.json")
-            ]
-            with open(
-                _os.path.join(mdir, f"v{max(versions)}.metadata.json")
-            ) as fh:
-                m = _json.load(fh)
-            loc = m.get("location", "")
-            if loc.startswith("file:"):
-                loc = loc[len("file:"):]
-
-            def local(p):
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
-                if loc and p.startswith(loc):
-                    return _os.path.join(table_abs, p[len(loc):].lstrip("/"))
-                return p
-
-            snap = next(
-                s
-                for s in m.get("snapshots") or []
-                if s["snapshot-id"] == m.get("current-snapshot-id")
-            )
-            _, manifests = av.read_file(local(snap["manifest-list"]))
-            files = []
-            for mf in manifests:
-                added = mf.get("added_snapshot_id") or 0
-                if not (lo < added <= hi):
-                    continue
-                if mf.get("content", 0) == 1:
-                    raise ValueError(
-                        "iceberg stream source: snapshot range contains "
-                        "DELETE manifests — the append-only feed refuses "
-                        "rather than emitting wrong increments"
-                    )
-                _, entries = av.read_file(local(mf["manifest_path"]))
-                for e in entries:
-                    if e.get("status") == 2:
-                        continue
-                    df_ = e["data_file"]
-                    if (df_.get("content") or 0) != 0:
-                        raise ValueError(
-                            "iceberg stream source: delete files in range"
-                        )
-                    sid = e.get("snapshot_id") or added
-                    if lo < sid <= hi:
-                        files.append(local(df_["file_path"]))
+            files = planner(start["v"], end["v"])
             return [InputPartition(f) for f in files] or [InputPartition(None)]
 
         def read(self, partition):

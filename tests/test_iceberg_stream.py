@@ -163,3 +163,30 @@ def test_source_refuses_delete_ranges(spark, tmp_path):
         assert exc is not None and "delete" in str(exc).lower()
     finally:
         q.stop()
+
+
+def test_source_replay_survives_compaction(spark, tmp_path):
+    """A checkpoint replay of an old offset range must plan the SAME
+    files forever, even after a compaction rewrote the live set (the
+    planner reads the END-offset snapshot's immutable manifest list);
+    a range CONTAINING the compaction snapshot is refused (rewritten
+    rows would duplicate); an EXPIRED end offset refuses with a
+    reset-the-checkpoint message."""
+    import pytest as _pt
+
+    tbl = str(tmp_path / "t")
+    d = _batch(spark, 0, 30)
+    I.append_iceberg_snapshot(d.filter("id < 10"), tbl)                # snap 1
+    I.append_iceberg_snapshot(d.filter("id >= 10 and id < 20"), tbl)  # snap 2
+    plan = I.make_appends_planner(os.path.abspath(tbl))
+    snap2_files = sorted(plan(1, 2))
+    assert snap2_files
+    # an expired/unknown end offset refuses rather than guessing
+    with _pt.raises(ValueError, match="reset the checkpoint"):
+        plan(0, 99)
+    I.compact_iceberg_files(spark, tbl, out_files=1)                  # snap 3
+    # replaying (1, 2] after the compaction still plans snap 2's files
+    assert sorted(plan(1, 2)) == snap2_files
+    # a live range containing the replace snapshot is refused
+    with _pt.raises(ValueError, match="append-only feed refuses"):
+        plan(2, 3)
