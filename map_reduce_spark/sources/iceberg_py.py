@@ -1014,7 +1014,18 @@ def _stage_partitioned_files(
         kind, arg = parse_transform(transform)
         ice_t = _spark_to_iceberg_type(dtypes[col])
         pc = f"__p{i}"
-        out = out.withColumn(pc, transform_column(col, kind, arg, ice_t))
+        pexpr = transform_column(col, kind, arg, ice_t)
+        if transform_result_type(kind, ice_t) == "string":
+            # Hive layout maps BOTH null and '' to
+            # __HIVE_DEFAULT_PARTITION__; recovering the tuple from the
+            # directory name would then stamp partition=None on a file
+            # of ''-valued rows, and the reader's null-implies-prune
+            # rule drops it for col = '' — silent row loss. Prefix
+            # every non-null string value with 'v' at stage time
+            # (concat propagates null), so '' stages as 'v' and only
+            # true nulls land in the default dir; parse_val strips it.
+            pexpr = F.concat(F.lit("v"), pexpr)
+        out = out.withColumn(pc, pexpr)
         pcols.append(pc)
         pnames.append(_spec_field_name(col, kind))
         ptypes.append(transform_result_type(kind, ice_t))
@@ -1028,7 +1039,10 @@ def _stage_partitioned_files(
         if raw == "__HIVE_DEFAULT_PARTITION__":
             return None
         raw = urllib.parse.unquote(raw)
-        return int(raw) if vt in ("int", "long", "date") else raw
+        if vt in ("int", "long", "date"):
+            return int(raw)
+        # strip the stage-time 'v' disambiguation prefix (see above)
+        return raw[1:] if vt == "string" else raw
 
     descs = []
     for root, _dirs, files in os.walk(staging):
@@ -2506,7 +2520,12 @@ def _try_commit_rewrite(
             {
                 "manifest_path": manifest,
                 "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
+                # the entries and summaries above were built under the
+                # table's DEFAULT spec — record THAT id, not 0, or a
+                # post-evolution reader prunes these summaries under
+                # spec 0's field order/transforms (silent manifest
+                # drops when the specs disagree)
+                "partition_spec_id": meta.get("default-spec-id", 0),
                 "content": 0,
                 "added_snapshot_id": snap_id,
                 "partitions": _partition_summaries(entries, spec_value_types)

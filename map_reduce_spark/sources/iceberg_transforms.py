@@ -194,6 +194,23 @@ def transform_column(col_name: str, kind: str, arg: int | None, ice_type: str):
     if kind == "identity":
         return c
     if kind == "bucket":
+        # Temporal sources convert to their spec hash inputs JVM-side
+        # (date -> day ordinal, timestamp/tz -> epoch MICROseconds as
+        # long) BEFORE the UDF: pandas timestamps arrive as
+        # datetime64[ns] (and tz-naive in the SESSION zone for
+        # timestamptz), so an int64 view inside the UDF would hash
+        # nanoseconds / local time — bucket values inconsistent with
+        # the read-side inclusive projection (spec Appendix B hashes
+        # epoch µs), silently pruning files that hold matching rows.
+        if ice_type == "date":
+            c = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
+        elif ice_type == "timestamptz":
+            c = F.unix_micros(c)
+        elif ice_type == "timestamp":
+            c = F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                f" `{col_name}`)"
+            )
         return _bucket_udf(arg, ice_type)(c)
     if kind == "truncate":
         if ice_type in ("int", "long"):
@@ -290,6 +307,38 @@ def _bucket_udf(n: int, ice_type: str):
             return h
 
         if is_int:
+            # Defensive normalization for direct (non-transform_column)
+            # callers: datetime series must hash as spec epoch
+            # MICROseconds (dates as day ordinals), never the raw
+            # datetime64[ns] int64 view — ns vs µs puts every instant
+            # in the wrong bucket.
+            if str(vals.dtype).startswith("datetime64"):
+                if getattr(vals.dtype, "tz", None) is not None:
+                    vals = vals.dt.tz_convert("UTC").dt.tz_localize(None)
+                unit = "D" if ice_type == "date" else "us"
+                nums = vals.to_numpy(dtype=f"datetime64[{unit}]").astype("int64")
+                vals = pd.Series(nums, index=vals.index, dtype="Int64").mask(
+                    vals.isna()
+                )
+            elif vals.dtype == object:
+                import datetime as _dt
+
+                def _norm(x):
+                    if x is None:
+                        return None
+                    if isinstance(x, _dt.datetime):
+                        x = x.replace(tzinfo=None)
+                        delta = x - _dt.datetime(1970, 1, 1)
+                        return (
+                            delta.days * 86_400_000_000
+                            + delta.seconds * 1_000_000
+                            + delta.microseconds
+                        )
+                    if isinstance(x, _dt.date):
+                        return (x - _dt.date(1970, 1, 1)).days
+                    return int(x)
+
+                vals = vals.map(_norm)
             mask = vals.isna().to_numpy()
             v = vals.fillna(0).to_numpy(dtype="int64").view("uint64")
             # murmur3_x86_32 over the 8 little-endian bytes: two u32

@@ -72,6 +72,83 @@ def test_bucket_udf_matches_scalar(spark):
     assert got_s == [bucket_value(v, 16, "string") for v in svals]
 
 
+def test_bucket_write_path_temporal_spec_vectors(spark):
+    """Write-side bucket[N] over date/timestamp/timestamptz must hash
+    the spec Appendix B inputs — day ordinals and epoch MICROseconds —
+    not pandas' datetime64[ns] int64 view (ns vs µs puts the same
+    instant in a different bucket) and not session-local wall time.
+    Locked to the published vectors: date 2017-11-16 hashes
+    -653330422, timestamp[tz] 2017-11-16T22:31:08[Z] hashes
+    -2047944441."""
+    from map_reduce_spark.sources.iceberg_transforms import transform_column
+
+    n = 16
+    us = 1_510_871_468_000_000  # 2017-11-16T22:31:08Z
+    days = 17486  # 2017-11-16
+    want_ts = bucket_value(us, n, "timestamp")
+    want_d = bucket_value(days, n, "date")
+    assert want_ts == ((-2047944441 & 0x7FFFFFFF) % n)
+    assert want_d == ((-653330422 & 0x7FFFFFFF) % n)
+
+    # -2208988800000000 = 1900-01-01 (negative epoch, inside the
+    # datetime64[ns] envelope pandas conversion requires)
+    extra_us = [0, 1, -1, us, 999_999_999_999_999, -2_208_988_800_000_000]
+    df = spark.createDataFrame([(u,) for u in extra_us] + [(None,)], "us bigint").select(
+        F.timestamp_micros(F.col("us")).alias("tz"),
+        F.expr(
+            "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ntz"),
+    )
+    want = [bucket_value(u, n, "timestamp") for u in extra_us] + [None]
+
+    for tz in ("UTC", "America/New_York"):
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            got_tz = [
+                r["b"]
+                for r in df.select(
+                    transform_column("tz", "bucket", n, "timestamptz").alias("b")
+                ).collect()
+            ]
+            got_ntz = [
+                r["b"]
+                for r in df.select(
+                    transform_column("ntz", "bucket", n, "timestamp").alias("b")
+                ).collect()
+            ]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        assert got_tz == want, f"timestamptz bucket drift under {tz}"
+        assert got_ntz == want, f"timestamp bucket drift under {tz}"
+
+    ddf = spark.createDataFrame(
+        [(datetime.date(2017, 11, 16),), (datetime.date(1969, 12, 31),), (None,)],
+        "d date",
+    )
+    got_d = [
+        r["b"]
+        for r in ddf.select(transform_column("d", "bucket", n, "date").alias("b")).collect()
+    ]
+    assert got_d == [want_d, bucket_value(-1, n, "date"), None]
+
+
+def test_bucket_udf_normalizes_raw_datetime_series(spark):
+    """Direct _bucket_udf use on a raw timestamp column (bypassing
+    transform_column's JVM-side conversion) must still hash epoch µs:
+    the UDF normalizes datetime64[ns] input itself."""
+    from map_reduce_spark.sources.iceberg_transforms import _bucket_udf
+
+    us = 1_510_871_468_000_000
+    df = spark.createDataFrame([(us,), (0,), (None,)], "us bigint").select(
+        F.timestamp_micros(F.col("us")).alias("t")
+    )
+    got = [
+        r["b"] for r in df.select(_bucket_udf(16, "timestamptz")(F.col("t")).alias("b")).collect()
+    ]
+    assert got == [bucket_value(us, 16, "timestamp"), bucket_value(0, 16, "timestamp"), None]
+
+
 def _mk(spark, n=60):
     return spark.range(n).select(
         F.col("id"),
@@ -135,6 +212,33 @@ def test_pruning_is_sound_and_effective(spark, tmp_path):
         want = full.filter(residual)
         assert got.exceptAll(want).count() == 0, preds
         assert want.exceptAll(got).count() == 0, preds
+
+
+def test_bucket_timestamp_prune_soundness(spark, tmp_path):
+    """End-to-end regression for the write/read bucket disagreement on
+    temporal columns: a table partitioned by bucket[8] over a
+    timestamp must return EVERY row matching an exact-instant
+    predicate after pruning. Under the old ns-hashing writer the
+    partition values disagreed with the read-side inclusive
+    projection and matching files were silently pruned."""
+    tbl = str(tmp_path / "t")
+    d = _mk(spark, 96)
+    I.append_iceberg_snapshot(d.repartition(4), tbl, [("ts", "bucket[8]")])
+    full = I.read_iceberg_py(spark, tbl)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    meta = I.load_table_metadata(tbl)
+    snap = I._pick_snapshot(meta, None)
+    probed = 0
+    for row in full.filter("id % 17 = 0").select(F.expr(us).alias("u")).collect():
+        preds = [("ts", "=", row["u"])]
+        got = I.read_iceberg_py(spark, tbl, predicates=preds).filter(
+            F.expr(us) == row["u"]
+        )
+        want = full.filter(F.expr(us) == row["u"])
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        plan = I.scan_plan_for_snapshot(tbl, meta, snap, predicates=preds)
+        probed += 1 if plan["files_pruned"] > 0 else 0
+    assert probed > 0  # pruning engaged on at least some probes
 
 
 def test_manifest_level_pruning(spark, tmp_path):
@@ -238,6 +342,74 @@ def test_partition_spec_evolution(spark, tmp_path):
     )
     want = full.filter(F.col("grp") == 2)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_rewrite_after_spec_evolution_records_default_spec_id(spark, tmp_path):
+    """A COW rewrite (DELETE) on a table whose default-spec-id != 0
+    must stamp its new manifest with the DEFAULT spec id — its entries
+    and partition summaries are built under that spec, and a reader
+    pruning them under spec 0's field order/transforms can silently
+    drop live manifests."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    d = _mk(spark, 80)
+    # spec 0: bucket over grp; spec 1 REORDERS and retypes the fields
+    II.append_iceberg_snapshot(d.filter("id < 40"), tbl, [("grp", "bucket[4]")])
+    II.evolve_iceberg_partition_spec(tbl, [("ts", "month"), ("grp", "bucket[4]")])
+    II.append_iceberg_snapshot(d.filter("id >= 40"), tbl)
+    II.delete_iceberg_where(spark, tbl, F.col("id") % 10 == 3)
+    meta = II.load_table_metadata(tbl)
+    assert meta["default-spec-id"] == 1
+    snap = II._pick_snapshot(meta, None)
+    _, mrows = II.make_generic_avro().read_file(snap["manifest-list"])
+    added = [m for m in mrows if m["added_snapshot_id"] == snap["snapshot-id"]]
+    assert added and all(m["partition_spec_id"] == 1 for m in added)
+    # reads stay row-correct under both partition predicates
+    want = d.filter("id % 10 <> 3")
+    got = II.read_iceberg_py(spark, tbl)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    for preds, residual in [
+        ([("grp", "=", 2)], F.col("grp") == 2),
+        ([("ts", ">=", 820_454_400_000_000)], F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ) >= 820_454_400_000_000),
+    ]:
+        g = II.read_iceberg_py(spark, tbl, predicates=preds).filter(residual)
+        w = want.filter(residual)
+        assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0, preds
+
+
+def test_string_partition_empty_vs_null_not_conflated(spark, tmp_path):
+    """Hive layout writes BOTH null and '' to
+    __HIVE_DEFAULT_PARTITION__; the stage-time 'v' prefix keeps them
+    distinct so a col = '' predicate still returns the empty-string
+    rows instead of null-pruning their file away."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None), (4, "alpha"), (5, "beta")], "id int, k string"
+    )
+    II.append_iceberg_snapshot(d, tbl, [("k", "identity")])
+    got_empty = II.read_iceberg_py(spark, tbl, predicates=[("k", "=", "")]).filter(
+        F.col("k") == ""
+    )
+    assert sorted(r["id"] for r in got_empty.collect()) == [1, 2]
+    got_alpha = II.read_iceberg_py(spark, tbl, predicates=[("k", "=", "alpha")]).filter(
+        F.col("k") == "alpha"
+    )
+    assert [r["id"] for r in got_alpha.collect()] == [4]
+    # full read returns all five rows with values intact
+    back = II.read_iceberg_py(spark, tbl)
+    assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
+    # truncate over string: '' truncates to '' — same hazard
+    tbl2 = str(tmp_path / "t2")
+    II.append_iceberg_snapshot(d, tbl2, [("k", "truncate[2]")])
+    got2 = II.read_iceberg_py(spark, tbl2, predicates=[("k", "=", "")]).filter(
+        F.col("k") == ""
+    )
+    assert sorted(r["id"] for r in got2.collect()) == [1, 2]
 
 
 def test_hour_transform_negative_epoch_write_read_agreement(spark):
