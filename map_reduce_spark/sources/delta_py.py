@@ -2850,10 +2850,21 @@ def restore_table(
     with the full history intact above it. The standard recovery move
     after a bad write."""
     target = snapshot(table, version)
+    # the gate must hold at BOTH ends: restoring INTO a DV/column-
+    # mapping state re-adds files this writer's rewriting operators
+    # (and a pre-fix reader of the restored state) must not mishandle
+    _gate_dv_rewrite(target, "restore_table (target snapshot)")
     for _ in range(_max_retries):
         cur = snapshot(table)
         _gate_dv_rewrite(cur, "restore_table")
         actions: list[dict] = []
+        # restoring across a schema / partition-column / table-config
+        # change must re-commit the TARGET's metaData (real Delta
+        # RESTORE does) — otherwise the restored files read under the
+        # current schema, silently misrendering old data
+        meta_changed = cur.metadata != target.metadata
+        if meta_changed:
+            actions.append({"metaData": target.metadata})
         for rel in sorted(set(cur.adds) - set(target.adds)):
             actions.append(
                 {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}

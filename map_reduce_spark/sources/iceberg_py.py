@@ -1443,6 +1443,11 @@ def _commit_snapshot(
                 }
             ],
         }
+        # carry the snapshot-log forward — it records rollback events
+        # (target + abandoned head) that the stream source's
+        # append-only guard needs across later commits
+        if meta is not None and meta.get("snapshot-log"):
+            new_meta["snapshot-log"] = meta["snapshot-log"]
         if _try_publish_metadata(table, snap_id, new_meta):
             return snap_id
         # lost the race: drop this attempt's manifest pair and rebuild
@@ -3845,6 +3850,26 @@ def make_appends_planner(table_abs: str):
                 return _os.path.join(table_abs, p[len(loc):].lstrip("/"))
             return p
 
+        # rollback guard: rollback_iceberg logs each rollback as
+        # (target t, abandoned head h) — every snapshot id in (t, h]
+        # is OFF the current lineage (ids are never reused, so a later
+        # re-append cannot re-validate them). A consumer whose
+        # committed offset sits in that interval has emitted rows the
+        # table no longer holds; an end offset in it would emit them.
+        for ev in m.get("snapshot-log") or []:
+            h = ev.get("rolled-back-from")
+            if h is None:
+                continue
+            t = ev["snapshot-id"]
+            for off, word in ((lo, "committed"), (hi, "end")):
+                if t < off <= h:
+                    raise ValueError(
+                        "iceberg stream source: table was rolled back "
+                        f"from snapshot {h} to {t}, and this stream's "
+                        f"{word} offset {off} lies in the abandoned "
+                        "range — emitted rows are no longer table "
+                        "state; reset the checkpoint"
+                    )
         for s in m.get("snapshots") or []:
             sid_ = s["snapshot-id"]
             if lo < sid_ <= hi and (
@@ -4179,7 +4204,23 @@ def rollback_iceberg(table: str, snapshot_id: int, _max_retries: int = 20) -> in
             raise KeyError(f"snapshot {snapshot_id} not in table history")
         if meta.get("current-snapshot-id") == snapshot_id:
             return version  # already there
-        new_meta = dict(meta, **{"current-snapshot-id": snapshot_id})
+        # record the rollback in the snapshot-log (spec shape, plus the
+        # abandoned head) — the stream source's append-only guard keys
+        # on it: without a record, latestOffset would silently regress
+        # and an already-past-the-rollback checkpoint could double-
+        # deliver rows relative to table state after a re-append
+        log = list(meta.get("snapshot-log") or [])
+        log.append(
+            {
+                "timestamp-ms": 0,
+                "snapshot-id": snapshot_id,
+                "rolled-back-from": meta.get("current-snapshot-id"),
+            }
+        )
+        new_meta = dict(
+            meta,
+            **{"current-snapshot-id": snapshot_id, "snapshot-log": log},
+        )
         if _try_publish_metadata(table, version + 1, new_meta):
             return version + 1
     raise RuntimeError(f"rollback on {table!r} lost {_max_retries} races")

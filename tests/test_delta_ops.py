@@ -270,3 +270,46 @@ def test_update_where_and_restore(spark, tmp_path):
     # restoring to the current state is a no-op commit
     v_now = D.latest_version(tbl)
     assert D.restore_table(spark, tbl, v_now) == v_now
+
+
+def test_restore_across_schema_change_recommits_metadata(spark, tmp_path):
+    """RESTORE across a schema-evolution boundary must re-commit the
+    TARGET version's metaData (real Delta RESTORE does): without it
+    the restored files read under the NEW schema — the post-evolution
+    column ghosts back as all-NULL instead of disappearing."""
+    tbl = str(tmp_path / "t")
+    d0 = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    D.write_delta_py(d0, tbl, mode="overwrite", stats_cols=("id",))
+    v0 = D.latest_version(tbl)
+    schema0 = D.snapshot(tbl).metadata["schemaString"]
+    d1 = spark.createDataFrame([(3, 30, "x")], "id bigint, v bigint, extra string")
+    D.append_with_evolution(d1, tbl)
+    assert "extra" in D.snapshot(tbl).metadata["schemaString"]
+    D.restore_table(spark, tbl, v0)
+    snap = D.snapshot(tbl)
+    assert snap.metadata["schemaString"] == schema0  # metaData restored
+    got = D.read_delta_py(spark, tbl)
+    assert got.columns == ["id", "v"]  # no ghost column
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == [(1, 10), (2, 20)]
+    # history above the restore stays time-travelable under ITS schema
+    mid = D.read_delta_py(spark, tbl, v0 + 1)
+    assert "extra" in mid.columns and mid.count() == 3
+
+
+def test_restore_into_dv_state_is_gated(spark, tmp_path):
+    """Restoring INTO a version that carries deletion vectors is
+    refused loudly (the target gate): silent file re-adds without DV
+    awareness would resurrect deleted rows."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 2) for i in range(10)], "id bigint, v bigint")
+    D.write_delta_py(d, tbl, mode="overwrite", stats_cols=("id",))
+    D.delete_where_dv(spark, tbl, F.col("id") < 3)
+    v_dv = D.latest_version(tbl)
+    # cleanse the CURRENT state via the documented escape hatch
+    # (read + overwrite) so only the TARGET carries DVs
+    D.write_delta_py(
+        D.read_delta_py(spark, tbl), tbl, mode="overwrite", stats_cols=("id",)
+    )
+    assert not any(a.get("deletionVector") for a in D.snapshot(tbl).adds.values())
+    with pytest.raises(NotImplementedError, match="target snapshot"):
+        D.restore_table(spark, tbl, v_dv)

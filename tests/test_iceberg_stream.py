@@ -190,3 +190,39 @@ def test_source_replay_survives_compaction(spark, tmp_path):
     # a live range containing the replace snapshot is refused
     with _pt.raises(ValueError, match="append-only feed refuses"):
         plan(2, 3)
+
+
+def test_source_refuses_offsets_in_rolled_back_range(spark, tmp_path):
+    """rollback_iceberg logs (target, abandoned head); any stream
+    offset inside the abandoned id range must refuse loudly — the
+    consumer emitted rows the table no longer holds, and a later
+    re-append would otherwise double-deliver relative to table state.
+    Offsets at or below the rollback target keep working."""
+    import pytest as _pt
+
+    tbl = str(tmp_path / "t")
+    d = _batch(spark, 0, 30)
+    I.append_iceberg_snapshot(d.filter("id < 10"), tbl)               # snap 1
+    I.append_iceberg_snapshot(d.filter("id >= 10 and id < 20"), tbl)  # snap 2
+    plan = I.make_appends_planner(os.path.abspath(tbl))
+    assert plan(1, 2)  # consumable before the rollback
+    I.rollback_iceberg(tbl, 1)                                        # drop snap 2
+    I.append_iceberg_snapshot(d.filter("id >= 20"), tbl)              # new head
+    meta = I.load_table_metadata(tbl)
+    head = meta["current-snapshot-id"]
+    assert head > 2  # ids never reused
+    # committed offset inside the abandoned range -> reset the checkpoint
+    with _pt.raises(ValueError, match="rolled back"):
+        plan(2, head)
+    # a stale pending end offset inside the abandoned range also refuses
+    with _pt.raises(ValueError, match="rolled back"):
+        plan(1, 2)
+    # a consumer at/below the target keeps reading lineage-only files
+    files = plan(1, head)
+    assert files
+    import pyarrow.parquet as _pq
+
+    got = sorted(
+        v for f in files for v in _pq.read_table(f).column("id").to_pylist()
+    )
+    assert got == list(range(20, 30))  # snap 2's rows are NOT re-emitted
