@@ -423,13 +423,16 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary.
 
     Scale shape: the corpus pass is one partial-agg'd groupBy(term);
-    the top-k is TakeOrderedAndProject. The trailing rank/cumsum window
-    runs over a BOUNDED set (K = 500 rows post-limit), so its single-
-    partition exchange moves 500 rows regardless of corpus size — the
-    documented exception to NOTES rule 13's unbounded-window ban.
+    the top-k is TakeOrderedAndProject. The trailing rank/cumsum runs
+    over a BOUNDED set (K = 500 rows post-limit) through
+    ``ranking.global_prefix_sum`` — the range-partitioned prefix-sum
+    shape, so no bare global window (and no single-partition
+    WindowExec warning) appears even on this constant-size frame.
     Integer cumsum; the share ratio is one division, rounded only in
     the projection.
     """
+    from map_reduce_spark.ranking import global_prefix_sum
+
     docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
@@ -438,18 +441,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = freq.agg(F.sum("freq").cast("long").alias("total"))
     top = freq.orderBy(F.col("freq").desc(), "term").limit(500)
-    from pyspark.sql import Window
-
     order = [F.col("freq").desc(), F.col("term")]
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    return top.crossJoin(F.broadcast(tot)).select(
-        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+    cum = global_prefix_sum(top, order, "freq", out="_cum", rank_out="rank")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "rank",
         "term",
         "freq",
-        F.sum("freq").over(w_cum).cast("long").alias("cum_freq"),
-        F.round(
-            F.sum("freq").over(w_cum).cast("double") / F.col("total"), 6
-        ).alias("cum_share"),
+        F.col("_cum").cast("long").alias("cum_freq"),
+        F.round(F.col("_cum").cast("double") / F.col("total"), 6).alias("cum_share"),
     )
 
 

@@ -112,3 +112,66 @@ def global_ntile(
         .cast("int")
     )
     return ranked.withColumn(out, bucket).drop("_pos", "_n")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    out: str = "cum",
+    rank_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the running total of ``value_col`` following the total
+    order of ``sort_cols`` (inclusive prefix sum), scale-safe: the
+    same range-partition + local-window + broadcast-offset shape as
+    ``global_row_number``, with per-partition SUM offsets instead of
+    counts — no ``Exchange SinglePartition`` anywhere in the plan.
+    With ``rank_out`` set, the 1-based global position comes along for
+    free (same local window, same offsets pass)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # NOTES rule 11 stage barrier — see global_row_number.
+    part = stage_cache(
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lcum", F.sum(value_col).over(w_local))
+    if rank_out is not None:
+        local = local.withColumn(
+            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
+        )
+    # one row per partition: metadata-sized however big df is
+    agg = part.groupBy("_pid").agg(
+        F.sum(value_col).alias("_psum"), F.count("*").alias("_pcnt")
+    )
+    x, y = agg.alias("x"), agg.alias("y")
+    offs = (
+        x.crossJoin(F.broadcast(y))
+        .groupBy(F.col("x._pid").alias("_pid"))
+        .agg(
+            F.sum(
+                F.when(F.col("y._pid") < F.col("x._pid"), F.col("y._psum")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_soff"),
+            F.sum(
+                F.when(F.col("y._pid") < F.col("x._pid"), F.col("y._pcnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_coff"),
+        )
+    )
+    ranked = local.join(F.broadcast(offs), "_pid").withColumn(
+        out, F.col("_soff") + F.col("_lcum")
+    )
+    if rank_out is not None:
+        ranked = ranked.withColumn(
+            rank_out, (F.col("_coff") + F.col("_lrn")).cast("int")
+        )
+    return ranked.drop("_pid", "_lcum", "_lrn", "_soff", "_coff")

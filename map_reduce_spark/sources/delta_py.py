@@ -62,6 +62,7 @@ import hashlib
 import itertools
 import json
 import os
+import re
 import shutil
 import urllib.parse
 
@@ -101,23 +102,55 @@ def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
 
 
+# v2 checkpoints (Delta protocol "V2 Checkpoint Table Feature"): a
+# top-level file named <version>.checkpoint.<uuid>.{json|parquet}
+# holding protocol/metaData/txn plus a checkpointMetadata action and
+# sidecar actions; the add/remove file actions live in parquet
+# SIDECAR files under _delta_log/_sidecars/.
+_V2_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(json|parquet)$"
+)
+
+
+def _find_checkpoint_file(table: str, version: int) -> str:
+    """On-disk checkpoint file for ``version`` — classic single-file
+    preferred, else the v2 uuid-named form."""
+    classic = _checkpoint_path(table, version)
+    if os.path.exists(classic):
+        return classic
+    d = _log_dir(table)
+    for f in sorted(os.listdir(d)):
+        m = _V2_CKPT_RE.match(f)
+        if m and int(m.group(1)) == version:
+            return os.path.join(d, f)
+    raise FileNotFoundError(
+        f"checkpoint for version {version} vanished from {d!r}"
+    )
+
+
 def _list_log(table: str) -> tuple[list[int], list[int]]:
     """(sorted commit versions, sorted checkpoint versions) on disk."""
     d = _log_dir(table)
     if not os.path.isdir(d):
         return [], []
-    js, cps = [], []
+    js, cps = [], set()
     for f in os.listdir(d):
-        if f.endswith(".json") and f[:20].isdigit():
+        m = _V2_CKPT_RE.match(f)
+        if m:
+            cps.add(int(m.group(1)))
+        elif f.endswith(".json") and f[:20].isdigit():
             js.append(int(f[:20]))
         elif f.endswith(".checkpoint.parquet") and f[:20].isdigit():
-            cps.append(int(f[:20]))
+            cps.add(int(f[:20]))
     return sorted(js), sorted(cps)
 
 
 def latest_version(table: str) -> int | None:
-    js, _ = _list_log(table)
-    return js[-1] if js else None
+    js, cps = _list_log(table)
+    # a checkpointed version with its json commit expired still counts
+    # (else a writer would reuse version numbers after log cleanup)
+    both = js[-1:] + cps[-1:]
+    return max(both) if both else None
 
 
 def _read_commit(table: str, version: int) -> list[dict]:
@@ -162,19 +195,21 @@ def _gate_protocol(protocol: dict) -> None:
     minReaderVersion=2 reads (its only reader-visible capability is
     column mapping, implemented in round 9); minReaderVersion=3 reads
     iff every listed readerFeature is one we implement
-    (deletionVectors, columnMapping). Anything else — v2Checkpoint,
-    timestampNtz feature tables — still raises loudly rather than
-    mis-reading."""
+    (deletionVectors, columnMapping, v2Checkpoint — the latter added
+    in round 10 with the sidecar-chasing checkpoint reader). Anything
+    else — timestampNtz feature tables — still raises loudly rather
+    than mis-reading."""
     mrv = protocol.get("minReaderVersion", 1)
     features = set(protocol.get("readerFeatures") or [])
     if mrv <= 2 and not features:
         return
-    if mrv == 3 and features <= {"deletionVectors", "columnMapping"}:
+    ok = {"deletionVectors", "columnMapping", "v2Checkpoint"}
+    if mrv == 3 and features <= ok:
         return
     raise NotImplementedError(
         "this pure-Python Delta reader supports protocol "
         "minReaderVersion<=2, or minReaderVersion=3 with readerFeatures "
-        f"⊆ {{deletionVectors, columnMapping}}; table requires {protocol}"
+        f"⊆ {sorted(ok)}; table requires {protocol}"
     )
 
 
@@ -269,29 +304,69 @@ def _apply_action(state: dict, a: dict) -> None:
     # commitInfo: informational, no state
 
 
+def _apply_ckpt_row(state: dict, row: dict) -> list[dict]:
+    """Apply one checkpoint/sidecar parquet row (pyarrow normalization:
+    map<str,str> surfaces as list-of-pairs, lane padding as Nones).
+    Returns any ``sidecar`` actions found for the caller to chase."""
+    sidecars: list[dict] = []
+    for kind in ("protocol", "metaData", "add", "remove", "txn"):
+        v = row.get(kind)
+        if v is not None:
+            # pyarrow map<str,str> -> list of (k, v) pairs
+            if kind == "add" and isinstance(v.get("partitionValues"), list):
+                v = dict(v, partitionValues=dict(v["partitionValues"]))
+            if kind == "metaData" and isinstance(v.get("configuration"), list):
+                v = dict(v, configuration=dict(v["configuration"]))
+            if kind in ("protocol", "add"):
+                # lane padding writes absent optionals as None —
+                # strip them so replayed actions keep the JSON shape
+                v = {k: x for k, x in v.items() if x is not None}
+            _apply_action(state, {kind: v})
+    sc = row.get("sidecar")
+    if sc is not None and sc.get("path"):
+        sidecars.append(sc)
+    return sidecars
+
+
 def _read_checkpoint(table: str, version: int) -> dict:
-    """Seed replay state from a parquet checkpoint (pyarrow — columnar,
-    still metadata-sized: one row per action)."""
+    """Seed replay state from a checkpoint — classic single-file
+    parquet, or a v2 checkpoint (json or parquet) whose add/remove
+    actions live in parquet SIDECAR files under _delta_log/_sidecars/
+    (Delta protocol: V2 Checkpoint Table Feature). Either way the read
+    is metadata-sized: one row per action."""
     import pyarrow.parquet as pq
 
     state = {
         "protocol": None, "metadata": None, "adds": {}, "removes": {}, "txns": {},
     }
-    tbl = pq.read_table(_checkpoint_path(table, version))
-    for row in tbl.to_pylist():
-        for kind in ("protocol", "metaData", "add", "remove", "txn"):
-            v = row.get(kind)
-            if v is not None:
-                # pyarrow map<str,str> -> list of (k, v) pairs
-                if kind == "add" and isinstance(v.get("partitionValues"), list):
-                    v = dict(v, partitionValues=dict(v["partitionValues"]))
-                if kind == "metaData" and isinstance(v.get("configuration"), list):
-                    v = dict(v, configuration=dict(v["configuration"]))
-                if kind in ("protocol", "add"):
-                    # lane padding writes absent optionals as None —
-                    # strip them so replayed actions keep the JSON shape
-                    v = {k: x for k, x in v.items() if x is not None}
-                _apply_action(state, {kind: v})
+    path = _find_checkpoint_file(table, version)
+    sidecars: list[dict] = []
+    if path.endswith(".json"):  # v2 json manifest: one action per line
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "sidecar" in a:
+                    sidecars.append(a["sidecar"])
+                elif "checkpointMetadata" in a:
+                    pass  # version sanity lives in the filename
+                else:
+                    _apply_action(state, a)
+    else:
+        for row in pq.read_table(path).to_pylist():
+            sidecars.extend(_apply_ckpt_row(state, row))
+    for sc in sidecars:
+        sc_path = sc["path"]
+        if not os.path.isabs(sc_path):
+            sc_path = os.path.join(_log_dir(table), "_sidecars", sc_path)
+        for row in pq.read_table(sc_path).to_pylist():
+            extra = _apply_ckpt_row(state, row)
+            if extra:
+                raise RuntimeError(
+                    f"Delta sidecar {sc_path!r} references further "
+                    "sidecars — not a spec shape"
+                )
     return state
 
 
@@ -302,13 +377,16 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
     replays the JSON commits after it — O(actions since checkpoint),
     never O(table)."""
     js, cps = _list_log(table)
-    if not js:
+    if not js and not cps:
         raise FileNotFoundError(f"no Delta log at {table!r}")
-    target = js[-1] if version is None else version
-    if target not in js:
+    target = max(js[-1:] + cps[-1:]) if version is None else version
+    if target not in js and target not in cps:
+        # after metadata cleanup a checkpointed version may exist with
+        # its json commit expired — still a servable snapshot
+        have = sorted(set(js) | set(cps))
         raise ValueError(
             f"version {target} not in Delta log for {table!r} "
-            f"(have {js[0]}..{js[-1]})"
+            f"(have {have[0]}..{have[-1]})"
         )
     usable = [c for c in cps if c <= target]
     if usable:
@@ -340,6 +418,87 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
     )
 
 
+def _ckpt_arrow_types() -> dict:
+    """Arrow struct types for checkpoint lanes (shared by the classic
+    single-file writer and the v2 manifest+sidecar writer)."""
+    import pyarrow as pa
+
+    part_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    return {
+        "add": pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", part_t),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+                ("deletionVector", dv_t),
+            ]
+        ),
+        "remove": pa.struct(
+            [
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        ),
+        "protocol": pa.struct(
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
+        ),
+        "txn": pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+        "metaData": pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                # columnMapping mode lives here — dropping it through a
+                # checkpoint would misread every physical column as null
+                ("configuration", part_t),
+            ]
+        ),
+        "checkpointMetadata": pa.struct(
+            [("version", pa.int64()), ("tags", part_t)]
+        ),
+        "sidecar": pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        ),
+    }
+
+
+def _ckpt_add_row(a: dict) -> dict:
+    return {
+        "path": a["path"],
+        "partitionValues": list((a.get("partitionValues") or {}).items()),
+        "size": a.get("size", 0),
+        "modificationTime": a.get("modificationTime", 0),
+        "dataChange": bool(a.get("dataChange", True)),
+        "stats": a.get("stats"),
+        # merge-on-read state MUST survive checkpointing — a
+        # checkpoint that dropped the DV would resurrect rows
+        "deletionVector": a.get("deletionVector"),
+    }
+
+
 def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
     """Spec-layout single-file checkpoint: one row per reconciled
     action (protocol, metaData, live adds, remove tombstones), plus the
@@ -352,67 +511,11 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    part_t = pa.map_(pa.string(), pa.string())
-    dv_t = pa.struct(
-        [
-            ("storageType", pa.string()),
-            ("pathOrInlineDv", pa.string()),
-            ("offset", pa.int64()),
-            ("sizeInBytes", pa.int64()),
-            ("cardinality", pa.int64()),
-        ]
+    t = _ckpt_arrow_types()
+    add_t, rem_t, proto_t, txn_t, meta_t = (
+        t["add"], t["remove"], t["protocol"], t["txn"], t["metaData"],
     )
-    add_t = pa.struct(
-        [
-            ("path", pa.string()),
-            ("partitionValues", part_t),
-            ("size", pa.int64()),
-            ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_()),
-            ("stats", pa.string()),
-            ("deletionVector", dv_t),
-        ]
-    )
-    rem_t = pa.struct(
-        [
-            ("path", pa.string()),
-            ("deletionTimestamp", pa.int64()),
-            ("dataChange", pa.bool_()),
-        ]
-    )
-    proto_t = pa.struct(
-        [
-            ("minReaderVersion", pa.int32()),
-            ("minWriterVersion", pa.int32()),
-            ("readerFeatures", pa.list_(pa.string())),
-            ("writerFeatures", pa.list_(pa.string())),
-        ]
-    )
-    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
-    meta_t = pa.struct(
-        [
-            ("id", pa.string()),
-            ("format", pa.struct([("provider", pa.string())])),
-            ("schemaString", pa.string()),
-            ("partitionColumns", pa.list_(pa.string())),
-            # columnMapping mode lives here — dropping it through a
-            # checkpoint would misread every physical column as null
-            ("configuration", part_t),
-        ]
-    )
-
-    def _add_row(a: dict) -> dict:
-        return {
-            "path": a["path"],
-            "partitionValues": list((a.get("partitionValues") or {}).items()),
-            "size": a.get("size", 0),
-            "modificationTime": a.get("modificationTime", 0),
-            "dataChange": bool(a.get("dataChange", True)),
-            "stats": a.get("stats"),
-            # merge-on-read state MUST survive checkpointing — a
-            # checkpoint that dropped the DV would resurrect rows
-            "deletionVector": a.get("deletionVector"),
-        }
+    _add_row = _ckpt_add_row
 
     rows_proto, rows_meta, rows_add, rows_rem = [], [], [], []
     rows_proto.append(
@@ -474,6 +577,129 @@ def write_checkpoint(table: str, snap: DeltaSnapshot) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(ptr_tmp, ptr)
+
+
+def write_checkpoint_v2(
+    table: str, snap: DeltaSnapshot, sidecar_actions: int = 50_000
+) -> str:
+    """V2 checkpoint (Delta protocol "V2 Checkpoint Table Feature"):
+    a uuid-named top-level manifest
+    ``<version>.checkpoint.<uuid>.parquet`` carrying protocol /
+    metaData / txn / checkpointMetadata plus ``sidecar`` pointers, with
+    the add/remove file actions sharded into parquet SIDECAR files
+    under ``_delta_log/_sidecars/``. At 100 TB this is the layout that
+    matters: the manifest stays O(1) and each sidecar is independently
+    fetchable/cacheable, instead of one monolithic multi-GB parquet.
+    Returns the manifest path. Readable back by ``_read_checkpoint``
+    (and by any spec reader)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _ckpt_arrow_types()
+    d = _log_dir(table)
+    sc_dir = os.path.join(d, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+
+    rows_add = [_ckpt_add_row(a) for _, a in sorted(snap.adds.items())]
+    rows_rem = [
+        {
+            "path": r["path"],
+            "deletionTimestamp": r.get("deletionTimestamp", 0),
+            "dataChange": bool(r.get("dataChange", True)),
+        }
+        for _, r in sorted(snap.removes.items())
+    ]
+    # shard file actions into sidecars (adds first, then removes —
+    # reconciliation is order-independent across DISTINCT paths, which
+    # the active-set/tombstone split guarantees)
+    lanes = [({"add": a}) for a in rows_add] + [({"remove": r}) for r in rows_rem]
+    sidecars = []
+    for i in range(0, max(len(lanes), 1), sidecar_actions):
+        shard = lanes[i : i + sidecar_actions]
+        adds = [x.get("add") for x in shard]
+        rems = [x.get("remove") for x in shard]
+        name = f"{_uuid.uuid4()}.parquet"
+        sc_path = os.path.join(sc_dir, name)
+        tmp = sc_path + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(adds, type=t["add"]),
+                    "remove": pa.array(rems, type=t["remove"]),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, sc_path)
+        sidecars.append(
+            {
+                "path": name,
+                "sizeInBytes": os.path.getsize(sc_path),
+                "modificationTime": 0,
+            }
+        )
+
+    rows_txn = [
+        {"appId": app, "version": v} for app, v in sorted(snap.txns.items())
+    ]
+    n = 3 + len(rows_txn) + len(sidecars)
+    pad = [None] * n
+
+    def _lane(offset, rows):
+        return pad[:offset] + rows + pad[offset + len(rows):]
+
+    proto_row = {
+        "minReaderVersion": snap.protocol.get("minReaderVersion", 1),
+        "minWriterVersion": snap.protocol.get("minWriterVersion", 2),
+        "readerFeatures": snap.protocol.get("readerFeatures"),
+        "writerFeatures": snap.protocol.get("writerFeatures"),
+    }
+    meta_row = {
+        "id": snap.metadata["id"],
+        "format": {"provider": "parquet"},
+        "schemaString": snap.metadata["schemaString"],
+        "partitionColumns": snap.partition_columns,
+        "configuration": list((snap.metadata.get("configuration") or {}).items()),
+    }
+    ckpt_meta_row = {"version": snap.version, "tags": []}
+    off_txn = 3
+    off_sc = 3 + len(rows_txn)
+    manifest_tbl = pa.table(
+        {
+            "protocol": pa.array(_lane(0, [proto_row]), type=t["protocol"]),
+            "metaData": pa.array(_lane(1, [meta_row]), type=t["metaData"]),
+            "checkpointMetadata": pa.array(
+                _lane(2, [ckpt_meta_row]), type=t["checkpointMetadata"]
+            ),
+            "txn": pa.array(_lane(off_txn, rows_txn), type=t["txn"]),
+            "sidecar": pa.array(_lane(off_sc, sidecars), type=t["sidecar"]),
+        }
+    )
+    final = os.path.join(
+        d, f"{snap.version:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+    )
+    tmp = final + f".tmp{os.getpid()}"
+    pq.write_table(manifest_tbl, tmp)
+    os.replace(tmp, final)
+    ptr = os.path.join(d, _LAST_CHECKPOINT)
+    ptr_tmp = ptr + f".tmp{os.getpid()}"
+    with open(ptr_tmp, "w", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "version": snap.version,
+                    "size": n + len(lanes),
+                    "sizeInBytes": os.path.getsize(final),
+                    "v2Checkpoint": {"path": os.path.basename(final)},
+                }
+            )
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ptr_tmp, ptr)
+    return final
 
 
 # --------------------------------------------------------------------
@@ -1629,6 +1855,105 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
         F.sum("price_cents").alias("sum_cents"),
+    )
+
+
+def ensure_delta_v2ckpt_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A Delta table whose history is only reachable THROUGH a v2
+    checkpoint: clone the shared orders fixture (v0 load, v1 append,
+    v2 delete), cut a V2 checkpoint (uuid manifest + parquet sidecars)
+    at the head, EXPIRE every json commit and classic checkpoint at or
+    below it (spec metadata cleanup), then land one more append (the
+    'O'-status bucket16-1 slice, duplicated on purpose so a reader
+    that loses the post-checkpoint tail is caught by the counts).
+    Reading this table exercises: v2 manifest discovery, sidecar
+    chasing, checkpoint-only version service, and json replay above
+    the checkpoint — the exact layout today's Spark/Databricks writers
+    produce at scale."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_v2c_{key}")
+    if os.path.isdir(dest):
+        return dest
+    base = ensure_delta_fixture(spark, sf_dir)
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    clone_delta_table(base, tmp)
+    snap = snapshot(tmp)
+    write_checkpoint_v2(tmp, snap)
+    d = _log_dir(tmp)
+    for f in os.listdir(d):
+        is_json_commit = (
+            f.endswith(".json") and f[:20].isdigit() and not _V2_CKPT_RE.match(f)
+        )
+        if (is_json_commit or f.endswith(".checkpoint.parquet")) and int(
+            f[:20]
+        ) <= snap.version:
+            os.remove(os.path.join(d, f))
+    extra = _orders_frame(spark, sf_dir).filter(
+        (F.col("o_orderstatus") == "O") & (_bucket(F.col("o_orderkey"), 16) == 1)
+    )
+    write_delta_py(
+        extra,
+        tmp,
+        mode="append",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=10_000,  # keep the v2 checkpoint the only seed
+    )
+    try:
+        os.rename(tmp, dest)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "delta_v2_checkpoint_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) AS o_year,
+         {_B16_SQL} AS b16
+  FROM orders
+),
+base AS (
+  SELECT * FROM d WHERE NOT (o_orderstatus = 'F' AND b16 = 0)
+),
+extra AS (
+  SELECT * FROM d WHERE o_orderstatus = 'O' AND b16 = 1
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+SELECT o_year, o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM u
+WHERE o_year >= '1995'
+GROUP BY o_year, o_orderstatus
+""",
+)
+def delta_v2_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a table whose pre-checkpoint history was EXPIRED: the read
+    must seed from the v2 checkpoint manifest, chase its parquet
+    sidecars for the add/remove set, then replay the one json commit
+    above it. The oracle recomputes the full logical history (load ∪
+    append − delete ∪ duplicated post-checkpoint append) relationally,
+    so a dropped sidecar, a misapplied tombstone, or a lost
+    post-checkpoint commit all hash-mismatch."""
+    df = read_delta_py(spark, ensure_delta_v2ckpt_fixture(spark, sf_dir))
+    return (
+        df.filter(F.col("o_year") >= "1995")
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
     )
 
 

@@ -64,7 +64,7 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from map_reduce_spark.registry import register
 
@@ -734,12 +734,63 @@ def read_iceberg_py(
             f"iceberg_py: format-version {meta['format-version']} > 2"
         )
     snap = _pick_snapshot(meta, snapshot_id)
-    ice_schema = _schema_for_snapshot(meta, snap)
+    if snapshot_id is None:
+        # current reads render under the table's CURRENT schema (a
+        # metadata-only column rename adds no snapshot, so the head
+        # snapshot's schema-id can lag); pinned reads keep snapshot
+        # schemas for time travel
+        schemas = meta.get("schemas") or []
+        ice_schema = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == meta.get("current-schema-id", 0)
+            ),
+            None,
+        ) or _schema_for_snapshot(meta, snap)
+    else:
+        ice_schema = _schema_for_snapshot(meta, snap)
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
     plan = scan_plan_for_snapshot(table, meta, snap, predicates=predicates)
     if not plan["data_files"]:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*plan["data_files"])
+    # spec name mapping: data files without parquet field ids resolve
+    # their columns by historical NAME. The scan widens to every
+    # alternate name and coalesces back to the current one — one
+    # native parquet scan, no per-file branching, JVM-side throughout.
+    nm = _name_mapping(meta)
+    alt_names: dict[str, list[str]] = {}
+    if nm:
+        cur_names = {f["name"] for f in ice_schema["fields"]}
+        for f in ice_schema["fields"]:
+            alts = [n for n in nm.get(f["id"], []) if n != f["name"]]
+            for a in alts:
+                if a in cur_names:
+                    raise NotImplementedError(
+                        f"name mapping aliases {a!r} onto an existing "
+                        "current column — ambiguous by-name resolution"
+                    )
+            if alts:
+                alt_names[f["name"]] = alts
+    if alt_names:
+        by_name = {fld.name: fld for fld in schema.fields}
+        wide = StructType(
+            list(schema.fields)
+            + [
+                StructField(a, by_name[cur].dataType, True)
+                for cur, alts in alt_names.items()
+                for a in alts
+            ]
+        )
+        df = spark.read.schema(wide).parquet(*plan["data_files"])
+        df = df.withColumns(
+            {
+                cur: F.coalesce(F.col(cur), *[F.col(a) for a in alts])
+                for cur, alts in alt_names.items()
+            }
+        ).drop(*[a for alts in alt_names.values() for a in alts])
+    else:
+        df = spark.read.schema(schema).parquet(*plan["data_files"])
     if not plan["delete_files"] and not plan["eq_deletes"]:
         return df
     src = df.withColumns(
@@ -1448,6 +1499,9 @@ def _commit_snapshot(
         # append-only guard needs across later commits
         if meta is not None and meta.get("snapshot-log"):
             new_meta["snapshot-log"] = meta["snapshot-log"]
+        # ... and table properties (name mapping lives there)
+        if meta is not None and meta.get("properties"):
+            new_meta["properties"] = meta["properties"]
         if _try_publish_metadata(table, snap_id, new_meta):
             return snap_id
         # lost the race: drop this attempt's manifest pair and rebuild
@@ -1681,6 +1735,66 @@ def ensure_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
     return dest
+
+
+def ensure_iceberg_renamed_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An Iceberg table whose price column was RENAMED mid-history:
+    snapshot 1 lands `l_price_legacy` (Spark parquet — no embedded
+    field ids), a metadata-only ``rename_iceberg_column`` moves it to
+    `price_cents` recording spec name mapping, snapshot 2 appends
+    under the new name. Reading it exercises the name-mapping
+    resolution path on the pre-rename files."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_nm_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _lineitem_frame(spark, sf_dir)
+    b8 = _li_bucket(8)
+    append_iceberg_snapshot(
+        d.filter(b8 < 5)
+        .withColumnRenamed("price_cents", "l_price_legacy")
+        .repartition(4),
+        tmp,
+    )
+    rename_iceberg_column(tmp, "l_price_legacy", "price_cents")
+    append_iceberg_snapshot(d.filter(b8 >= 5).repartition(2), tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "iceberg_name_mapping_scan",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       COUNT(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS n_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def iceberg_name_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a lineitem Iceberg table across a column-rename boundary:
+    the pre-rename files (62.5% of rows, field-id-less parquet under
+    the legacy name) must resolve through
+    ``schema.name-mapping.default`` and coalesce with the post-rename
+    files into one `price_cents` column. The oracle aggregates the
+    logical column over ALL rows — any file era falling out as NULLs
+    flips both n_price and the sums."""
+    df = read_iceberg_py(spark, ensure_iceberg_renamed_fixture(spark, sf_dir))
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.count("price_cents").alias("n_price"),
+    )
 
 
 @register(
@@ -3322,6 +3436,81 @@ def iceberg_compact_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # partition-spec evolution (round 9): re-layout WITHOUT rewriting data
 # --------------------------------------------------------------------
+
+
+def _name_mapping(meta: dict) -> dict[int, list[str]] | None:
+    """Parsed ``schema.name-mapping.default`` (spec: applied to data
+    files that lack parquet field ids — maps each FILE column name to
+    its Iceberg field id). Returns {field-id: [names]} or None."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return None
+    out: dict[int, list[str]] = {}
+    for e in json.loads(raw):
+        fid = e.get("field-id")
+        if fid is not None:
+            out[int(fid)] = list(e.get("names") or [])
+    return out or None
+
+
+def rename_iceberg_column(
+    table: str, old: str, new: str, _max_retries: int = 20
+) -> int:
+    """Iceberg RENAME COLUMN: a new current schema with the SAME field
+    id under the new name — zero data files touched (ids, not names,
+    are the spec's identity). Because this engine's data files are
+    Spark-written parquet WITHOUT embedded field ids, the rename also
+    records ``schema.name-mapping.default`` (spec name mapping: every
+    historical name of each field maps to its id), which the reader
+    consumes to resolve pre-rename files by their old column name.
+    Metadata-only put-if-absent commit; returns the new schema id."""
+    for _ in range(_max_retries):
+        meta, version = _load_meta_versioned(table)
+        if meta is None:
+            raise ValueError("cannot rename a column of a table with no metadata")
+        schemas = list(meta.get("schemas") or [])
+        cur = next(
+            s for s in schemas if s.get("schema-id") == meta.get("current-schema-id", 0)
+        )
+        if not any(f["name"] == old for f in cur["fields"]):
+            raise KeyError(f"column {old!r} not in current schema")
+        if any(f["name"] == new for f in cur["fields"]):
+            raise ValueError(f"column {new!r} already exists")
+        new_sid = max(s.get("schema-id", 0) for s in schemas) + 1
+        fields = [
+            dict(f, name=new) if f["name"] == old else dict(f)
+            for f in cur["fields"]
+        ]
+        new_schema = {"type": "struct", "schema-id": new_sid, "fields": fields}
+        # name mapping: union of every historical name per field id
+        names_by_id: dict[int, list[str]] = {}
+        for s in schemas + [new_schema]:
+            for f in s["fields"]:
+                bucket = names_by_id.setdefault(f["id"], [])
+                if f["name"] not in bucket:
+                    bucket.append(f["name"])
+        for fid, names in (_name_mapping(meta) or {}).items():
+            bucket = names_by_id.setdefault(fid, [])
+            for n in names:
+                if n not in bucket:
+                    bucket.insert(0, n)
+        mapping = [
+            {"field-id": fid, "names": names}
+            for fid, names in sorted(names_by_id.items())
+        ]
+        props = dict(meta.get("properties") or {})
+        props["schema.name-mapping.default"] = json.dumps(mapping)
+        new_meta = dict(
+            meta,
+            **{
+                "schemas": schemas + [new_schema],
+                "current-schema-id": new_sid,
+                "properties": props,
+            },
+        )
+        if _try_publish_metadata(table, version + 1, new_meta):
+            return new_sid
+    raise RuntimeError(f"rename on {table!r} lost {_max_retries} races")
 
 
 def evolve_iceberg_partition_spec(

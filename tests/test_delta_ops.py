@@ -313,3 +313,83 @@ def test_restore_into_dv_state_is_gated(spark, tmp_path):
     assert not any(a.get("deletionVector") for a in D.snapshot(tbl).adds.values())
     with pytest.raises(NotImplementedError, match="target snapshot"):
         D.restore_table(spark, tbl, v_dv)
+
+
+def test_v2_checkpoint_roundtrip_and_log_truncation(spark, tmp_path):
+    """V2 checkpoint write -> read: a uuid manifest + parquet sidecars
+    fully reconstructs the snapshot (adds, removes, DVs, txns, schema)
+    after EVERY json commit and classic checkpoint at or below it is
+    expired; replay above the checkpoint still applies."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 2) for i in range(20)], "id bigint, v bigint")
+    D.write_delta_py(d.repartition(2), tbl, mode="overwrite", stats_cols=("id",))
+    D.delete_where_dv(spark, tbl, F.col("id") < 3)  # DV must survive the ckpt
+    snap = D.snapshot(tbl)
+    path = D.write_checkpoint_v2(tbl, snap)
+    assert os.path.basename(path).split(".")[1] == "checkpoint"
+    # expire the pre-checkpoint log
+    logd = os.path.join(tbl, "_delta_log")
+    for f in list(os.listdir(logd)):
+        if (
+            f.endswith(".json") and f[:20].isdigit() and not D._V2_CKPT_RE.match(f)
+        ) or f.endswith(".checkpoint.parquet"):
+            if int(f[:20]) <= snap.version:
+                os.remove(os.path.join(logd, f))
+    # checkpoint-only snapshot service
+    back = D.snapshot(tbl)
+    assert back.version == snap.version
+    assert back.metadata["schemaString"] == snap.metadata["schemaString"]
+    got = {r["id"]: r["v"] for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == {i: i * 2 for i in range(3, 20)}  # DVs applied
+    # replay ABOVE the checkpoint still layers on
+    D.write_delta_py(
+        spark.createDataFrame([(100, 200)], "id bigint, v bigint"),
+        tbl, mode="append", checkpoint_interval=10_000,
+    )
+    got2 = {r["id"]: r["v"] for r in D.read_delta_py(spark, tbl).collect()}
+    assert got2 == {**{i: i * 2 for i in range(3, 20)}, 100: 200}
+
+
+def test_v2_checkpoint_json_manifest_form(spark, tmp_path):
+    """The v2 manifest may be JSON (one action per line) instead of
+    parquet — same sidecars, same reconstruction."""
+    import glob
+    import json as _json
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, str(i)) for i in range(10)], "id bigint, s string")
+    D.write_delta_py(d, tbl, mode="overwrite", stats_cols=("id",))
+    snap = D.snapshot(tbl)
+    pq_manifest = D.write_checkpoint_v2(tbl, snap)
+    # transcribe the parquet manifest to the json form
+    import pyarrow.parquet as _pq
+
+    actions = []
+    for row in _pq.read_table(pq_manifest).to_pylist():
+        for kind, v in row.items():
+            if v is None:
+                continue
+            if kind == "metaData" and isinstance(v.get("configuration"), list):
+                v = dict(v, configuration=dict(v["configuration"]))
+            if kind == "checkpointMetadata" and isinstance(v.get("tags"), list):
+                v = dict(v, tags=dict(v["tags"]))
+            if kind == "protocol":
+                v = {k: x for k, x in v.items() if x is not None}
+            actions.append({kind: v})
+    json_manifest = pq_manifest.rsplit(".", 1)[0].replace(
+        os.path.basename(pq_manifest).split(".")[0],
+        f"{snap.version:020d}",
+    ) + ".json"
+    with open(json_manifest, "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    os.remove(pq_manifest)
+    # expire the plain log below
+    logd = os.path.join(tbl, "_delta_log")
+    for f in list(os.listdir(logd)):
+        if f.endswith(".json") and f[:20].isdigit() and not D._V2_CKPT_RE.match(f):
+            if int(f[:20]) <= snap.version:
+                os.remove(os.path.join(logd, f))
+    assert glob.glob(os.path.join(logd, "*.checkpoint.*.json"))
+    got = {r["id"]: r["s"] for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == {i: str(i) for i in range(10)}

@@ -185,3 +185,42 @@ def test_incremental_snapshot_diff(spark, tmp_path):
     assert I.read_iceberg_changes(spark, tbl, from_snapshot=3).count() == 0
     mid = I.read_iceberg_changes(spark, tbl, from_snapshot=1, to_snapshot=2)
     assert {r.k for r in mid.collect()} == set(range(100, 150))
+
+
+def test_rename_column_with_name_mapping(spark, tmp_path):
+    """Metadata-only column rename: same field id under a new name,
+    plus spec name mapping so PRE-rename files (Spark parquet carries
+    no Iceberg field ids) resolve by their historical column name.
+    Post-rename appends land under the new name; both eras coalesce
+    into one column in one native scan. Time travel to a pre-rename
+    snapshot still renders the old name."""
+    import map_reduce_spark.sources.iceberg_py as II
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    d0 = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d0, tbl)
+    sid = II.rename_iceberg_column(tbl, "v", "value")
+    assert sid == 1
+    meta = II.load_table_metadata(tbl)
+    nm = II._name_mapping(meta)
+    fid = next(f["id"] for f in meta["schemas"][-1]["fields"] if f["name"] == "value")
+    assert set(nm[fid]) == {"v", "value"}
+    # pre-rename files resolve through the mapping
+    got = II.read_iceberg_py(spark, tbl)
+    assert got.columns == ["id", "value"]
+    assert {r["id"]: r["value"] for r in got.collect()} == {1: 10, 2: 20}
+    # post-rename append under the NEW name joins the same column
+    d1 = spark.createDataFrame([(3, 30)], "id bigint, value bigint")
+    II.append_iceberg_snapshot(d1, tbl)
+    got2 = II.read_iceberg_py(spark, tbl)
+    assert {r["id"]: r["value"] for r in got2.collect()} == {1: 10, 2: 20, 3: 30}
+    # pinned pre-rename snapshot renders ITS schema (old name)
+    meta2 = II.load_table_metadata(tbl)
+    first_snap = (meta2.get("snapshots") or [])[0]["snapshot-id"]
+    old = II.read_iceberg_py(spark, tbl, snapshot_id=first_snap)
+    assert old.columns == ["id", "v"]
+    assert {r["id"]: r["v"] for r in old.collect()} == {1: 10, 2: 20}
+    # predicate reads survive the rename (filter on the renamed col)
+    pred = II.read_iceberg_py(spark, tbl).filter(FF.col("value") >= 20)
+    assert sorted(r["id"] for r in pred.collect()) == [2, 3]

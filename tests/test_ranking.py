@@ -59,3 +59,36 @@ def test_global_ntile_matches_builtin(spark, n, k):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8, 64])
+def test_global_prefix_sum_matches_window(spark, n_parts):
+    from map_reduce_spark.ranking import global_prefix_sum
+
+    rows = [(i % 7, i, (i * 13) % 5 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, schema="k long, tie long, v long")
+    got = {
+        (r.k, r.tie): (r.cum, r.rank)
+        for r in global_prefix_sum(
+            df, [F.col("k"), F.col("tie")], "v",
+            rank_out="rank", num_partitions=n_parts,
+        ).collect()
+    }
+    w = Window.orderBy("k", "tie").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.tie): (r.cum, r.rank)
+        for r in df.withColumn("cum", F.sum("v").over(w))
+        .withColumn("rank", F.row_number().over(Window.orderBy("k", "tie")))
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_prefix_sum_no_single_partition_exchange(spark):
+    from map_reduce_spark.ranking import global_prefix_sum
+
+    df = spark.range(1000).selectExpr("id AS k", "id % 9 AS v")
+    plan = global_prefix_sum(
+        df, [F.col("k")], "v", rank_out="rank"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
