@@ -150,6 +150,11 @@ HEADLINE = [
     "delta_restore",
     "iceberg_update_where",
     "iceberg_rollback",
+    # round 10 additions: v2-checkpoint-seeded Delta read (expired
+    # json log, sidecar chase) and the name-mapping Iceberg read
+    # across a column rename
+    "delta_v2_checkpoint_scan",
+    "iceberg_name_mapping_scan",
 ]
 
 

@@ -77,115 +77,97 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# The round-9 window (final, after the second build wave):
+# The round-10 window:
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the 28 r9 additions with NO driver row yet: the merge-on-read
-#     trio + expire + DV/column-mapping scans + the two
-#     schema-evolution-travel queries (first wave), then the
-#     partitioned-Iceberg pruning pair, COW merge/update/delete +
-#     rollback, MOR compaction, sorted rewrite, partition-spec
-#     evolution, both zero-copy migrations, the composed production
-#     loop, the Delta partition-prune/update/restore trio, the
-#     exactly-once Iceberg stream sink + snapshot-offset stream
-#     source, and the three plain-format scans (second wave);
-#   - every query on an r9-changed file: the delta_py family, the
-#     iceberg_py trio, and sqlite_scan;
-#   - the r8-verdict-named displaced six (scd2_merge, session_window,
-#     window_sliding/tumbling, unpivot_stack, asof_join) and as many
-#     r2-era rows as the remaining budget holds.
-# Displaced past rank 50 by the second wave (never-driven beats
-# stale-row refresh): join_full_outer, the pandas-UDF trio,
-# python_udtf, and the r3-era LLM/TPC-H tail — all keep green r2/r3
-# rows on unchanged files, and the builder's full-catalog sf0.01
-# drive re-covers the whole registry on the final tree each round.
-# Prior windows' rationales are in git history.
+#   - the two r10 additions with NO driver row yet
+#     (delta_v2_checkpoint_scan, iceberg_name_mapping_scan);
+#   - one representative per r10-CHANGED code path, chosen so every
+#     edit gets a driver row: the delta log/checkpoint core
+#     (delta_scan classic-checkpoint fixture, delta_time_travel
+#     pre-checkpoint replay, delta_restore), the partitioned-Iceberg
+#     writer fixes (bucket-over-temporal hashing, 'v'-prefixed string
+#     partition staging, rewrite spec-id — partition_prune,
+#     minmax_prune, partition_evolution, production_loop,
+#     merge_upsert, update_where, delete_where, rewrite_sorted,
+#     compact_mor), the rollback guard + snapshot-log/properties carry
+#     (iceberg_rollback, streaming_iceberg_source/sink), the
+#     current-vs-pinned schema selection + name-mapping read path
+#     (iceberg_scan, snapshot_travel, schema_evolution_travel,
+#     mor_scan), migrate_delta_to_iceberg (touches both formats'
+#     cores), and vocab_coverage (ranking.global_prefix_sum rewrite);
+#   - the r9-verdict-named stalest rows, in its order: the multimodal
+#     six (r6 rows on a file last edited r8), the r4-era
+#     pipeline_ops/text tail, and the SURVEY §2.1 ten (r5 rows;
+#     mr_pipeline is the 11th and anchors the window).
+# Displaced (all keep green r7-r9 rows on files unchanged since):
+# migrate_iceberg_to_delta (its shared machinery is driven via the
+# delta->iceberg leg), the remaining delta/iceberg r9 rows, and the
+# r2/r3-era tail — the builder's full-catalog sf0.01 drive re-covers
+# the whole registry on the final tree each round.
+# The round-9 window rationale is in git history (as are all prior
+# windows').
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # round-9 additions (no driver row yet): merge-on-read + DV +
-    # schema evolution + snapshot expiry
-    "iceberg_mor_scan",
-    "iceberg_mor_changes",
-    "iceberg_eq_delete_scan",
-    "iceberg_expire_snapshots",
-    "delta_dv_scan",
-    "delta_column_mapping_scan",
-    "delta_schema_evolution_travel",
-    "iceberg_schema_evolution_travel",
-    # later-r9 additions (no driver row yet): partitioned-Iceberg
-    # pruning pair, the COW merge, and the plain-format scans
-    "iceberg_partition_prune",
-    "iceberg_minmax_prune",
-    "iceberg_merge_upsert",
-    "iceberg_delete_where",
-    "iceberg_compact_mor",
-    "iceberg_partition_evolution",
-    "migrate_delta_to_iceberg",
-    "migrate_iceberg_to_delta",
-    "iceberg_production_loop",
-    "iceberg_rewrite_sorted",
-    "iceberg_update_where",
-    "iceberg_rollback",
-    "delta_partition_prune",
-    "delta_update_where",
-    "delta_restore",
-    "streaming_iceberg_sink",
-    "streaming_iceberg_source",
-    "orc_scan",
-    "csv_scan",
-    "json_scan",
-    # r9-changed: delta_py family (DV gate/checkpoint/read path)
+    # r10 additions (no driver row yet)
+    "delta_v2_checkpoint_scan",
+    "iceberg_name_mapping_scan",
+    # r10-changed: delta log/checkpoint core + restore
     "delta_scan",
     "delta_time_travel",
-    "delta_merge_upsert",
-    "delta_optimize_compact",
-    "streaming_delta_sink",
-    "delta_changes_scan",
-    "delta_ingest_dedup",
-    "delta_optimize_zorder",
-    # r9-changed: iceberg_py trio (scan plan + writer rewrite)
+    "delta_restore",
+    # r10-changed: partitioned-Iceberg writer fixes
+    "iceberg_partition_prune",
+    "iceberg_minmax_prune",
+    "iceberg_partition_evolution",
+    "iceberg_production_loop",
+    "iceberg_merge_upsert",
+    "iceberg_update_where",
+    "iceberg_delete_where",
+    "iceberg_rewrite_sorted",
+    "iceberg_compact_mor",
+    # r10-changed: rollback guard + snapshot-log/properties carry
+    "iceberg_rollback",
+    "streaming_iceberg_source",
+    "streaming_iceberg_sink",
+    # r10-changed: schema selection + name-mapping read path
     "iceberg_scan",
     "iceberg_snapshot_travel",
-    "iceberg_changes_scan",
-    # r9-changed: sqlite_py (partition affinity gate)
-    "sqlite_scan",
-    # the r8-displaced six (verdict ask) + ALL remaining r2-era rows
-    "scd2_merge",
-    "session_window",
-    "window_sliding",
-    "window_tumbling",
-    "unpivot_stack",
-    "asof_join",
-    "pack_sequences",
-    "text_stats_by_source",
-    "map_funcs",
-    "percentiles_exact",
-    "pivot_event_counts",
-    "scalar_subquery",
-    "asof_join_cogroup",
-    "join_right",
-    "join_full_outer",
-    "python_udtf",
-    "pandas_scalar_norm",
-    "pandas_zscore_by_label",
-    "pandas_grouped_agg",
-    # r3-era rows: LLM/corpus family first (NOTES rule 14). The later
-    # six r9 additions above displaced heavy_hitters, unigram_logprob,
-    # bm25_rank, vocab_coverage, q4_order_priority and
-    # q13_customer_distribution past rank 50 (never-driven beats
-    # stale-row refresh); they keep their green r3 rows and the
-    # builder's full-catalog sf0.01 drive re-covers them this round.
-    "contamination_check",
-    "repetition_stats",
-    "inverted_index",
-    "heavy_hitters",
-    "unigram_logprob",
-    "bm25_rank",
+    "iceberg_schema_evolution_travel",
+    "iceberg_mor_scan",
+    "migrate_delta_to_iceberg",
+    # r10-changed: ranking.global_prefix_sum consumer
     "vocab_coverage",
-    "q4_order_priority",
-    "q13_customer_distribution",
+    # SURVEY 2.1 ten (stalest driver rows: r5)
+    "scan_dir",
+    "scan_file",
+    "tokenize",
+    "filter_empty",
+    "upper_map",
+    "sort_by_key",
+    "hash_partition",
+    "group_by_key",
+    "count_reduce",
+    "sink_text",
+    # multimodal six (r6 rows; file last edited r8)
+    "binary_metadata",
+    "multimodal_features",
+    "multimodal_parse",
+    "multimodal_pipeline",
+    "multimodal_gif_pipeline",
+    "audio_metadata",
+    # r4-era pipeline_ops/text tail
+    "split_train_val_test",
+    "stratified_sample",
+    "pii_scrub",
+    "text_normalize",
+    "skew_agg_twophase",
+    "dq_checks",
+    "tokenize_to_ids",
+    "doc_chunking",
+    "boilerplate_dedup",
 )
 
 
