@@ -108,21 +108,38 @@ def _checkpoint_path(table: str, version: int) -> str:
 # sidecar actions; the add/remove file actions live in parquet
 # SIDECAR files under _delta_log/_sidecars/.
 _V2_CKPT_RE = re.compile(
-    r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(json|parquet)$"
+    r"^(\d{20})\.checkpoint\.(?!\d{10}\.\d{10}\.parquet$)[0-9a-zA-Z-]+\.(json|parquet)$"
 )
+# multipart classic checkpoints: <version>.checkpoint.<part>.<of>.parquet
+_MULTI_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 
-def _find_checkpoint_file(table: str, version: int) -> str:
-    """On-disk checkpoint file for ``version`` — classic single-file
-    preferred, else the v2 uuid-named form."""
+def _find_checkpoint_files(table: str, version: int) -> list[str]:
+    """On-disk checkpoint file(s) for ``version`` — classic single-file
+    preferred, else the v2 uuid-named form, else the multipart classic
+    parts (validated complete: parts 1..N all present)."""
     classic = _checkpoint_path(table, version)
     if os.path.exists(classic):
-        return classic
+        return [classic]
     d = _log_dir(table)
+    parts: dict[int, str] = {}
+    of = None
     for f in sorted(os.listdir(d)):
         m = _V2_CKPT_RE.match(f)
         if m and int(m.group(1)) == version:
-            return os.path.join(d, f)
+            return [os.path.join(d, f)]
+        mm = _MULTI_CKPT_RE.match(f)
+        if mm and int(mm.group(1)) == version:
+            parts[int(mm.group(2))] = os.path.join(d, f)
+            of = int(mm.group(3))
+    if parts:
+        if of is None or sorted(parts) != list(range(1, of + 1)):
+            raise RuntimeError(
+                f"multipart checkpoint for version {version} in {d!r} is "
+                f"INCOMPLETE (have parts {sorted(parts)} of {of}) — "
+                "refusing a torn seed"
+            )
+        return [parts[i] for i in range(1, of + 1)]
     raise FileNotFoundError(
         f"checkpoint for version {version} vanished from {d!r}"
     )
@@ -134,14 +151,26 @@ def _list_log(table: str) -> tuple[list[int], list[int]]:
     if not os.path.isdir(d):
         return [], []
     js, cps = [], set()
+    multi: dict[int, tuple[set[int], int]] = {}  # version -> (parts seen, of)
     for f in os.listdir(d):
         m = _V2_CKPT_RE.match(f)
+        mm = _MULTI_CKPT_RE.match(f)
         if m:
             cps.add(int(m.group(1)))
+        elif mm:
+            v = int(mm.group(1))
+            seen, _ = multi.setdefault(v, (set(), int(mm.group(3))))
+            seen.add(int(mm.group(2)))
         elif f.endswith(".json") and f[:20].isdigit():
             js.append(int(f[:20]))
         elif f.endswith(".checkpoint.parquet") and f[:20].isdigit():
             cps.add(int(f[:20]))
+    for v, (seen, of) in multi.items():
+        # a torn multipart checkpoint (crashed writer) is NOT usable —
+        # leaving it out lets snapshot() seed from an older checkpoint
+        # or pure json replay instead of failing on the torn seed
+        if seen == set(range(1, of + 1)):
+            cps.add(v)
     return sorted(js), sorted(cps)
 
 
@@ -329,20 +358,21 @@ def _apply_ckpt_row(state: dict, row: dict) -> list[dict]:
 
 
 def _read_checkpoint(table: str, version: int) -> dict:
-    """Seed replay state from a checkpoint — classic single-file
-    parquet, or a v2 checkpoint (json or parquet) whose add/remove
-    actions live in parquet SIDECAR files under _delta_log/_sidecars/
-    (Delta protocol: V2 Checkpoint Table Feature). Either way the read
-    is metadata-sized: one row per action."""
+    """Seed replay state from a checkpoint — classic single-file or
+    MULTIPART parquet (part/of-named shards of one action set), or a
+    v2 checkpoint (json or parquet) whose add/remove actions live in
+    parquet SIDECAR files under _delta_log/_sidecars/ (Delta protocol:
+    V2 Checkpoint Table Feature). Either way the read is
+    metadata-sized: one row per action."""
     import pyarrow.parquet as pq
 
     state = {
         "protocol": None, "metadata": None, "adds": {}, "removes": {}, "txns": {},
     }
-    path = _find_checkpoint_file(table, version)
+    paths = _find_checkpoint_files(table, version)
     sidecars: list[dict] = []
-    if path.endswith(".json"):  # v2 json manifest: one action per line
-        with open(path, "r", encoding="utf-8") as fh:
+    if paths[0].endswith(".json"):  # v2 json manifest: one action per line
+        with open(paths[0], "r", encoding="utf-8") as fh:
             for line in fh:
                 if not line.strip():
                     continue
@@ -354,8 +384,9 @@ def _read_checkpoint(table: str, version: int) -> dict:
                 else:
                     _apply_action(state, a)
     else:
-        for row in pq.read_table(path).to_pylist():
-            sidecars.extend(_apply_ckpt_row(state, row))
+        for path in paths:
+            for row in pq.read_table(path).to_pylist():
+                sidecars.extend(_apply_ckpt_row(state, row))
     for sc in sidecars:
         sc_path = sc["path"]
         if not os.path.isabs(sc_path):

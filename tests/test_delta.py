@@ -171,16 +171,23 @@ def test_merge_guards(spark, tbl):
 
 
 def test_protocol_gate(spark, tmp_path):
-    # deletionVectors + columnMapping are now SUPPORTED reader
-    # features (round 9); anything beyond them still gates loudly
+    # deletionVectors + columnMapping (r9) + v2Checkpoint (r10) are
+    # SUPPORTED reader features; anything beyond them still gates loudly
     tbl2 = str(tmp_path / "gated")
     acts = [
-        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]}},
+        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["timestampNtz"]}},
         D._meta_action(_mk(spark, 1).schema, tbl2, ()),
     ]
     assert D.try_commit(tbl2, 0, acts)
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
         D.snapshot(tbl2)
+    tbl_v2c = str(tmp_path / "v2c_ok")
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]}},
+        D._meta_action(_mk(spark, 1).schema, tbl_v2c, ()),
+    ]
+    assert D.try_commit(tbl_v2c, 0, acts)
+    assert D.snapshot(tbl_v2c).version == 0  # reads fine since r10
     tbl3 = str(tmp_path / "dv_ok")
     acts = [
         {"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}},

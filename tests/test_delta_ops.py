@@ -393,3 +393,48 @@ def test_v2_checkpoint_json_manifest_form(spark, tmp_path):
     assert glob.glob(os.path.join(logd, "*.checkpoint.*.json"))
     got = {r["id"]: r["s"] for r in D.read_delta_py(spark, tbl).collect()}
     assert got == {i: str(i) for i in range(10)}
+
+
+def test_multipart_classic_checkpoint_read(spark, tmp_path):
+    """Multipart classic checkpoints (<v>.checkpoint.<part>.<of>.parquet)
+    read as one action set; a TORN part set is ignored as a seed (json
+    replay still serves) but an explicit read of it refuses loudly."""
+    import pyarrow.parquet as _pq
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 3) for i in range(30)], "id bigint, v bigint")
+    D.write_delta_py(d.repartition(3), tbl, mode="overwrite", stats_cols=("id",))
+    D.write_delta_py(
+        spark.createDataFrame([(100, 1)], "id bigint, v bigint"), tbl, mode="append"
+    )
+    snap = D.snapshot(tbl)
+    # build the multipart form by sharding a classic checkpoint's rows
+    D.write_checkpoint(tbl, snap)
+    classic = D._checkpoint_path(tbl, snap.version)
+    rows = _pq.read_table(classic)
+    k = 3
+    per = (rows.num_rows + k - 1) // k
+    logd = os.path.join(tbl, "_delta_log")
+    for i in range(k):
+        part = rows.slice(i * per, per)
+        _pq.write_table(
+            part,
+            os.path.join(
+                logd, f"{snap.version:020d}.checkpoint.{i + 1:010d}.{k:010d}.parquet"
+            ),
+        )
+    os.remove(classic)
+    # expire the json log at/below the checkpoint: multipart is the seed
+    for f in list(os.listdir(logd)):
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) <= snap.version:
+            os.remove(os.path.join(logd, f))
+    got = {r["id"]: r["v"] for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == {**{i: i * 3 for i in range(30)}, 100: 1}
+    # tear the part set: no longer offered as a checkpoint version
+    os.remove(
+        os.path.join(logd, f"{snap.version:020d}.checkpoint.{2:010d}.{k:010d}.parquet")
+    )
+    js, cps = D._list_log(tbl)
+    assert snap.version not in cps
+    with pytest.raises(RuntimeError, match="INCOMPLETE"):
+        D._read_checkpoint(tbl, snap.version)
