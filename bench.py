@@ -155,6 +155,7 @@ HEADLINE = [
     # across a column rename
     "delta_v2_checkpoint_scan",
     "iceberg_name_mapping_scan",
+    "iceberg_bucket_time_prune",
 ]
 
 

@@ -132,9 +132,12 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_rollback",
     "streaming_iceberg_source",
     "streaming_iceberg_sink",
+    # r10 addition: the bucket-over-temporal regression sentinel
+    "iceberg_bucket_time_prune",
     # r10-changed: schema selection + name-mapping read path
+    # (schema_evolution_travel covers the pinned-snapshot path that
+    # snapshot_travel would, freeing its slot for the sentinel above)
     "iceberg_scan",
-    "iceberg_snapshot_travel",
     "iceberg_schema_evolution_travel",
     "iceberg_mor_scan",
     "migrate_delta_to_iceberg",

@@ -2473,6 +2473,85 @@ def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# four business dates spread across the fixture's years; epoch µs of
+# their midnights (TZ-free integers) and the matching day ordinals
+_BT_DATES_US = (
+    732_153_600_000_000,  # 1993-03-15
+    803_347_200_000_000,  # 1995-06-17
+    820_540_800_000_000,  # 1996-01-02
+    880_848_000_000_000,  # 1997-11-30
+)
+_BT_DATES_DAYS = (8474, 9298, 9497, 10195)
+
+
+def ensure_iceberg_bucket_time_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An orders table partitioned by bucket[8] over the TIMESTAMP
+    order date AND bucket[4] over its DATE projection — the exact
+    write path the r10 temporal-hashing fix covers (pandas would hash
+    datetime64[ns] nanoseconds; the spec hashes epoch µs / day
+    ordinals). Two appends so manifest-level summaries engage."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_bt_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir).withColumn(
+        "od_day", F.col("o_orderdate").cast("date")
+    )
+    spec = [("o_orderdate", "bucket[8]"), ("od_day", "bucket[4]")]
+    append_iceberg_snapshot(
+        d.filter(F.col("o_orderkey") % 2 == 0).repartition(2), tmp, spec
+    )
+    append_iceberg_snapshot(d.filter(F.col("o_orderkey") % 2 == 1).repartition(2), tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "iceberg_bucket_time_prune",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE epoch_us(o_orderdate) IN {_BT_DATES_US}
+GROUP BY o_orderstatus
+""",
+)
+def iceberg_bucket_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned point-lookup over bucket-partitioned TEMPORAL columns:
+    an IN-list of four order dates prunes via bucket[8](timestamp)
+    AND bucket[4](date) inclusive projection, then the same predicate
+    runs as the residual filter. This is the regression sentinel for
+    the write/read bucket agreement on temporal types — a writer that
+    hashes nanoseconds (or session-local time) puts the matching rows
+    in buckets the projection never probes, and the rows silently
+    vanish from the result (the r10 fix; NOTES rule 48)."""
+    table = ensure_iceberg_bucket_time_fixture(spark, sf_dir)
+    predicates = [
+        ("o_orderdate", "in", _BT_DATES_US),
+        ("od_day", "in", _BT_DATES_DAYS),
+    ]
+    df = read_iceberg_py(spark, table, predicates=predicates)
+    us = F.expr(_ODATE_US)
+    return (
+        df.filter(us.isin(*_BT_DATES_US))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("totalprice_cents").alias("sum_price_cents"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )
+
+
 _MINMAX_CENTS = 45_000_000  # $450k — the high-price tail
 
 

@@ -454,3 +454,27 @@ def test_summary_missing_bounds_is_unknown_not_empty():
     spec = [{"source-id": 1, "field-id": 1000, "name": "k", "transform": "identity"}]
     summaries = [{"contains_null": False, "lower_bound": None, "upper_bound": None}]
     assert summary_survives([(0, "=", 7)], summaries, spec, schema)
+
+
+def test_bucket_time_fixture_prunes_and_is_sound(spark, sf_dir):
+    """The registry's bucket-over-temporal sentinel must actually
+    PRUNE on its IN-list (bucket projection over timestamp + date) and
+    stay row-identical to the unpruned scan + filter."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = II.ensure_iceberg_bucket_time_fixture(spark, sf_dir)
+    meta = II.load_table_metadata(tbl)
+    snap = II._pick_snapshot(meta, None)
+    preds = [
+        ("o_orderdate", "in", II._BT_DATES_US),
+        ("od_day", "in", II._BT_DATES_DAYS),
+    ]
+    plan = II.scan_plan_for_snapshot(tbl, meta, snap, predicates=preds)
+    assert plan["files_pruned"] > 0
+    us = F.expr(II._ODATE_US)
+    full = II.read_iceberg_py(spark, tbl).filter(us.isin(*II._BT_DATES_US))
+    got = II.read_iceberg_py(spark, tbl, predicates=preds).filter(
+        us.isin(*II._BT_DATES_US)
+    )
+    assert got.count() > 0
+    assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
