@@ -463,7 +463,9 @@ def scan_plan_for_snapshot(
         s["snapshot-id"]: s.get("sequence-number", s["snapshot-id"])
         for s in meta.get("snapshots") or []
     }
-    ice_schema = _schema_for_snapshot(meta, snap)
+    # predicates arrive under the caller's (CURRENT) column names; a
+    # metadata-only rename must not strand pruning on stale names
+    ice_schema = _current_schema(meta, snap)
     specs_by_id = {
         s.get("spec-id", 0): s.get("fields") or []
         for s in meta.get("partition-specs") or []
@@ -712,6 +714,85 @@ def _apply_equality_deletes(
     return src.drop("__mr_dseq")
 
 
+def _gate_name_alternates(meta: dict, ice_schema: dict, what: str) -> None:
+    """Operators that hand data files to a by-NAME consumer they do
+    not control (the Delta log after a migration; the stream reader's
+    executor-side pyarrow column list) cannot resolve historical
+    column names — refuse loudly on tables whose name mapping carries
+    real alternates instead of silently NULLing one file era.
+    (compact_iceberg_files rewrites everything under current names and
+    clears the ambiguity.)"""
+    nm = _name_mapping(meta)
+    if not nm:
+        return
+    for f in ice_schema["fields"]:
+        if any(n != f["name"] for n in nm.get(f["id"], [])):
+            raise NotImplementedError(
+                f"{what}: table carries name-mapping alternates for "
+                f"column {f['name']!r} (a rename over field-id-less "
+                "files); compact_iceberg_files first to rewrite under "
+                "current names"
+            )
+
+
+def _current_schema(meta: dict, snap: dict) -> dict:
+    """The table's CURRENT schema (what live reads and rewrites render
+    under — a metadata-only rename bumps it without a snapshot), with
+    the snapshot's schema as the fallback."""
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id", 0):
+            return s
+    return _schema_for_snapshot(meta, snap)
+
+
+def _mapped_parquet_scan(
+    spark: SparkSession, meta: dict, ice_schema: dict, files
+) -> DataFrame:
+    """Native parquet scan of ``files`` rendered under ``ice_schema``,
+    resolving spec name mapping: data files without parquet field ids
+    (all Spark-written files) may carry a field under a HISTORICAL
+    column name after a rename — the scan widens to every alternate
+    name and coalesces back to the current one. One scan, no per-file
+    branching; ``_metadata`` columns stay resolvable on the result.
+    EVERY consumer that reads table data files must come through here
+    (plain reads, change feeds, and the COW rewrite/delete victim
+    scans — a by-name-only read silently NULLs the renamed column for
+    one era of files)."""
+    schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
+    nm = _name_mapping(meta)
+    alt_names: dict[str, list[str]] = {}
+    if nm:
+        cur_names = {f["name"] for f in ice_schema["fields"]}
+        for f in ice_schema["fields"]:
+            alts = [n for n in nm.get(f["id"], []) if n != f["name"]]
+            for a in alts:
+                if a in cur_names:
+                    raise NotImplementedError(
+                        f"name mapping aliases {a!r} onto an existing "
+                        "current column — ambiguous by-name resolution"
+                    )
+            if alts:
+                alt_names[f["name"]] = alts
+    if not alt_names:
+        return spark.read.schema(schema).parquet(*files)
+    by_name = {fld.name: fld for fld in schema.fields}
+    wide = StructType(
+        list(schema.fields)
+        + [
+            StructField(a, by_name[cur].dataType, True)
+            for cur, alts in alt_names.items()
+            for a in alts
+        ]
+    )
+    df = spark.read.schema(wide).parquet(*files)
+    return df.withColumns(
+        {
+            cur: F.coalesce(F.col(cur), *[F.col(a) for a in alts])
+            for cur, alts in alt_names.items()
+        }
+    ).drop(*[a for alts in alt_names.values() for a in alts])
+
+
 def read_iceberg_py(
     spark: SparkSession,
     table: str,
@@ -734,63 +815,20 @@ def read_iceberg_py(
             f"iceberg_py: format-version {meta['format-version']} > 2"
         )
     snap = _pick_snapshot(meta, snapshot_id)
-    if snapshot_id is None:
-        # current reads render under the table's CURRENT schema (a
-        # metadata-only column rename adds no snapshot, so the head
-        # snapshot's schema-id can lag); pinned reads keep snapshot
-        # schemas for time travel
-        schemas = meta.get("schemas") or []
-        ice_schema = next(
-            (
-                s
-                for s in schemas
-                if s.get("schema-id") == meta.get("current-schema-id", 0)
-            ),
-            None,
-        ) or _schema_for_snapshot(meta, snap)
-    else:
-        ice_schema = _schema_for_snapshot(meta, snap)
+    # current reads render under the table's CURRENT schema (a
+    # metadata-only column rename adds no snapshot, so the head
+    # snapshot's schema-id can lag); pinned reads keep snapshot
+    # schemas for time travel
+    ice_schema = (
+        _current_schema(meta, snap)
+        if snapshot_id is None
+        else _schema_for_snapshot(meta, snap)
+    )
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
     plan = scan_plan_for_snapshot(table, meta, snap, predicates=predicates)
     if not plan["data_files"]:
         return spark.createDataFrame([], schema)
-    # spec name mapping: data files without parquet field ids resolve
-    # their columns by historical NAME. The scan widens to every
-    # alternate name and coalesces back to the current one — one
-    # native parquet scan, no per-file branching, JVM-side throughout.
-    nm = _name_mapping(meta)
-    alt_names: dict[str, list[str]] = {}
-    if nm:
-        cur_names = {f["name"] for f in ice_schema["fields"]}
-        for f in ice_schema["fields"]:
-            alts = [n for n in nm.get(f["id"], []) if n != f["name"]]
-            for a in alts:
-                if a in cur_names:
-                    raise NotImplementedError(
-                        f"name mapping aliases {a!r} onto an existing "
-                        "current column — ambiguous by-name resolution"
-                    )
-            if alts:
-                alt_names[f["name"]] = alts
-    if alt_names:
-        by_name = {fld.name: fld for fld in schema.fields}
-        wide = StructType(
-            list(schema.fields)
-            + [
-                StructField(a, by_name[cur].dataType, True)
-                for cur, alts in alt_names.items()
-                for a in alts
-            ]
-        )
-        df = spark.read.schema(wide).parquet(*plan["data_files"])
-        df = df.withColumns(
-            {
-                cur: F.coalesce(F.col(cur), *[F.col(a) for a in alts])
-                for cur, alts in alt_names.items()
-            }
-        ).drop(*[a for alts in alt_names.values() for a in alts])
-    else:
-        df = spark.read.schema(schema).parquet(*plan["data_files"])
+    df = _mapped_parquet_scan(spark, meta, ice_schema, plan["data_files"])
     if not plan["delete_files"] and not plan["eq_deletes"]:
         return df
     src = df.withColumns(
@@ -1589,10 +1627,11 @@ def commit_positional_deletes(
     meta = load_table_metadata(table)
     snap = _pick_snapshot(meta, None)
     plan = scan_plan_for_snapshot(table, meta, snap)
-    schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
     if not plan["data_files"]:
         return snap["snapshot-id"]
-    src = spark.read.schema(schema).parquet(*plan["data_files"]).withColumns(
+    src = _mapped_parquet_scan(
+        spark, meta, _current_schema(meta, snap), plan["data_files"]
+    ).withColumns(
         {
             "__mr_fp": _strip_file_scheme(F.col("_metadata.file_path")),
             "__mr_pos": F.col("_metadata.row_index"),
@@ -1919,7 +1958,8 @@ def read_iceberg_changes(
                     "iceberg_py: equality deletes in an incremental range "
                     "are not supported"
                 )
-    schema = StructType.fromDDL(_iceberg_schema_to_ddl(_schema_for_snapshot(meta, snap)))
+    range_schema = _schema_for_snapshot(meta, snap)
+    schema = StructType.fromDDL(_iceberg_schema_to_ddl(range_schema))
     if not stored_to_local:
         if delete_files:
             raise NotImplementedError(
@@ -1928,7 +1968,9 @@ def read_iceberg_changes(
                 "retractions; re-read the snapshot or use a CDF engine"
             )
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*sorted(set(stored_to_local.values())))
+    df = _mapped_parquet_scan(
+        spark, meta, range_schema, sorted(set(stored_to_local.values()))
+    )
     if delete_files:
         # deletes are only nettable when they target the range's own
         # adds; file-granularity check over the delete files' distinct
@@ -2264,7 +2306,7 @@ def commit_equality_deletes(
     keys)."""
     meta = load_table_metadata(table)
     snap = _pick_snapshot(meta, None)
-    ice_schema = _schema_for_snapshot(meta, snap)
+    ice_schema = _current_schema(meta, snap)
     by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
     missing = [c for c in equality_cols if c not in by_name]
     if missing:
@@ -2848,7 +2890,9 @@ def merge_iceberg_upsert(
             )
         cand = plan["data_files"]
         if cand:
-            cand_rows = spark.read.schema(schema).parquet(*cand)
+            cand_rows = _mapped_parquet_scan(
+                spark, meta, _current_schema(meta, snap), cand
+            )
             joined = cand_rows.join(
                 src_named, cand_rows[key] == src_named[f"__s_{key}"], "left"
             )
@@ -3198,11 +3242,10 @@ def delete_iceberg_where(
                 "files; compact first (or use commit_positional_deletes "
                 "for another MOR delete)"
             )
-        ice_schema = _schema_for_snapshot(meta, snap)
-        schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
+        ice_schema = _current_schema(meta, snap)
         if not plan["data_files"]:
             return snap["snapshot-id"]
-        active = spark.read.schema(schema).parquet(*plan["data_files"])
+        active = _mapped_parquet_scan(spark, meta, ice_schema, plan["data_files"])
         victims_df = (
             active.filter(pred_true)
             .select(_strip_file_scheme(F.col("_metadata.file_path")).alias("fp"))
@@ -3214,9 +3257,9 @@ def delete_iceberg_where(
         }
         if not victims:
             return snap["snapshot-id"]  # nothing matches: no-op
-        keep_rows = (
-            spark.read.schema(schema).parquet(*sorted(victims)).filter(~pred_true)
-        )
+        keep_rows = _mapped_parquet_scan(
+            spark, meta, ice_schema, sorted(victims)
+        ).filter(~pred_true)
         sid = meta.get("default-spec-id", 0)
         stored = next(
             (
@@ -3350,7 +3393,7 @@ def compact_iceberg_files(
             ),
             None,
         )
-        ice_schema = _schema_for_snapshot(meta, snap)
+        ice_schema = _current_schema(meta, snap)
         if not order_by:  # a sorted rewrite already owns its layout
             resolved = resolved.repartition(out_files)
         if stored:
@@ -3852,7 +3895,25 @@ def migrate_iceberg_to_delta(
             "migrate_iceberg_to_delta: table carries merge-on-read delete "
             "files; compact_iceberg_files first"
         )
-    ice_schema = _schema_for_snapshot(meta, snap)
+    ice_schema = _current_schema(meta, snap)
+    # Delta reads by NAME: a live file still carrying a pre-rename
+    # column name would silently NULL in the migrated table. The check
+    # is footer-exact (migration touches every footer for stats
+    # anyway), so a post-rename COMPACTION — which rewrites everything
+    # under current names — genuinely unlocks migration.
+    if _name_mapping(meta):
+        import pyarrow.parquet as _pq
+
+        cur_names = {f["name"] for f in ice_schema["fields"]}
+        for fpath in plan["data_files"]:
+            stale = set(_pq.ParquetFile(fpath).schema_arrow.names) - cur_names
+            if stale:
+                raise NotImplementedError(
+                    "migrate_iceberg_to_delta: data file carries "
+                    f"pre-rename column names {sorted(stale)}; "
+                    "compact_iceberg_files first to rewrite under "
+                    "current names"
+                )
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
     os.makedirs(delta_table, exist_ok=True)
     moved = []
@@ -4210,8 +4271,11 @@ def stream_iceberg_appends(spark: SparkSession, table: str) -> DataFrame:
     ``map_reduce_spark`` at plan or exec time."""
     meta0 = load_table_metadata(table)
     snap0 = _pick_snapshot(meta0, None)
-    ddl = _iceberg_schema_to_ddl(_schema_for_snapshot(meta0, snap0))
-    cols = [f["name"] for f in _schema_for_snapshot(meta0, snap0)["fields"]]
+    _gate_name_alternates(
+        meta0, _current_schema(meta0, snap0), "stream_iceberg_appends"
+    )
+    ddl = _iceberg_schema_to_ddl(_current_schema(meta0, snap0))
+    cols = [f["name"] for f in _current_schema(meta0, snap0)["fields"]]
     table_abs = os.path.abspath(table)
     planner = make_appends_planner(table_abs)  # closure: pickles by value
 
@@ -4397,15 +4461,14 @@ def update_iceberg_where(
                 "update_iceberg_where: table carries merge-on-read delete "
                 "files; compact_iceberg_files first"
             )
-        ice_schema = _schema_for_snapshot(meta, snap)
-        schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema))
-        cols = [f.name for f in schema.fields]
+        ice_schema = _current_schema(meta, snap)
+        cols = [f["name"] for f in ice_schema["fields"]]
         unknown = set(set_exprs) - set(cols)
         if unknown:
             raise KeyError(f"update_iceberg_where: unknown columns {sorted(unknown)}")
         if not plan["data_files"]:
             return snap["snapshot-id"]
-        active = spark.read.schema(schema).parquet(*plan["data_files"])
+        active = _mapped_parquet_scan(spark, meta, ice_schema, plan["data_files"])
         victims_df = (
             active.filter(pred_true)
             .select(_strip_file_scheme(F.col("_metadata.file_path")).alias("fp"))
@@ -4417,7 +4480,7 @@ def update_iceberg_where(
         }
         if not victims:
             return snap["snapshot-id"]
-        rows = spark.read.schema(schema).parquet(*sorted(victims))
+        rows = _mapped_parquet_scan(spark, meta, ice_schema, sorted(victims))
         out = rows.select(
             *[
                 F.when(pred_true, set_exprs[c]).otherwise(F.col(c)).alias(c)

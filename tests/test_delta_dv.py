@@ -218,7 +218,7 @@ def test_protocol_gate_still_refuses_other_features(spark, tbl):
             a["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "readerFeatures": ["deletionVectors", "timestampNtz"],
             }
     with open(D._json_path(tbl, 0), "w") as fh:
         for a in acts:

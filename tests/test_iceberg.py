@@ -224,3 +224,79 @@ def test_rename_column_with_name_mapping(spark, tmp_path):
     # predicate reads survive the rename (filter on the renamed col)
     pred = II.read_iceberg_py(spark, tbl).filter(FF.col("value") >= 20)
     assert sorted(r["id"] for r in pred.collect()) == [2, 3]
+
+
+def test_cow_rewrites_on_renamed_table(spark, tmp_path):
+    """COW DELETE/UPDATE and MERGE on a renamed table must resolve
+    BOTH file eras through the name mapping — a by-name-only victim
+    scan would read the other era's column as NULL and corrupt the
+    rewrite (the r10 _mapped_parquet_scan unification)."""
+    import map_reduce_spark.sources.iceberg_py as II
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    d0 = spark.createDataFrame([(i, i * 10) for i in range(10)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d0, tbl)
+    II.rename_iceberg_column(tbl, "v", "value")
+    d1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(10, 20)], "id bigint, value bigint"
+    )
+    II.append_iceberg_snapshot(d1, tbl)
+    # DELETE hits rows in BOTH eras
+    II.delete_iceberg_where(spark, tbl, FF.col("value") % 20 == 0)
+    got = {r["id"]: r["value"] for r in II.read_iceberg_py(spark, tbl).collect()}
+    assert got == {i: i * 10 for i in range(20) if (i * 10) % 20 != 0}
+    # UPDATE across both eras
+    II.update_iceberg_where(
+        spark, tbl, FF.col("id") < 12, {"value": FF.col("value") + 1}
+    )
+    got2 = {r["id"]: r["value"] for r in II.read_iceberg_py(spark, tbl).collect()}
+    want = {
+        i: (i * 10 + 1 if i < 12 else i * 10)
+        for i in range(20)
+        if (i * 10) % 20 != 0
+    }
+    assert got2 == want
+
+
+def test_changes_feed_resolves_renamed_files(spark, tmp_path):
+    """Incremental snapshot-diff reads of PRE-rename appends must
+    resolve the renamed column through the mapping (rendered under the
+    range's snapshot schema)."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    d0 = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d0, tbl)  # snap 1 (pre-rename files)
+    II.rename_iceberg_column(tbl, "v", "value")
+    d1 = spark.createDataFrame([(3, 30)], "id bigint, value bigint")
+    II.append_iceberg_snapshot(d1, tbl)  # snap (post-rename)
+    meta = II.load_table_metadata(tbl)
+    snaps = [s["snapshot-id"] for s in meta["snapshots"]]
+    ch = II.read_iceberg_changes(spark, tbl, 0, snaps[-1])
+    vals = {(r[0], r[1]) for r in ch.select(ch.columns[0], ch.columns[1]).collect()}
+    assert (1, 10) in vals and (3, 30) in vals  # neither era NULLed
+
+
+def test_migrate_and_stream_gate_on_renamed_tables(spark, tmp_path):
+    """Handing field-id-less files to by-NAME consumers must refuse on
+    a renamed table; a compaction (rewrites under current names)
+    unlocks migration."""
+    import pytest as _pt
+
+    import map_reduce_spark.sources.delta_py as DD
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    d0 = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d0, tbl)
+    II.rename_iceberg_column(tbl, "v", "value")
+    dst = str(tmp_path / "delta_out")
+    with _pt.raises(NotImplementedError, match="compact_iceberg_files first"):
+        II.migrate_iceberg_to_delta(spark, tbl, dst)
+    with _pt.raises(NotImplementedError, match="compact_iceberg_files first"):
+        II.stream_iceberg_appends(spark, tbl)
+    II.compact_iceberg_files(spark, tbl, out_files=1)
+    II.migrate_iceberg_to_delta(spark, tbl, dst)
+    got = {r["id"]: r["value"] for r in DD.read_delta_py(spark, dst).collect()}
+    assert got == {1: 10, 2: 20}
