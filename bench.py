@@ -156,6 +156,7 @@ HEADLINE = [
     "delta_v2_checkpoint_scan",
     "iceberg_name_mapping_scan",
     "iceberg_bucket_time_prune",
+    "delta_cdf_scan",
 ]
 
 

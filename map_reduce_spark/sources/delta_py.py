@@ -68,7 +68,7 @@ import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from map_reduce_spark.registry import register
 
@@ -1047,6 +1047,13 @@ def delete_where(
             for p in sorted(victim_rel)
         ]
         actions.extend(_add_actions(table, moved, stats_cols))
+        if _cdf_enabled(snap):
+            deleted = read_delta_py(
+                spark, table, snap.version, files=sorted(victims)
+            ).filter(pred_true).withColumn("_change_type", F.lit("delete"))
+            actions.extend(
+                _stage_cdc_files(deleted, table, tuple(snap.partition_columns))
+            )
         actions.append({"commitInfo": {"operation": "DELETE", "engine": "map_reduce_spark"}})
         if try_commit(table, snap.version + 1, actions):
             _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)
@@ -1185,7 +1192,9 @@ def vacuum_delta(table: str) -> int:
     codec = None
     for v in js:
         for a in _read_commit(table, v):
-            act = a.get("add") or a.get("remove")
+            # cdc change files are referenced table state too — sweeping
+            # them would amputate the change feed's history
+            act = a.get("add") or a.get("remove") or a.get("cdc")
             if act:
                 referenced.add(os.path.realpath(
                     os.path.join(table, urllib.parse.unquote(act["path"]))))
@@ -1889,6 +1898,85 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_delta_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A CDF-enabled clone of the customer Delta table with one UPDATE
+    and one DELETE landed after the property flip — the change feed
+    over (property_version, head] is then exactly: the update's
+    pre/postimages plus the delete's rows. Mutations touch DISJOINT
+    segments (BUILDING vs MACHINERY) and are content-idempotent on the
+    settled clone (re-runs match nothing and no-op), so replay loops
+    read a stable feed."""
+    import tempfile
+
+    base = ensure_customer_delta(spark, sf_dir)
+    key = hashlib.md5(f"{base}:cdf:{os.getpid()}".encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_cdf_{key}")
+    if not os.path.isdir(table):
+        clone_delta_table(base, table)
+    set_delta_table_property(table, "delta.enableChangeDataFeed", "true")
+    update_where(
+        spark,
+        table,
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("acctbal_cents") < 0),
+        {"acctbal_cents": F.lit(0).cast("long")},
+        stats_cols=("c_custkey",),
+    )
+    delete_where(
+        spark,
+        table,
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("acctbal_cents") < 0),
+        stats_cols=("c_custkey",),
+    )
+    return table
+
+
+@register(
+    "delta_cdf_scan",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+upd AS (SELECT * FROM c WHERE c_mktsegment = 'BUILDING' AND cents < 0),
+del AS (SELECT * FROM c WHERE c_mktsegment = 'MACHINERY' AND cents < 0),
+feed AS (
+  SELECT 'update_preimage' AS change_type, c_custkey, cents FROM upd
+  UNION ALL
+  SELECT 'update_postimage' AS change_type, c_custkey, CAST(0 AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'delete' AS change_type, c_custkey, cents FROM del
+)
+SELECT change_type, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM feed GROUP BY change_type
+""",
+)
+def delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed end to end: a CDF-enabled table lands an
+    UPDATE and a DELETE; the feed over (property_flip, head] must be
+    exactly the update's pre/postimage rows plus the deleted rows —
+    rewritten-but-unchanged rows must NOT appear (the cdc files, not
+    the add/remove diff, are the change). The oracle recomputes all
+    three row sets relationally; an over-reported carry row, a lost
+    preimage, or a postimage with the un-updated balance all
+    hash-mismatch."""
+    table = ensure_delta_cdf_fixture(spark, sf_dir)
+    # the property flip is the first commit after the clone's head (the
+    # base fixture is a single overwrite at version 0)
+    feed = read_delta_changes_cdf(spark, table, since_version=0)
+    return (
+        feed.filter(F.col("_change_type") != "insert")
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("acctbal_cents").alias("sum_cents"),
+            F.min("c_custkey").alias("min_key"),
+        )
+    )
+
+
 def ensure_delta_v2ckpt_fixture(spark: SparkSession, sf_dir: str) -> str:
     """A Delta table whose history is only reachable THROUGH a v2
     checkpoint: clone the shared orders fixture (v0 load, v1 append,
@@ -2452,6 +2540,155 @@ def read_delta_changes(
     if snap.partition_columns:
         reader = reader.option("basePath", table)
     return reader.parquet(*new_files)
+
+
+def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+    """True when ``delta.enableChangeDataFeed`` is set on the table —
+    rewriting operators then also land row-level change files."""
+    cfg = snap.metadata.get("configuration") or {}
+    return str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def set_delta_table_property(table: str, key: str, value: str) -> int:
+    """Commit an updated table configuration (metaData action with the
+    new key) — how ``delta.enableChangeDataFeed`` is switched on.
+    Returns the committed version."""
+    for _ in range(5):
+        snap = snapshot(table)
+        cfg = dict(snap.metadata.get("configuration") or {})
+        if cfg.get(key) == value:
+            return snap.version
+        cfg[key] = value
+        actions = [
+            {"metaData": dict(snap.metadata, configuration=cfg)},
+            {"commitInfo": {"operation": "SET TBLPROPERTIES",
+                            "engine": "map_reduce_spark"}},
+        ]
+        if try_commit(table, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"property commit on {table!r} lost 5 races")
+
+
+def _stage_cdc_files(
+    change_df: DataFrame, table: str, partition_by: tuple[str, ...]
+) -> list[dict]:
+    """Stage change rows (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` (hive-partitioned like the table, per the
+    CDF spec) and return their ``cdc`` actions. cdc files are NOT part
+    of the table's data — dataChange=false, never in the active set —
+    so their cost is O(changed rows), which is the whole point: a CDF
+    consumer reads exact row-level deltas instead of diffing
+    snapshots."""
+    cdc_root = os.path.join(table, "_change_data")
+    moved = _stage_and_move(change_df, cdc_root, partition_by)
+    acts = []
+    for rel, pvals, size in moved:
+        acts.append(
+            {
+                "cdc": {
+                    "path": urllib.parse.quote(
+                        ("_change_data/" + rel.replace(os.sep, "/"))
+                    ),
+                    "partitionValues": pvals,
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+    return acts
+
+
+def read_delta_changes_cdf(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED over (since_version, to_version]:
+    the table schema plus ``_change_type`` ('insert', 'delete',
+    'update_preimage', 'update_postimage') and ``_commit_version``.
+
+    Per the Delta CDF contract: a commit carrying ``cdc`` actions is
+    read from its ``_change_data`` files ALONE (its add/remove actions
+    describe the rewrite, not the change — rewritten-but-unchanged
+    rows must not appear); a commit with data-changing adds and no cdc
+    is an append (adds read as 'insert'); dataChange=false commits
+    (OPTIMIZE) contribute nothing; a data-changing REWRITE without cdc
+    refuses loudly — the writer wasn't CDF-enabled for it and per-row
+    changes are unrecoverable. Cost is O(changed rows) in cdc files +
+    O(appended files), never O(table)."""
+    js, _ = _list_log(table)
+    if not js:
+        raise FileNotFoundError(f"no Delta log at {table!r}")
+    hi = js[-1] if to_version is None else to_version
+    have = [v for v in js if since_version < v <= hi]
+    if have != list(range(since_version + 1, hi + 1)):
+        raise RuntimeError(
+            f"CDF range ({since_version}, {hi}] has expired commits "
+            f"(present: {have}) — change history below a cleaned log "
+            "is unrecoverable; re-read the snapshot"
+        )
+    snap = snapshot(table, hi)  # protocol gate + schema as of range end
+    schema = snap.schema
+    with_ct = StructType(
+        schema.fields + [StructField("_change_type", StringType(), True)]
+    )
+    base_opt = {"basePath": table} if snap.partition_columns else {}
+    frames = []
+    for v in js:
+        if not (since_version < v <= hi):
+            continue
+        acts = _read_commit(table, v)
+        cdc_files = [
+            os.path.join(table, urllib.parse.unquote(a["cdc"]["path"]))
+            for a in acts
+            if "cdc" in a
+        ]
+        if cdc_files:
+            reader = spark.read.schema(with_ct)
+            if snap.partition_columns:
+                reader = reader.option("basePath", os.path.join(table, "_change_data"))
+            frames.append(
+                reader.parquet(*cdc_files).withColumn("_commit_version", F.lit(v))
+            )
+            continue
+        adds = [
+            a["add"] for a in acts if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a for a in acts if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if removes:
+            raise NotImplementedError(
+                f"version {v} rewrites data without cdc files: enable "
+                "delta.enableChangeDataFeed before the rewrite (or "
+                "re-read the snapshot)"
+            )
+        if adds:
+            reader = spark.read.schema(schema)
+            if base_opt:
+                reader = reader.option("basePath", table)
+            frames.append(
+                reader.parquet(
+                    *[
+                        os.path.join(table, urllib.parse.unquote(a["path"]))
+                        for a in adds
+                    ]
+                )
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+    if not frames:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                with_ct.fields + [StructField("_commit_version", LongType(), True)]
+            ),
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def evolve_schema_for_append(table: str, df_schema: StructType) -> StructType:
@@ -3183,6 +3420,20 @@ def update_where(
             for p in sorted(victim_rel)
         ]
         actions.extend(_add_actions(table, moved, stats_cols))
+        if _cdf_enabled(snap):
+            matched = rows.filter(pred_true)
+            pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+            post = matched.select(
+                *[
+                    set_exprs[c].alias(c) if c in set_exprs else F.col(c)
+                    for c in cols
+                ]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            actions.extend(
+                _stage_cdc_files(
+                    pre.unionByName(post), table, tuple(snap.partition_columns)
+                )
+            )
         actions.append(
             {"commitInfo": {"operation": "UPDATE", "engine": "map_reduce_spark"}}
         )

@@ -438,3 +438,61 @@ def test_multipart_classic_checkpoint_read(spark, tmp_path):
     assert snap.version not in cps
     with pytest.raises(RuntimeError, match="INCOMPLETE"):
         D._read_checkpoint(tbl, snap.version)
+
+
+def test_cdf_feed_exact_changes(spark, tmp_path):
+    """CDF: appends read as inserts from their adds; UPDATE/DELETE
+    commits read from cdc files ALONE (carried rows never appear);
+    pre/postimages pair up; _commit_version stamps each row."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 10) for i in range(8)], "id bigint, v bigint")
+    D.write_delta_py(d.repartition(2), tbl, mode="overwrite", stats_cols=("id",))
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")
+    v_prop = D.latest_version(tbl)
+    D.write_delta_py(
+        spark.createDataFrame([(100, 1)], "id bigint, v bigint"), tbl, mode="append"
+    )
+    D.update_where(spark, tbl, F.col("id") == 3, {"v": F.lit(999).cast("long")})
+    D.delete_where(spark, tbl, F.col("id").isin(5, 6))
+    feed = D.read_delta_changes_cdf(spark, tbl, since_version=v_prop)
+    rows = {(r["_change_type"], r["id"], r["v"]) for r in feed.collect()}
+    assert rows == {
+        ("insert", 100, 1),
+        ("update_preimage", 3, 30),
+        ("update_postimage", 3, 999),
+        ("delete", 5, 50),
+        ("delete", 6, 60),
+    }
+    # carried rows of the rewritten files never leak into the feed
+    assert feed.count() == 5
+    vers = {r["_change_type"]: r["_commit_version"] for r in feed.collect()}
+    assert vers["insert"] < vers["update_preimage"] < vers["delete"]
+
+
+def test_cdf_refuses_pre_enablement_rewrites(spark, tmp_path):
+    """A data-changing rewrite WITHOUT cdc files (CDF was off) must
+    refuse — per-row changes are unrecoverable from add/remove."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i) for i in range(6)], "id bigint, v bigint")
+    D.write_delta_py(d, tbl, mode="overwrite", stats_cols=("id",))
+    D.delete_where(spark, tbl, F.col("id") == 1)  # CDF off: no cdc
+    with pytest.raises(NotImplementedError, match="without cdc"):
+        D.read_delta_changes_cdf(spark, tbl, since_version=0)
+
+
+def test_cdf_partitioned_and_vacuum_safe(spark, tmp_path):
+    """cdc files hive-partition like the table, survive vacuum, and
+    the feed recovers partition values from the directory layout."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(i, i * 10, "a" if i % 2 == 0 else "b") for i in range(10)],
+        "id bigint, v bigint, p string",
+    )
+    D.write_delta_py(d, tbl, mode="overwrite", partition_by=("p",), stats_cols=("id",))
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")
+    v_prop = D.latest_version(tbl)
+    D.delete_where(spark, tbl, F.col("id") < 4)
+    assert D.vacuum_delta(tbl) == 0  # cdc files are referenced, not orphans
+    feed = D.read_delta_changes_cdf(spark, tbl, since_version=v_prop)
+    got = {(r["id"], r["p"]) for r in feed.collect()}
+    assert got == {(0, "a"), (1, "b"), (2, "a"), (3, "b")}
