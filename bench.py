@@ -157,6 +157,7 @@ HEADLINE = [
     "iceberg_name_mapping_scan",
     "iceberg_bucket_time_prune",
     "delta_cdf_scan",
+    "iceberg_changelog_scan",
 ]
 
 

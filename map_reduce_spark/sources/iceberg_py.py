@@ -2037,6 +2037,190 @@ def iceberg_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_iceberg_changelog(
+    spark: SparkSession,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """ROW-LEVEL changelog over (from_snapshot, to_snapshot] — the
+    Spark-Iceberg ``changelog`` scan contract: the table schema plus
+    ``_change_type`` ('INSERT' | 'DELETE'), ``_change_ordinal`` (the
+    commit's position in the range) and ``_commit_snapshot_id``.
+    Where ``read_iceberg_changes`` REFUSES rewrites (append-only exact
+    feed), this reader expresses them: per COW delete/overwrite
+    snapshot, the net change is
+
+        DELETEs = rows(removed files) EXCEPT ALL rows(added files)
+        INSERTs = rows(added files)  EXCEPT ALL rows(removed files)
+
+    — carried (rewritten-but-unchanged) rows cancel by multiset
+    subtraction, exactly how Iceberg's own changelog reader nets COW
+    commits. Cost is O(changed files) per commit, never O(table): the
+    file sets come from manifest-plane diffs and only changed files
+    are scanned. Compactions ('replace', no logical change) contribute
+    nothing; MOR delete-file commits refuse (compact first — the same
+    gate every rewrite operator points at)."""
+    meta = load_table_metadata(table)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s.get("sequence-number", 0)
+    )
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot != 0 and from_snapshot not in ids:
+        raise KeyError(f"from_snapshot {from_snapshot} not in table history")
+    hi = to_snapshot if to_snapshot is not None else ids[-1]
+    if hi not in ids:
+        raise KeyError(f"to_snapshot {hi} not in table history")
+    schema_ddl = _iceberg_schema_to_ddl(_current_schema(meta, _pick_snapshot(meta, hi)))
+    empty = StructType.fromDDL(
+        schema_ddl
+        + ", _change_type string, _change_ordinal int, _commit_snapshot_id long"
+    )
+    frames = []
+    ordinal = 0
+    prev_files: set[str] | None = None
+    for s in snaps:
+        sid = s["snapshot-id"]
+        if sid > hi:
+            break
+        plan = scan_plan_for_snapshot(table, meta, s)
+        if plan["delete_files"] or plan["eq_deletes"]:
+            if from_snapshot < sid <= hi:
+                raise NotImplementedError(
+                    "iceberg changelog: snapshot range contains merge-on-read "
+                    "delete files; compact_iceberg_files first"
+                )
+        cur_files = set(plan["data_files"])
+        if from_snapshot < sid <= hi:
+            op = (s.get("summary") or {}).get("operation", "append")
+            added = sorted(cur_files - (prev_files or set()))
+            removed = sorted((prev_files or set()) - cur_files)
+            ice_schema = _current_schema(meta, s)
+            if op == "replace":
+                pass  # compaction: bytes moved, no logical change
+            elif not removed:  # pure append
+                if added:
+                    frames.append(
+                        _mapped_parquet_scan(spark, meta, ice_schema, added)
+                        .withColumn("_change_type", F.lit("INSERT"))
+                        .withColumn("_change_ordinal", F.lit(ordinal))
+                        .withColumn("_commit_snapshot_id", F.lit(sid))
+                    )
+                    ordinal += 1
+            else:  # COW rewrite: net row-level diff of the changed files
+                old_rows = _mapped_parquet_scan(spark, meta, ice_schema, removed)
+                new_rows = (
+                    _mapped_parquet_scan(spark, meta, ice_schema, added)
+                    if added
+                    else spark.createDataFrame([], StructType.fromDDL(schema_ddl))
+                )
+                deletes = old_rows.exceptAll(new_rows).withColumn(
+                    "_change_type", F.lit("DELETE")
+                )
+                inserts = new_rows.exceptAll(old_rows).withColumn(
+                    "_change_type", F.lit("INSERT")
+                )
+                frames.append(
+                    deletes.unionByName(inserts)
+                    .withColumn("_change_ordinal", F.lit(ordinal))
+                    .withColumn("_commit_snapshot_id", F.lit(sid))
+                )
+                ordinal += 1
+        prev_files = cur_files
+    if not frames:
+        return spark.createDataFrame([], empty)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def ensure_iceberg_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Orders Iceberg table with a three-act history: bulk append,
+    COW DELETE (status-F orders in md5-bucket16 0), second append —
+    the changelog over the full range must net to exactly
+    (all bulk rows as INSERTs) + (the deleted rows as DELETEs) +
+    (the second append as INSERTs)."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_cl_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir)
+    b8 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8
+    ).cast("int")
+    b16 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16
+    ).cast("int")
+    append_iceberg_snapshot(d.filter(b8 < 6).repartition(3), tmp)
+    delete_iceberg_where(
+        spark, tmp, (F.col("o_orderstatus") == "F") & (b16 == 0)
+    )
+    append_iceberg_snapshot(d.filter(b8 >= 6).repartition(2), tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+_CL_B8_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 8 AS INT)"
+)
+_CL_B16_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 16 AS INT)"
+)
+
+
+@register(
+    "iceberg_changelog_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         {_CL_B8_SQL} AS b8, {_CL_B16_SQL} AS b16
+  FROM orders
+),
+feed AS (
+  SELECT 'INSERT' AS change_type, o_orderkey, cents FROM d WHERE b8 < 6
+  UNION ALL
+  SELECT 'DELETE', o_orderkey, cents FROM d
+  WHERE b8 < 6 AND o_orderstatus = 'F' AND b16 = 0
+  UNION ALL
+  SELECT 'INSERT', o_orderkey, cents FROM d WHERE b8 >= 6
+)
+SELECT change_type, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM feed GROUP BY change_type
+""",
+)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog across a COW DELETE: the rewrite commit
+    must net to exactly the deleted rows as DELETEs — carried rows of
+    the rewritten files cancel by multiset subtraction and never
+    appear. The oracle recomputes the three-act feed relationally; an
+    over-reported carry row, a lost delete, or a replayed first append
+    all hash-mismatch. This is the retraction-capable twin of
+    ``iceberg_changes_scan``'s append-only feed (and the cross-format
+    mirror of ``delta_cdf_scan``)."""
+    table = ensure_iceberg_changelog_fixture(spark, sf_dir)
+    feed = read_iceberg_changelog(spark, table, from_snapshot=0)
+    return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("totalprice_cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
 # --------------------------------------------------------------------
 # merge-on-read + maintenance queries (round 9)
 # --------------------------------------------------------------------

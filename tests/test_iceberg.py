@@ -300,3 +300,37 @@ def test_migrate_and_stream_gate_on_renamed_tables(spark, tmp_path):
     II.migrate_iceberg_to_delta(spark, tbl, dst)
     got = {r["id"]: r["value"] for r in DD.read_delta_py(spark, dst).collect()}
     assert got == {1: 10, 2: 20}
+
+
+def test_changelog_nets_cow_rewrites_and_skips_compaction(spark, tmp_path):
+    """Changelog: appends are INSERTs, a COW delete nets to exactly the
+    deleted rows as DELETEs (carried rows cancel), compaction
+    contributes nothing, MOR delete files in range refuse, and
+    _change_ordinal orders the commits."""
+    import pytest as _pt
+
+    import map_reduce_spark.sources.iceberg_py as II
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 10) for i in range(12)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d.repartition(2), tbl)
+    II.delete_iceberg_where(spark, tbl, FF.col("id") % 4 == 1)
+    II.compact_iceberg_files(spark, tbl, out_files=1)
+    II.append_iceberg_snapshot(
+        spark.createDataFrame([(100, 1)], "id bigint, v bigint"), tbl
+    )
+    feed = II.read_iceberg_changelog(spark, tbl, from_snapshot=0)
+    rows = [(r["_change_type"], r["id"], r["_change_ordinal"]) for r in feed.collect()]
+    inserts = {(i, o) for t, i, o in rows if t == "INSERT"}
+    deletes = {(i, o) for t, i, o in rows if t == "DELETE"}
+    assert inserts == {(i, 0) for i in range(12)} | {(100, 2)}
+    assert deletes == {(i, 1) for i in range(12) if i % 4 == 1}
+    # compaction emitted nothing: ordinals are 0,1,2 with none for it
+    assert {o for _, _, o in rows} == {0, 1, 2}
+    # MOR delete files in range refuse
+    tbl2 = str(tmp_path / "t2")
+    II.append_iceberg_snapshot(d, tbl2)
+    II.commit_positional_deletes(spark, tbl2, FF.col("id") < 2)
+    with _pt.raises(NotImplementedError, match="compact_iceberg_files"):
+        II.read_iceberg_changelog(spark, tbl2, from_snapshot=0)
