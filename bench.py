@@ -158,6 +158,7 @@ HEADLINE = [
     "iceberg_bucket_time_prune",
     "delta_cdf_scan",
     "iceberg_changelog_scan",
+    "iceberg_orphan_sweep",
 ]
 
 

@@ -96,10 +96,11 @@ def register(name: str, oracle: str | None = None):
 #     (iceberg_scan, snapshot_travel, schema_evolution_travel,
 #     mor_scan), migrate_delta_to_iceberg (touches both formats'
 #     cores), and vocab_coverage (ranking.global_prefix_sum rewrite);
-#   - delta_cdf_scan and iceberg_changelog_scan (r10 row-level change
-#     feeds, never driven) displaced text_normalize and
-#     skew_agg_twophase from the r4 tail (never-driven beats stale-row
-#     refresh; both keep green r4 rows on unchanged files);
+#   - the other r10 additions (delta_cdf_scan, iceberg_changelog_scan,
+#     iceberg_orphan_sweep — all never driven) displaced
+#     text_normalize, skew_agg_twophase and dq_checks from the r4 tail
+#     (never-driven beats stale-row refresh; each keeps a green r4 row
+#     on an unchanged file);
 #   - the r9-verdict-named stalest rows, in its order: the multimodal
 #     six (r6 rows on a file last edited r8), the r4-era
 #     pipeline_ops/text tail, and the SURVEY §2.1 ten (r5 rows;
@@ -120,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_name_mapping_scan",
     "delta_cdf_scan",
     "iceberg_changelog_scan",
+    "iceberg_orphan_sweep",
     # r10-changed: delta log/checkpoint core + restore
     "delta_scan",
     "delta_time_travel",
@@ -171,7 +173,6 @@ _PRIORITY: tuple[str, ...] = (
     "split_train_val_test",
     "stratified_sample",
     "pii_scrub",
-    "dq_checks",
     "tokenize_to_ids",
     "doc_chunking",
     "boilerplate_dedup",

@@ -1172,6 +1172,22 @@ def merge_upsert(
             for p in sorted(victim_rel)
         ]
         actions.extend(_add_actions(table, moved, stats_cols))
+        if _cdf_enabled(snap):
+            if cand:
+                matched = joined.filter(F.col(f"__s_{key}").isNotNull())
+                pre = matched.select(*cols).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = matched.select(
+                    *[F.col(f"__s_{c}").alias(c) for c in cols]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = inserts.withColumn("_change_type", F.lit("insert"))
+                changes = pre.unionByName(post).unionByName(ins)
+            else:
+                changes = out.withColumn("_change_type", F.lit("insert"))
+            actions.extend(
+                _stage_cdc_files(changes, table, tuple(snap.partition_columns))
+            )
         actions.append({"commitInfo": {"operation": "MERGE", "engine": "map_reduce_spark"}})
         if try_commit(table, snap.version + 1, actions):
             _maybe_checkpoint(table, snap.version + 1, checkpoint_interval)

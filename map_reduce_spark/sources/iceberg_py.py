@@ -1721,6 +1721,65 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     raise RuntimeError(f"expire_snapshots on {table!r} lost 20 races")
 
 
+def remove_orphan_iceberg_files(table: str) -> int:
+    """Sweep data/delete files referenced by NO snapshot still in the
+    table's history — the debris of lost commit races and crashed
+    writers (the Iceberg twin of ``delta_py.vacuum_delta``;
+    ``expire_snapshots`` only removes what EXPIRY un-references, it
+    never looks for never-referenced files). Metadata-plane pass: the
+    referenced set comes from every surviving snapshot's manifest
+    chain; only the table's data directory is swept (metadata/ is the
+    commit log — never touched). Returns the number of files removed.
+
+    Concurrency note: a writer STAGING files for an in-flight commit
+    is indistinguishable from debris — run this like real Iceberg's
+    remove_orphan_files, during a quiet window (real engines add an
+    age cutoff; stage-then-publish here is seconds, so the quiet
+    window is the practical contract)."""
+    av = make_generic_avro()
+    meta = load_table_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata at {table!r}")
+    _local = _make_localizer(table, meta)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        mlist = os.path.abspath(_local(s["manifest-list"]))
+        referenced.add(mlist)
+        _, manifests = av.read_file(mlist)
+        for m in manifests:
+            mpath = os.path.abspath(_local(m["manifest_path"]))
+            referenced.add(mpath)
+            _, entries = av.read_file(mpath)
+            for e in entries:
+                # ALL statuses: a status=2 (deleted) entry's file is
+                # still referenced by the older snapshots that added it
+                referenced.add(
+                    os.path.abspath(_local(e["data_file"]["file_path"]))
+                )
+    removed = 0
+    for root, dirs, names in os.walk(table):
+        if os.path.basename(root) == "metadata" or "metadata" in os.path.relpath(
+            root, table
+        ).split(os.sep):
+            dirs[:] = []
+            continue
+        for d in list(dirs):
+            if d.startswith(".staging-"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.abspath(os.path.join(root, name))
+            if p not in referenced:
+                try:
+                    os.remove(p)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+    return removed
+
+
 # --------------------------------------------------------------------
 # registered queries
 # --------------------------------------------------------------------
@@ -2344,6 +2403,72 @@ def ensure_iceberg_expire_fixture(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return dest
+
+
+def ensure_iceberg_orphan_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A copy of the two-snapshot lineitem Iceberg table with PLANTED
+    debris — two unreferenced parquet files (a lost commit race's
+    staged output) and a crashed writer's ``.staging-`` directory —
+    then swept by ``remove_orphan_iceberg_files`` at build time, the
+    count recorded next to the table."""
+    import tempfile
+
+    base = ensure_iceberg_fixture(spark, sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_iceberg_orph_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(base, tmp, copy_function=os.link)
+    data_dir = os.path.join(tmp, "data")
+    some = next(
+        f for f in sorted(os.listdir(data_dir)) if f.endswith(".parquet")
+    )
+    for i in range(2):  # debris: real parquet bytes, zero references
+        shutil.copy(os.path.join(data_dir, some),
+                    os.path.join(data_dir, f"orphan-{i}.parquet"))
+    os.makedirs(os.path.join(tmp, ".staging-dead"), exist_ok=True)
+    with open(os.path.join(tmp, ".staging-dead", "part.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    n = remove_orphan_iceberg_files(tmp)
+    with open(os.path.join(tmp, "orphan_result.json"), "w") as fh:
+        json.dump({"removed": n}, fh)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs won
+    return dest
+
+
+@register(
+    "iceberg_orphan_sweep",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       2 AS orphans_removed
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def iceberg_orphan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file sweep (the never-referenced-debris half of table
+    maintenance; expire_snapshots handles the un-referenced-by-expiry
+    half): after removing exactly the 2 planted orphans and the
+    crashed staging dir, the live scan must still aggregate to the
+    full lineitem table — a sweep that touched ANY referenced file
+    (including ones only older snapshots name) breaks the hash."""
+    table = ensure_iceberg_orphan_fixture(spark, sf_dir)
+    with open(os.path.join(table, "orphan_result.json")) as fh:
+        result = json.load(fh)
+    df = read_iceberg_py(spark, table)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.lit(result["removed"]).alias("orphans_removed"),
+    )
 
 
 @register(

@@ -496,3 +496,22 @@ def test_cdf_partitioned_and_vacuum_safe(spark, tmp_path):
     feed = D.read_delta_changes_cdf(spark, tbl, since_version=v_prop)
     got = {(r["id"], r["p"]) for r in feed.collect()}
     assert got == {(0, "a"), (1, "b"), (2, "a"), (3, "b")}
+
+
+def test_cdf_merge_emits_exact_changes(spark, tmp_path):
+    """MERGE on a CDF table: matched keys emit pre/postimages, new
+    keys emit inserts, untouched candidate-file rows never appear."""
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 10) for i in range(6)], "id bigint, v bigint")
+    D.write_delta_py(d, tbl, mode="overwrite", stats_cols=("id",))
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")
+    v_prop = D.latest_version(tbl)
+    src = spark.createDataFrame([(2, 999), (100, 1)], "id bigint, v bigint")
+    D.merge_upsert(spark, tbl, src, key="id", stats_cols=("id",))
+    feed = D.read_delta_changes_cdf(spark, tbl, since_version=v_prop)
+    rows = {(r["_change_type"], r["id"], r["v"]) for r in feed.collect()}
+    assert rows == {
+        ("update_preimage", 2, 20),
+        ("update_postimage", 2, 999),
+        ("insert", 100, 1),
+    }

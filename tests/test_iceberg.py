@@ -334,3 +334,30 @@ def test_changelog_nets_cow_rewrites_and_skips_compaction(spark, tmp_path):
     II.commit_positional_deletes(spark, tbl2, FF.col("id") < 2)
     with _pt.raises(NotImplementedError, match="compact_iceberg_files"):
         II.read_iceberg_changelog(spark, tbl2, from_snapshot=0)
+
+
+def test_orphan_sweep_spares_every_referenced_era(spark, tmp_path):
+    """remove_orphan_iceberg_files removes only never-referenced
+    debris: files named solely by OLDER snapshots (status=2 in the
+    head) survive, so time travel keeps working after the sweep."""
+    import map_reduce_spark.sources.iceberg_py as II
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i) for i in range(10)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d, tbl)
+    II.delete_iceberg_where(spark, tbl, FF.col("id") < 5)  # rewrites files
+    meta = II.load_table_metadata(tbl)
+    first = meta["snapshots"][0]["snapshot-id"]
+    # plant debris
+    data_dir = os.path.join(tbl, "data")
+    some = next(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    import shutil as _sh
+
+    _sh.copy(os.path.join(data_dir, some), os.path.join(data_dir, "junk.parquet"))
+    assert II.remove_orphan_iceberg_files(tbl) == 1
+    # head reads clean; the PRE-delete snapshot still time-travels
+    assert II.read_iceberg_py(spark, tbl).count() == 5
+    assert II.read_iceberg_py(spark, tbl, snapshot_id=first).count() == 10
+    # idempotent: nothing left to sweep
+    assert II.remove_orphan_iceberg_files(tbl) == 0
