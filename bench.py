@@ -159,6 +159,7 @@ HEADLINE = [
     "delta_cdf_scan",
     "iceberg_changelog_scan",
     "iceberg_orphan_sweep",
+    "streaming_delta_cdf",
 ]
 
 

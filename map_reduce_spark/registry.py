@@ -97,10 +97,11 @@ def register(name: str, oracle: str | None = None):
 #     mor_scan), migrate_delta_to_iceberg (touches both formats'
 #     cores), and vocab_coverage (ranking.global_prefix_sum rewrite);
 #   - the other r10 additions (delta_cdf_scan, iceberg_changelog_scan,
-#     iceberg_orphan_sweep — all never driven) displaced
-#     text_normalize, skew_agg_twophase and dq_checks from the r4 tail
-#     (never-driven beats stale-row refresh; each keeps a green r4 row
-#     on an unchanged file);
+#     iceberg_orphan_sweep, streaming_delta_cdf — all never driven)
+#     displaced text_normalize, skew_agg_twophase, dq_checks (green r4
+#     rows, unchanged files) and streaming_iceberg_sink (green r9 row;
+#     its append-commit machinery is driven by every partitioned
+#     append in this window) — never-driven beats stale-row refresh;
 #   - the r9-verdict-named stalest rows, in its order: the multimodal
 #     six (r6 rows on a file last edited r8), the r4-era
 #     pipeline_ops/text tail, and the SURVEY §2.1 ten (r5 rows;
@@ -122,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_cdf_scan",
     "iceberg_changelog_scan",
     "iceberg_orphan_sweep",
+    "streaming_delta_cdf",
     # r10-changed: delta log/checkpoint core + restore
     "delta_scan",
     "delta_time_travel",
@@ -139,7 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     # r10-changed: rollback guard + snapshot-log/properties carry
     "iceberg_rollback",
     "streaming_iceberg_source",
-    "streaming_iceberg_sink",
     # r10 addition: the bucket-over-temporal regression sentinel
     "iceberg_bucket_time_prune",
     # r10-changed: schema selection + name-mapping read path

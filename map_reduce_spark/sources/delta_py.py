@@ -1993,6 +1993,90 @@ def delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_delta_cdf",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+upd AS (SELECT * FROM c WHERE c_mktsegment = 'BUILDING' AND cents < 0),
+del AS (SELECT * FROM c WHERE c_mktsegment = 'MACHINERY' AND cents < 0),
+feed AS (
+  SELECT 'insert' AS change_type, c_custkey, cents FROM c
+  UNION ALL
+  SELECT 'update_preimage', c_custkey, cents FROM upd
+  UNION ALL
+  SELECT 'update_postimage', c_custkey, CAST(0 AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'delete', c_custkey, cents FROM del
+)
+SELECT change_type, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM feed GROUP BY change_type
+""",
+)
+def streaming_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the Change Data Feed: the CDF fixture's full history
+    (bulk load, property flip, UPDATE, DELETE) drains through the
+    snapshot-offset stream source into a checkpointed foreachBatch
+    parquet sink, and the drained rows must aggregate to the batch
+    CDF reader's exact feed — a lost commit, a doubled cdc file, or a
+    carried row leaking into the stream all hash-mismatch. Pairs with
+    ``streaming_iceberg_source`` to close the CDC-consumer story on
+    both table formats."""
+    import tempfile
+    import time
+
+    table = ensure_delta_cdf_fixture(spark, sf_dir)
+    n_expected = read_delta_changes_cdf(spark, table, since_version=-1).count()
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"mr_spark_delta_cdf_out_{os.getpid()}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    out_dir = os.path.join(scratch, "out")
+    chk = os.path.join(scratch, "chk")
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_delta_cdf(spark, table)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n >= n_expected:
+                break
+            if time.time() > deadline:
+                raise RuntimeError("delta cdf stream stalled")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("acctbal_cents").alias("sum_cents"),
+            F.min("c_custkey").alias("min_key"),
+        )
+    )
+
+
 def ensure_delta_v2ckpt_fixture(spark: SparkSession, sf_dir: str) -> str:
     """A Delta table whose history is only reachable THROUGH a v2
     checkpoint: clone the shared orders fixture (v0 load, v1 append,
@@ -2705,6 +2789,148 @@ def read_delta_changes_cdf(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def stream_delta_cdf(spark: SparkSession, table: str) -> DataFrame:
+    """Structured-streaming SOURCE over a Delta table's Change Data
+    Feed — the CDC-consumer deployment of ``read_delta_changes_cdf``:
+    offsets are log versions, each micro-batch delivers exactly the
+    change rows of the commits in (start, end], and checkpoint replay
+    reconstructs any past range from the immutable log. The
+    exactly-once contract is the same as ``stream_iceberg_appends``;
+    the change semantics are the batch CDF reader's (cdc files alone
+    for rewrite commits, adds-as-inserts for appends, loud refusal on
+    pre-enablement rewrites).
+
+    Spark-4 Python DataSource; NOTES rule 39 discipline: the planner
+    and reader are self-contained closures over the table path —
+    commits parse with stdlib json in the plan-time worker, data reads
+    are executor-side pyarrow RecordBatches. Partitioned tables refuse
+    (their change rows would need hive-path reconstruction in the
+    worker); the batch reader serves those."""
+    snap0 = snapshot(table)
+    if snap0.partition_columns:
+        raise NotImplementedError(
+            "stream_delta_cdf: partitioned tables are served by the "
+            "batch read_delta_changes_cdf (hive partition values are "
+            "not reconstructed in the stream worker)"
+        )
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in snap0.schema.fields
+    )
+    ddl += ", `_change_type` string, `_commit_version` long"
+    table_abs = os.path.abspath(table)
+    col_names = [f.name for f in snap0.schema.fields]
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    def _commits(lo: int, hi: int) -> list:
+        """[(version, kind, local file path)] for commits in (lo, hi] —
+        kind is 'cdc' or 'insert'. Stdlib-only: runs in the plan-time
+        worker."""
+        import json as _json
+        import os as _os
+        import urllib.parse as _up
+
+        out = []
+        d = _os.path.join(table_abs, "_delta_log")
+        for f in sorted(_os.listdir(d)):
+            if not (f.endswith(".json") and f[:20].isdigit() and len(f) == 25):
+                continue
+            v = int(f[:20])
+            if not (lo < v <= hi):
+                continue
+            acts = []
+            with open(_os.path.join(d, f), encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        acts.append(_json.loads(line))
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc:
+                for c in cdc:
+                    out.append(
+                        (v, "cdc", _os.path.join(table_abs, _up.unquote(c["path"])))
+                    )
+                continue
+            removes = [
+                a for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                raise ValueError(
+                    f"delta cdf stream: version {v} rewrites data without "
+                    "cdc files — enable delta.enableChangeDataFeed before "
+                    "rewriting, or consume past it with a batch read"
+                )
+            for a in acts:
+                if "add" in a and a["add"].get("dataChange", True):
+                    out.append(
+                        (v, "insert",
+                         _os.path.join(table_abs, _up.unquote(a["add"]["path"])))
+                    )
+        return out
+
+    class _DeltaCdfReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"v": -1}
+
+        def latestOffset(self):
+            import os as _os
+
+            d = _os.path.join(table_abs, "_delta_log")
+            try:
+                vs = [
+                    int(f[:20])
+                    for f in _os.listdir(d)
+                    if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+                ]
+            except FileNotFoundError:
+                return {"v": -1}
+            return {"v": max(vs)} if vs else {"v": -1}
+
+        def partitions(self, start, end):
+            parts = _commits(start["v"], end["v"])
+            return [InputPartition(p) for p in parts] or [InputPartition(None)]
+
+        def read(self, partition):
+            if partition.value is None:
+                return iter([])
+            import pyarrow as _pa
+
+            v, kind, path = partition.value
+            import pyarrow.parquet as _pq
+
+            cols = col_names + (["_change_type"] if kind == "cdc" else [])
+            tbl = _pq.read_table(path, columns=cols)
+            if kind != "cdc":
+                tbl = tbl.append_column(
+                    "_change_type", _pa.array(["insert"] * tbl.num_rows)
+                )
+            tbl = tbl.append_column(
+                "_commit_version", _pa.array([v] * tbl.num_rows, type=_pa.int64())
+            )
+            return iter(tbl.to_batches(max_chunksize=65536))
+
+        def commit(self, end):
+            pass
+
+    class DeltaCdfSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "delta_cdf"
+
+        def schema(self):
+            return ddl
+
+        def streamReader(self, schema):
+            return _DeltaCdfReader()
+
+    spark.dataSource.register(DeltaCdfSource)
+    return spark.readStream.format("delta_cdf").load()
 
 
 def evolve_schema_for_append(table: str, df_schema: StructType) -> StructType:

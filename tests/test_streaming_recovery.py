@@ -162,3 +162,63 @@ def test_python_stream_source_restart_exactly_once(spark, tmp_path):
         "restart must replay uncommitted ranges exactly once "
         f"(got {len(ns)} rows, {len(set(ns))} distinct)"
     )
+
+
+def test_delta_cdf_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Kill the CDF stream mid-history, restart from the checkpoint,
+    land more commits: the drained feed has every change exactly
+    once."""
+    import os
+    import time
+
+    import map_reduce_spark.sources.delta_py as D
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 10) for i in range(8)], "id bigint, v bigint")
+    D.write_delta_py(d, tbl, mode="overwrite", stats_cols=("id",))
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")
+    D.update_where(spark, tbl, F.col("id") == 1, {"v": F.lit(111).cast("long")})
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    def drain(n_target):
+        q = (
+            D.stream_delta_cdf(spark, tbl)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while True:
+                if q.exception() is not None:
+                    raise q.exception()
+                try:
+                    n = spark.read.parquet(out_dir).count()
+                except Exception:
+                    n = 0
+                if n >= n_target:
+                    return
+                assert time.time() < deadline, "stream stalled"
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    drain(8 + 2)  # insert x8 + pre/post
+    D.delete_where(spark, tbl, F.col("id") == 7)  # lands while stream is DOWN
+    drain(8 + 2 + 1)  # restart picks up exactly the delete
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        [("insert", i, i * 10) for i in range(8)]
+        + [("update_preimage", 1, 10), ("update_postimage", 1, 111),
+           ("delete", 7, 70)]
+    )
+    assert got == want
