@@ -1926,7 +1926,7 @@ def ensure_delta_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     base = ensure_customer_delta(spark, sf_dir)
     key = hashlib.md5(f"{base}:cdf:{os.getpid()}".encode()).hexdigest()[:12]
-    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_cdf_{key}")
+    table = os.path.join(tempfile.gettempdir(), f"mr_spark_delta_cdfeed_{key}")
     if not os.path.isdir(table):
         clone_delta_table(base, table)
     set_delta_table_property(table, "delta.enableChangeDataFeed", "true")
