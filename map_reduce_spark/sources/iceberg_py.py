@@ -1200,6 +1200,22 @@ def _evolve_iceberg_schemas(meta: dict | None, dtypes) -> tuple[list[dict], int,
             )
     if not added:
         return schemas, cur_id, last_col
+    # a NEW column must not reuse a name the name mapping still binds
+    # to ANOTHER field — field-id-less files carrying that name would
+    # become ambiguous between the old field and the new one (silent
+    # misreads either way); refuse loudly at evolution time
+    nm = _name_mapping(meta) if meta else None
+    if nm:
+        cur_ids = {f["name"]: f["id"] for f in cur["fields"]}
+        for n, _t in added:
+            owners = [fid for fid, names in nm.items() if n in names]
+            if any(fid != cur_ids.get(n) for fid in owners):
+                raise ValueError(
+                    f"iceberg_py: new column {n!r} collides with a "
+                    "name-mapping alternate of an existing field (a "
+                    "historical name of a renamed column) — pick a "
+                    "different name"
+                )
     new_fields = list(cur["fields"])
     for n, t in added:
         last_col += 1

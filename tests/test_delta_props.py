@@ -158,3 +158,160 @@ def test_real_concurrent_stream_epochs_dedupe(spark, tmp_path):
     want = {(i, i * 7) for e in range(4) for i in range(100 * e, 100 * e + 5)}
     assert got == want
     assert D.snapshot(tbl).txns == {"app": 3}
+
+
+CDF_SCRIPTS = [
+    ["a10", "d<5", "m8", "a6", "d<3", "opt", "m4"],
+    ["a7", "m5", "opt", "d<4", "a3", "m2", "d<6"],
+]
+
+
+@pytest.mark.parametrize("script", CDF_SCRIPTS, ids=["c0", "c1"])
+def test_cdf_feed_folds_to_final_state(spark, tmp_path, script):
+    """Model-based CDF property: replaying the change feed (inserts,
+    deletes, update postimages, in commit order) over an empty state
+    must reproduce EXACTLY the final table — the CDC-consumer
+    guarantee. Any leaked carry row, lost change, or misordered commit
+    breaks the fold; preimages must match the pre-commit state."""
+    tbl = str(tmp_path / "t")
+    model: dict[int, int] = {}
+    next_id = 0
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    first = True
+    for step in script:
+        kind, arg = ("opt", "") if step == "opt" else (step[0], step[1:])
+        if kind == "a":
+            ids = fresh(int(arg))
+            D.write_delta_py(
+                _rows(spark, ids), tbl,
+                mode="overwrite" if first else "append",
+                stats_cols=("id",), checkpoint_interval=3,
+            )
+            if first:
+                D.set_delta_table_property(
+                    tbl, "delta.enableChangeDataFeed", "true"
+                )
+                first = False
+            model.update({i: i * 7 for i in ids})
+        elif kind == "d":
+            if not model:
+                continue
+            thr = min(model) + int(arg[1:])
+            D.delete_where(spark, tbl, F.col("id") < thr,
+                           stats_cols=("id",), checkpoint_interval=3)
+            model = {i: x for i, x in model.items() if i >= thr}
+        elif kind == "m":
+            ids = fresh(int(arg))
+            top = sorted(model)[len(model) // 2:]
+            src_rows = [(i, model[i] + 1) for i in top] + [(i, i * 7) for i in ids]
+            src = spark.createDataFrame(sorted(src_rows), "id long, v long")
+            D.merge_upsert(spark, tbl, src, "id", stats_cols=("id",),
+                           checkpoint_interval=3)
+            model.update(dict(src_rows))
+        elif kind == "opt":
+            D.optimize_compact(spark, tbl, stats_cols=("id",),
+                               checkpoint_interval=3)
+
+    feed = D.read_delta_changes_cdf(spark, tbl, since_version=-1)
+    by_commit: dict[int, list] = {}
+    for r in feed.collect():
+        by_commit.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["id"], r["v"])
+        )
+    state: dict[int, int] = {}
+    for v in sorted(by_commit):
+        batch = by_commit[v]
+        # phase 1: preimages and deletes verify against the PRE-commit
+        # state (pre/post of one id interleave within a commit)
+        for ct, rid, rv in batch:
+            if ct == "update_preimage":
+                assert state[rid] == rv, (v, rid)
+            elif ct == "delete":
+                assert state.pop(rid) == rv, (v, rid)
+        # phase 2: postimages and inserts land
+        for ct, rid, rv in batch:
+            if ct == "insert":
+                assert rid not in state, (v, rid)
+                state[rid] = rv
+            elif ct == "update_postimage":
+                state[rid] = rv
+    assert state == model
+    assert state == dict(
+        (r.id, r.v) for r in D.read_delta_py(spark, tbl).collect()
+    )
+
+
+@pytest.mark.parametrize("script", SCRIPTS, ids=["v0", "v1", "v2"])
+def test_v2_checkpoint_equals_json_replay_at_head(spark, tmp_path, script):
+    """After ANY mutation script: a v2 checkpoint cut at head, with
+    every json commit and classic checkpoint at or below it expired,
+    must reconstruct the identical head state (schema, adds, DV-free
+    row set)."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    next_id = 0
+    model: dict[int, int] = {}
+    first = True
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    for step in script:
+        kind, arg = ("opt", "") if step == "opt" else (step[0], step[1:])
+        if kind == "a":
+            ids = fresh(int(arg))
+            D.write_delta_py(_rows(spark, ids), tbl,
+                             mode="overwrite" if first else "append",
+                             stats_cols=("id",), checkpoint_interval=3)
+            first = False
+            model.update({i: i * 7 for i in ids})
+        elif kind == "o":
+            ids = fresh(int(arg))
+            D.write_delta_py(_rows(spark, ids), tbl, mode="overwrite",
+                             stats_cols=("id",), checkpoint_interval=3)
+            model = {i: i * 7 for i in ids}
+        elif kind == "d":
+            if not model:
+                continue
+            thr = min(model) + int(arg[1:])
+            D.delete_where(spark, tbl, F.col("id") < thr,
+                           stats_cols=("id",), checkpoint_interval=3)
+            model = {i: x for i, x in model.items() if i >= thr}
+        elif kind == "m":
+            ids = fresh(int(arg))
+            top = sorted(model)[len(model) // 2:]
+            src_rows = [(i, model[i] + 1) for i in top] + [(i, i * 7) for i in ids]
+            src = spark.createDataFrame(sorted(src_rows), "id long, v long")
+            D.merge_upsert(spark, tbl, src, "id", stats_cols=("id",),
+                           checkpoint_interval=3)
+            model.update(dict(src_rows))
+        elif kind == "opt":
+            D.optimize_compact(spark, tbl, stats_cols=("id",),
+                               checkpoint_interval=3)
+
+    before = _read_ids(spark, tbl)
+    assert before == {(i, x) for i, x in model.items()}
+    snap = D.snapshot(tbl)
+    D.write_checkpoint_v2(tbl, snap)
+    logd = os.path.join(tbl, "_delta_log")
+    for f in list(os.listdir(logd)):
+        expired = (
+            f.endswith(".json") and f[:20].isdigit() and not D._V2_CKPT_RE.match(f)
+        ) or f.endswith(".checkpoint.parquet")
+        if expired and int(f[:20]) <= snap.version:
+            os.remove(os.path.join(logd, f))
+    back = D.snapshot(tbl)
+    assert back.version == snap.version
+    assert back.metadata["schemaString"] == snap.metadata["schemaString"]
+    assert set(back.adds) == set(snap.adds)
+    assert _read_ids(spark, tbl) == before

@@ -361,3 +361,104 @@ def test_orphan_sweep_spares_every_referenced_era(spark, tmp_path):
     assert II.read_iceberg_py(spark, tbl, snapshot_id=first).count() == 10
     # idempotent: nothing left to sweep
     assert II.remove_orphan_iceberg_files(tbl) == 0
+
+
+def test_changelog_folds_to_final_state(spark, tmp_path):
+    """Model-based changelog property: folding INSERT/DELETE rows in
+    _change_ordinal order over an empty state reproduces the final
+    table exactly — across appends, COW deletes, an UPDATE (nets to
+    DELETE old + INSERT new), and a compaction (contributes
+    nothing)."""
+    import map_reduce_spark.sources.iceberg_py as II
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i * 7) for i in range(20)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d.filter("id < 12").repartition(2), tbl)
+    II.delete_iceberg_where(spark, tbl, FF.col("id") % 3 == 0)
+    II.append_iceberg_snapshot(d.filter("id >= 12").repartition(2), tbl)
+    II.update_iceberg_where(
+        spark, tbl, FF.col("id") >= 15, {"v": FF.col("v") + 1}
+    )
+    II.compact_iceberg_files(spark, tbl, out_files=1)
+    feed = II.read_iceberg_changelog(spark, tbl, from_snapshot=0)
+    by_ord: dict[int, list] = {}
+    for r in feed.collect():
+        by_ord.setdefault(r["_change_ordinal"], []).append(
+            (r["_change_type"], r["id"], r["v"])
+        )
+    state: dict[int, int] = {}
+    for o in sorted(by_ord):
+        for ct, rid, rv in by_ord[o]:
+            if ct == "DELETE":
+                assert state.pop(rid) == rv, (o, rid)
+            else:
+                # an UPDATE nets to DELETE+INSERT of the same id within
+                # one ordinal; DELETEs applied first above
+                state[rid] = rv
+    want = {
+        r.id: r.v for r in II.read_iceberg_py(spark, tbl).collect()
+    }
+    assert state == want
+    assert want == {
+        **{i: i * 7 for i in range(12) if i % 3 != 0 and i < 15},
+        **{i: i * 7 for i in range(12, 15)},
+        **{i: i * 7 + 1 for i in range(15, 20)},
+    }
+
+
+def test_rename_races_with_appends(spark, tmp_path):
+    """REAL two-thread race: a column rename and an old-name append
+    contend on the version slot. Legal outcomes: append first → both
+    land and all rows read under the renamed column; rename first →
+    the old-name append REFUSES loudly (the new 'v' would collide
+    with the name-mapping alternate of the renamed field — a silent
+    by-name ambiguity otherwise). Either way the table stays
+    readable and the rename lands."""
+    import threading
+
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    d0 = spark.createDataFrame([(1, 10)], "id bigint, v bigint")
+    II.append_iceberg_snapshot(d0, tbl)
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def do_rename():
+        try:
+            barrier.wait()
+            II.rename_iceberg_column(tbl, "v", "value")
+        except Exception as e:  # noqa: BLE001
+            errs.append(("rename", e))
+
+    def do_append():
+        try:
+            barrier.wait()
+            II.append_iceberg_snapshot(
+                spark.createDataFrame([(2, 20)], "id bigint, v bigint"), tbl
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(("append", e))
+
+    ts = [threading.Thread(target=do_rename), threading.Thread(target=do_append)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    rename_errs = [e for tag, e in errs if tag == "rename"]
+    append_errs = [e for tag, e in errs if tag == "append"]
+    assert not rename_errs, rename_errs
+    meta = II.load_table_metadata(tbl)
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    names = [f["name"] for f in cur["fields"]]
+    assert names == ["id", "value"]  # the rename landed either way
+    got = II.read_iceberg_py(spark, tbl)
+    vals = {r["id"]: r["value"] for r in got.collect()}
+    if append_errs:  # rename won: old-name append must have refused loudly
+        assert "collides with a name-mapping alternate" in str(append_errs[0])
+        assert vals == {1: 10}
+    else:  # append won: both rows resolve under the renamed column
+        assert vals == {1: 10, 2: 20}
