@@ -160,6 +160,7 @@ HEADLINE = [
     "iceberg_changelog_scan",
     "iceberg_orphan_sweep",
     "streaming_delta_cdf",
+    "iceberg_files_metadata",
 ]
 
 

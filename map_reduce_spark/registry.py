@@ -102,6 +102,10 @@ def register(name: str, oracle: str | None = None):
 #     rows, unchanged files) and streaming_iceberg_sink (green r9 row;
 #     its append-commit machinery is driven by every partitioned
 #     append in this window) — never-driven beats stale-row refresh;
+#     iceberg_files_metadata likewise displaced iceberg_mor_scan
+#     (green r9 row; the MOR anti-join is unchanged this round and the
+#     r10 read-path edits are driven via iceberg_scan and the
+#     schema-evolution travel row);
 #   - the r9-verdict-named stalest rows, in its order: the multimodal
 #     six (r6 rows on a file last edited r8), the r4-era
 #     pipeline_ops/text tail, and the SURVEY §2.1 ten (r5 rows;
@@ -124,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_changelog_scan",
     "iceberg_orphan_sweep",
     "streaming_delta_cdf",
+    "iceberg_files_metadata",
     # r10-changed: delta log/checkpoint core + restore
     "delta_scan",
     "delta_time_travel",
@@ -148,7 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     # snapshot_travel would, freeing its slot for the sentinel above)
     "iceberg_scan",
     "iceberg_schema_evolution_travel",
-    "iceberg_mor_scan",
     "migrate_delta_to_iceberg",
     # r10-changed: ranking.global_prefix_sum consumer
     "vocab_coverage",

@@ -1737,6 +1737,103 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     raise RuntimeError(f"expire_snapshots on {table!r} lost 20 races")
 
 
+def iceberg_files_table(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``tbl.files`` METADATA TABLE: one row per live data file of
+    the (current or pinned) snapshot — file_path, record_count,
+    file_size_in_bytes, spec partition values as a map — built from
+    the manifest plane alone (no data file opened). The operational
+    surface real engines expose for layout debugging, and the
+    bookkeeping the oracle can cross-examine: per-partition
+    record_count sums must equal the DATA."""
+    av = make_generic_avro()
+    meta = load_table_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata at {table!r}")
+    snap = _pick_snapshot(meta, snapshot_id)
+    _local = _make_localizer(table, meta)
+    rows = []
+    _, manifests = av.read_file(_local(snap["manifest-list"]))
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # delete manifests: not data files
+        _, entries = av.read_file(_local(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            dfd = e["data_file"]
+            if (dfd.get("content") or 0) != 0:
+                continue
+            part = dfd.get("partition") or {}
+            rows.append(
+                (
+                    _local(dfd["file_path"]),
+                    int(dfd.get("record_count") or 0),
+                    int(dfd.get("file_size_in_bytes") or 0),
+                    {str(k): (None if v is None else str(v)) for k, v in part.items()},
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, record_count long, file_size_in_bytes long, "
+        "partition map<string,string>",
+    )
+
+
+def iceberg_snapshots_table(spark: SparkSession, table: str) -> DataFrame:
+    """The ``tbl.snapshots`` metadata table: snapshot id, sequence
+    number, schema id, operation, manifest-list path."""
+    meta = load_table_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata at {table!r}")
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s.get("sequence-number", s["snapshot-id"])),
+            int(s.get("schema-id", 0)),
+            str((s.get("summary") or {}).get("operation", "append")),
+            str(s.get("manifest-list", "")),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, schema_id long, "
+        "operation string, manifest_list string",
+    )
+
+
+@register(
+    "iceberg_files_metadata",
+    oracle=f"""
+SELECT (EXTRACT(YEAR FROM o_orderdate) - 1970) AS year_ord,
+       CAST(COUNT(*) AS BIGINT) AS rec_count
+FROM orders
+GROUP BY year_ord
+""",
+)
+def iceberg_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-examine the manifest plane against the data: the files
+    metadata table of the partitioned orders fixture, with
+    record_count summed per hidden-partition year, must equal the
+    relational per-year counts — a manifest that under- or
+    over-counts any file, drops one, or stamps the wrong partition
+    tuple breaks the hash. Pure metadata read: no data file opens."""
+    table = ensure_iceberg_part_fixture(spark, sf_dir)
+    files = iceberg_files_table(spark, table)
+    return (
+        files.select(
+            F.element_at("partition", "o_orderdate_year").cast("long").alias(
+                "year_ord"
+            ),
+            "record_count",
+        )
+        .groupBy("year_ord")
+        .agg(F.sum("record_count").alias("rec_count"))
+    )
+
+
 def remove_orphan_iceberg_files(table: str) -> int:
     """Sweep data/delete files referenced by NO snapshot still in the
     table's history — the debris of lost commit races and crashed

@@ -462,3 +462,35 @@ def test_rename_races_with_appends(spark, tmp_path):
         assert vals == {1: 10}
     else:  # append won: both rows resolve under the renamed column
         assert vals == {1: 10, 2: 20}
+
+
+def test_metadata_tables(spark, tmp_path):
+    """files/snapshots metadata tables: record counts reconcile with
+    the data, pinned snapshots render THEIR file set, operations and
+    monotone sequence numbers appear in the snapshots table."""
+    import map_reduce_spark.sources.iceberg_py as II
+    from pyspark.sql import functions as FF
+
+    tbl = str(tmp_path / "t")
+    d = spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, g bigint")
+    II.append_iceberg_snapshot(d.repartition(2), tbl, [("g", "identity")])
+    II.delete_iceberg_where(spark, tbl, FF.col("id") < 10)
+    files = II.iceberg_files_table(spark, tbl)
+    assert files.agg(FF.sum("record_count")).first()[0] == 20
+    per_g = {
+        int(r["g"]): r["n"]
+        for r in files.select(
+            FF.element_at("partition", "g").cast("long").alias("g"), "record_count"
+        ).groupBy("g").agg(FF.sum("record_count").alias("n")).collect()
+    }
+    want = {g: sum(1 for i in range(10, 30) if i % 3 == g) for g in range(3)}
+    assert per_g == want
+    meta = II.load_table_metadata(tbl)
+    first = meta["snapshots"][0]["snapshot-id"]
+    pinned = II.iceberg_files_table(spark, tbl, snapshot_id=first)
+    assert pinned.agg(FF.sum("record_count")).first()[0] == 30
+    snaps = II.iceberg_snapshots_table(spark, tbl).orderBy("sequence_number")
+    ops = [r["operation"] for r in snaps.collect()]
+    assert ops == ["append", "delete"]
+    seqs = [r["sequence_number"] for r in snaps.collect()]
+    assert seqs == sorted(seqs)
