@@ -161,6 +161,7 @@ HEADLINE = [
     "iceberg_orphan_sweep",
     "streaming_delta_cdf",
     "iceberg_files_metadata",
+    "delta_history_metadata",
 ]
 
 

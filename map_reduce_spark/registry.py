@@ -102,6 +102,9 @@ def register(name: str, oracle: str | None = None):
 #     rows, unchanged files) and streaming_iceberg_sink (green r9 row;
 #     its append-commit machinery is driven by every partitioned
 #     append in this window) — never-driven beats stale-row refresh;
+#     delta_history_metadata displaced iceberg_rewrite_sorted (green
+#     r9 row; compact_mor in this window drives the same rewrite-commit
+#     machinery — sorted layout is its order_by variant) and
 #     iceberg_files_metadata likewise displaced iceberg_mor_scan
 #     (green r9 row; the MOR anti-join is unchanged this round and the
 #     r10 read-path edits are driven via iceberg_scan and the
@@ -129,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_orphan_sweep",
     "streaming_delta_cdf",
     "iceberg_files_metadata",
+    "delta_history_metadata",
     # r10-changed: delta log/checkpoint core + restore
     "delta_scan",
     "delta_time_travel",
@@ -141,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_merge_upsert",
     "iceberg_update_where",
     "iceberg_delete_where",
-    "iceberg_rewrite_sorted",
     "iceberg_compact_mor",
     # r10-changed: rollback guard + snapshot-log/properties carry
     "iceberg_rollback",

@@ -1195,6 +1195,59 @@ def merge_upsert(
     raise RuntimeError(f"merge on {table!r} lost {_max_retries} commit races")
 
 
+def delta_history_table(spark: SparkSession, table: str) -> DataFrame:
+    """The ``DESCRIBE HISTORY`` metadata table: one row per commit
+    still in the json log — version, operation (from commitInfo; a
+    commit without one renders as 'UNKNOWN'), and the commit's
+    add/remove/cdc action counts. Metadata-sized: the log is the
+    input, no data file opens. Commits whose json has been expired
+    below a checkpoint simply don't appear (matching real DESCRIBE
+    HISTORY after log cleanup)."""
+    js, _ = _list_log(table)
+    if not js:
+        raise FileNotFoundError(f"no Delta log at {table!r}")
+    rows = []
+    for v in js:
+        acts = _read_commit(table, v)
+        op = "UNKNOWN"
+        for a in acts:
+            if "commitInfo" in a and a["commitInfo"].get("operation"):
+                op = str(a["commitInfo"]["operation"])
+        rows.append(
+            (
+                v,
+                op,
+                sum(1 for a in acts if "add" in a),
+                sum(1 for a in acts if "remove" in a),
+                sum(1 for a in acts if "cdc" in a),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version long, operation string, n_adds long, n_removes long, n_cdc long"
+    )
+
+
+@register(
+    "delta_history_metadata",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'OVERWRITE'), (1, 'APPEND'), (2, 'DELETE')
+) AS t(version, operation)
+""",
+)
+def delta_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the shared orders fixture: its commit
+    history is deterministic by construction (v0 bulk OVERWRITE, v1
+    APPEND, v2 selective DELETE) and the operation log must
+    render exactly that — a missing commit, a misattributed
+    operation, or a phantom version all hash-mismatch. The Delta twin
+    of ``iceberg_files_metadata``'s manifest-plane cross-exam."""
+    table = ensure_delta_fixture(spark, sf_dir)
+    return delta_history_table(spark, table).select(
+        F.col("version").cast("int").alias("version"), "operation"
+    )
+
+
 def vacuum_delta(table: str) -> int:
     """Remove data files referenced by NO version still in the log
     (crashed stagings, lost-race rewrites, tombstoned files whose every
