@@ -125,3 +125,33 @@ def test_cm_fixture_query_matches_predicate(spark, sf_dir):
     expected = d.filter(~(D._bucket(F.col("o_orderkey"), 16) == 7))
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cm_with_dv_through_v2_checkpoint(spark, sf_dir, tmp_path):
+    """The hardest checkpoint combination: a column-mapping + DV table
+    seeded from a V2 checkpoint (json log expired below it) must read
+    identically — mapping mode, physical names, and DV references all
+    survive the manifest+sidecar roundtrip."""
+    import os
+    import shutil as _sh
+
+    base = D.ensure_delta_cm_fixture(spark, sf_dir)
+    tbl = str(tmp_path / "t")
+    D.clone_delta_table(base, tbl)
+    before = D.read_delta_py(spark, tbl)
+    want = {tuple(r) for r in before.collect()}
+    snap = D.snapshot(tbl)
+    D.write_checkpoint_v2(tbl, snap)
+    logd = os.path.join(tbl, "_delta_log")
+    for f in list(os.listdir(logd)):
+        expired = (
+            f.endswith(".json") and f[:20].isdigit() and not D._V2_CKPT_RE.match(f)
+        ) or f.endswith(".checkpoint.parquet")
+        if expired and int(f[:20]) <= snap.version:
+            os.remove(os.path.join(logd, f))
+    back = D.snapshot(tbl)
+    assert back.column_mapping() == snap.column_mapping()
+    assert any(a.get("deletionVector") for a in back.adds.values())
+    got = {tuple(r) for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == want
+    _sh.rmtree(tbl, ignore_errors=True)
