@@ -1738,6 +1738,20 @@ def delete_where_dv(
         rows = _control_plane_rows(per_file, "dv delete set")
         if not rows:
             return snap.version
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(snap):
+            # CDF contract: a DV delete is a data-changing rewrite, so
+            # it must land row-level cdc files — the newly-deleted set
+            # is exactly src.filter(pred) (already DV-anti-joined, so
+            # previously-deleted rows don't re-emit). O(deleted rows).
+            cdc_actions = _stage_cdc_files(
+                src.filter(pred_true)
+                .drop("__fp", "__pos")
+                .withColumn("_change_type", F.lit("delete")),
+                table,
+                tuple(snap.partition_columns),
+                mapping,
+            )
         # ORDER MATTERS: _rel_paths returns paths in input iteration
         # order — pair it with the same ordered list, never a set (a
         # set iteration would attach DVs to the wrong files)
@@ -1784,6 +1798,7 @@ def delete_where_dv(
                     )
                 }
             )
+        actions.extend(cdc_actions)
         actions.append(
             {"commitInfo": {"operation": "DELETE", "engine": "map_reduce_spark"}}
         )
@@ -1792,7 +1807,8 @@ def delete_where_dv(
             return snap.version + 1
         # lost the race: re-derive against the new snapshot (orphan DV
         # bins are content-addressed; a later identical delete reuses
-        # them, and they are invisible to readers either way)
+        # them, and they are invisible to readers either way — as are
+        # cdc files staged for the lost attempt)
     raise RuntimeError(f"DV delete on {table!r} lost {_max_retries} commit races")
 
 
@@ -2723,7 +2739,10 @@ def set_delta_table_property(table: str, key: str, value: str) -> int:
 
 
 def _stage_cdc_files(
-    change_df: DataFrame, table: str, partition_by: tuple[str, ...]
+    change_df: DataFrame,
+    table: str,
+    partition_by: tuple[str, ...],
+    mapping: dict[str, str] | None = None,
 ) -> list[dict]:
     """Stage change rows (table columns + ``_change_type``) as parquet
     under ``_change_data/`` (hive-partitioned like the table, per the
@@ -2731,7 +2750,17 @@ def _stage_cdc_files(
     of the table's data — dataChange=false, never in the active set —
     so their cost is O(changed rows), which is the whole point: a CDF
     consumer reads exact row-level deltas instead of diffing
-    snapshots."""
+    snapshots. ``change_df``/``partition_by`` arrive under LOGICAL
+    names; on a column-mapping table (``mapping`` set) the staged
+    files carry PHYSICAL column names and partition dirs, same as the
+    table's data files — the CDF reader scans them physically and
+    projects back."""
+    if mapping:
+        change_df = change_df.select(
+            [F.col(n).alias(p) for n, p in mapping.items()]
+            + [F.col("_change_type")]
+        )
+        partition_by = tuple(mapping[c] for c in partition_by)
     cdc_root = os.path.join(table, "_change_data")
     moved = _stage_and_move(change_df, cdc_root, partition_by)
     acts = []
@@ -2769,7 +2798,15 @@ def read_delta_changes_cdf(
     (OPTIMIZE) contribute nothing; a data-changing REWRITE without cdc
     refuses loudly — the writer wasn't CDF-enabled for it and per-row
     changes are unrecoverable. Cost is O(changed rows) in cdc files +
-    O(appended files), never O(table)."""
+    O(appended files), never O(table) — and planner cost is O(1) in
+    the COMMIT count: the range's cdc files and appended files land in
+    ONE multi-file scan each, with per-row ``_commit_version``
+    attached by a broadcast file→version join on
+    ``_metadata.file_path``, so a CDC consumer catching up over a
+    long retention window plans two scans, never one union leg per
+    commit. Column-mapping tables scan under PHYSICAL names and
+    project back to logical after the join (cdc files follow the
+    table's mapping, same as its data files)."""
     js, _ = _list_log(table)
     if not js:
         raise FileNotFoundError(f"no Delta log at {table!r}")
@@ -2783,27 +2820,22 @@ def read_delta_changes_cdf(
         )
     snap = snapshot(table, hi)  # protocol gate + schema as of range end
     schema = snap.schema
+    mapping = snap.column_mapping()
+    phys = snap.physical_schema()
     with_ct = StructType(
         schema.fields + [StructField("_change_type", StringType(), True)]
     )
-    base_opt = {"basePath": table} if snap.partition_columns else {}
-    frames = []
-    for v in js:
-        if not (since_version < v <= hi):
-            continue
+    cdc_files: list[tuple[str, int]] = []  # (abs path, commit version)
+    add_files: list[tuple[str, int]] = []
+    for v in have:
         acts = _read_commit(table, v)
-        cdc_files = [
+        cdc = [
             os.path.join(table, urllib.parse.unquote(a["cdc"]["path"]))
             for a in acts
             if "cdc" in a
         ]
-        if cdc_files:
-            reader = spark.read.schema(with_ct)
-            if snap.partition_columns:
-                reader = reader.option("basePath", os.path.join(table, "_change_data"))
-            frames.append(
-                reader.parquet(*cdc_files).withColumn("_commit_version", F.lit(v))
-            )
+        if cdc:
+            cdc_files.extend((p, v) for p in cdc)
             continue
         adds = [
             a["add"] for a in acts if "add" in a and a["add"].get("dataChange", True)
@@ -2817,20 +2849,54 @@ def read_delta_changes_cdf(
                 "delta.enableChangeDataFeed before the rewrite (or "
                 "re-read the snapshot)"
             )
-        if adds:
-            reader = spark.read.schema(schema)
-            if base_opt:
-                reader = reader.option("basePath", table)
-            frames.append(
-                reader.parquet(
-                    *[
-                        os.path.join(table, urllib.parse.unquote(a["path"]))
-                        for a in adds
-                    ]
-                )
-                .withColumn("_change_type", F.lit("insert"))
-                .withColumn("_commit_version", F.lit(v))
+        add_files.extend(
+            (os.path.join(table, urllib.parse.unquote(a["path"])), v) for a in adds
+        )
+
+    def _with_version(df: DataFrame, pairs: list[tuple[str, int]]) -> DataFrame:
+        vmap = F.broadcast(
+            spark.createDataFrame(
+                [(os.path.abspath(p), v) for p, v in pairs],
+                "__cdf_fp string, _commit_version long",
             )
+        )
+        return (
+            df.withColumn("__cdf_fp", _strip_scheme(F.col("_metadata.file_path")))
+            .join(vmap, "__cdf_fp")
+            .drop("__cdf_fp")
+        )
+
+    def _to_logical(df: DataFrame) -> DataFrame:
+        if not mapping:
+            return df
+        return df.select(
+            [F.col(p).alias(n) for n, p in mapping.items()]
+            + [F.col("_change_type"), F.col("_commit_version")]
+        )
+
+    frames = []
+    if cdc_files:
+        reader = spark.read.schema(
+            StructType(phys.fields + [StructField("_change_type", StringType(), True)])
+        )
+        if snap.partition_columns:
+            reader = reader.option("basePath", os.path.join(table, "_change_data"))
+        frames.append(
+            _to_logical(
+                _with_version(reader.parquet(*[p for p, _ in cdc_files]), cdc_files)
+            )
+        )
+    if add_files:
+        reader = spark.read.schema(phys)
+        if snap.partition_columns:
+            reader = reader.option("basePath", table)
+        frames.append(
+            _to_logical(
+                _with_version(
+                    reader.parquet(*[p for p, _ in add_files]), add_files
+                ).withColumn("_change_type", F.lit("insert"))
+            )
+        )
     if not frames:
         return spark.createDataFrame(
             [],
@@ -2841,7 +2907,9 @@ def read_delta_changes_cdf(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return out.select(
+        *[f.name for f in schema.fields], "_change_type", "_commit_version"
+    )
 
 
 def stream_delta_cdf(spark: SparkSession, table: str) -> DataFrame:
@@ -3775,6 +3843,45 @@ def restore_table(
             actions.append({"add": dict(target.adds[rel], dataChange=True)})
         if not actions:
             return cur.version  # already at the target state
+        if _cdf_enabled(cur) or _cdf_enabled(target):
+            # RESTORE is a data-changing rewrite; silently committing
+            # it without cdc actions would make the range unreadable
+            # for CDF consumers despite the table-level enablement.
+            # Stage exact row-level changes: rows of files dropped by
+            # the restore are deletes, rows of files it re-adds are
+            # inserts (carried files cancel by construction — the diff
+            # is file-granular). Costs O(changed files) of reads; the
+            # no-CDF path stays pure log arithmetic.
+            if meta_changed:
+                raise NotImplementedError(
+                    "restore_table across a schema/metadata change on a "
+                    "CDF-enabled table: change rows cannot be rendered "
+                    "under one schema — disable "
+                    "delta.enableChangeDataFeed for the restore, or "
+                    "rebuild via read + overwrite"
+                )
+
+            def _scan(rels: list[str]) -> DataFrame:
+                reader = spark.read.schema(cur.schema)
+                if cur.partition_columns:
+                    reader = reader.option("basePath", table)
+                return reader.parquet(
+                    *[os.path.join(table, urllib.parse.unquote(r)) for r in rels]
+                )
+
+            legs = []
+            dropped = sorted(set(cur.adds) - set(target.adds))
+            readded = sorted(set(target.adds) - set(cur.adds))
+            if dropped:
+                legs.append(_scan(dropped).withColumn("_change_type", F.lit("delete")))
+            if readded:
+                legs.append(_scan(readded).withColumn("_change_type", F.lit("insert")))
+            change = legs[0]
+            for leg in legs[1:]:
+                change = change.unionByName(leg)
+            actions.extend(
+                _stage_cdc_files(change, table, tuple(cur.partition_columns))
+            )
         actions.append(
             {"commitInfo": {"operation": "RESTORE", "engine": "map_reduce_spark"}}
         )

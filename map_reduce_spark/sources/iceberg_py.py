@@ -2230,9 +2230,20 @@ def read_iceberg_changelog(
     subtraction, exactly how Iceberg's own changelog reader nets COW
     commits. Cost is O(changed files) per commit, never O(table): the
     file sets come from manifest-plane diffs and only changed files
-    are scanned. Compactions ('replace', no logical change) contribute
-    nothing; MOR delete-file commits refuse (compact first — the same
-    gate every rewrite operator points at)."""
+    are scanned — and planner cost for the common catch-up shape
+    (runs of appends) is O(1) in the commit count: every pure-append
+    commit in the range lands in ONE multi-file scan per schema era,
+    with per-row ordinal/snapshot attribution attached by a broadcast
+    file→commit join on ``_metadata.file_path``; only genuine COW
+    rewrites plan their own exceptAll legs. Compactions ('replace',
+    no logical change) contribute nothing; MOR delete-file commits
+    refuse (compact first — the same gate every rewrite operator
+    points at). Lineage abandoned by ``rollback_iceberg`` (the
+    snapshot-log's (target, rolled-back-from] intervals) is SKIPPED —
+    file-set diffs follow the surviving chain, so a rolled-back-then-
+    reappended history nets no phantom rows — and a range endpoint
+    inside an abandoned interval refuses loudly (its row-level
+    history is off the current lineage)."""
     meta = load_table_metadata(table)
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s.get("sequence-number", 0)
@@ -2240,19 +2251,46 @@ def read_iceberg_changelog(
     ids = [s["snapshot-id"] for s in snaps]
     if from_snapshot != 0 and from_snapshot not in ids:
         raise KeyError(f"from_snapshot {from_snapshot} not in table history")
-    hi = to_snapshot if to_snapshot is not None else ids[-1]
+    abandoned = [
+        (ev["snapshot-id"], ev["rolled-back-from"])
+        for ev in meta.get("snapshot-log") or []
+        if ev.get("rolled-back-from") is not None
+    ]
+
+    def _is_abandoned(sid: int) -> bool:
+        return any(t < sid <= h for t, h in abandoned)
+
+    if to_snapshot is not None:
+        hi = to_snapshot
+    else:
+        # the newest SURVIVING snapshot — after a rollback, snapshots
+        # newer than the current head are abandoned, not the default
+        hi = meta.get("current-snapshot-id") or ids[-1]
     if hi not in ids:
         raise KeyError(f"to_snapshot {hi} not in table history")
+    for ep, word in ((from_snapshot, "from_snapshot"), (hi, "to_snapshot")):
+        if ep and _is_abandoned(ep):
+            raise ValueError(
+                f"iceberg changelog: {word} {ep} lies in a rolled-back "
+                "range — its row-level history is off the current "
+                "lineage; anchor the range on surviving snapshots"
+            )
     schema_ddl = _iceberg_schema_to_ddl(_current_schema(meta, _pick_snapshot(meta, hi)))
     empty = StructType.fromDDL(
         schema_ddl
         + ", _change_type string, _change_ordinal int, _commit_snapshot_id long"
     )
     frames = []
+    # pure appends flatten: schema-era -> (ice_schema, [files]); the
+    # (file, ordinal, snapshot) triples feed one broadcast join
+    append_groups: dict[str, tuple[dict, list[str]]] = {}
+    append_map: list[tuple[str, int, int]] = []
     ordinal = 0
     prev_files: set[str] | None = None
     for s in snaps:
         sid = s["snapshot-id"]
+        if _is_abandoned(sid):
+            continue
         if sid > hi:
             break
         plan = scan_plan_for_snapshot(table, meta, s)
@@ -2272,12 +2310,10 @@ def read_iceberg_changelog(
                 pass  # compaction: bytes moved, no logical change
             elif not removed:  # pure append
                 if added:
-                    frames.append(
-                        _mapped_parquet_scan(spark, meta, ice_schema, added)
-                        .withColumn("_change_type", F.lit("INSERT"))
-                        .withColumn("_change_ordinal", F.lit(ordinal))
-                        .withColumn("_commit_snapshot_id", F.lit(sid))
-                    )
+                    key = json.dumps(ice_schema, sort_keys=True)
+                    grp = append_groups.setdefault(key, (ice_schema, []))
+                    grp[1].extend(added)
+                    append_map.extend((p, ordinal, sid) for p in added)
                     ordinal += 1
             else:  # COW rewrite: net row-level diff of the changed files
                 old_rows = _mapped_parquet_scan(spark, meta, ice_schema, removed)
@@ -2299,12 +2335,29 @@ def read_iceberg_changelog(
                 )
                 ordinal += 1
         prev_files = cur_files
+    if append_map:
+        vmap = F.broadcast(
+            spark.createDataFrame(
+                append_map,
+                "__cl_fp string, _change_ordinal int, _commit_snapshot_id long",
+            )
+        )
+        for ice_schema, paths in append_groups.values():
+            frames.append(
+                _mapped_parquet_scan(spark, meta, ice_schema, sorted(paths))
+                .withColumn(
+                    "__cl_fp", _strip_file_scheme(F.col("_metadata.file_path"))
+                )
+                .join(vmap, "__cl_fp")
+                .drop("__cl_fp")
+                .withColumn("_change_type", F.lit("INSERT"))
+            )
     if not frames:
         return spark.createDataFrame([], empty)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return out.select(*[f.name for f in empty.fields])
 
 
 def ensure_iceberg_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -327,7 +327,14 @@ def _bucket_udf(n: int, ice_type: str):
                     if x is None:
                         return None
                     if isinstance(x, _dt.datetime):
-                        x = x.replace(tzinfo=None)
+                        # tz-aware values must hash their UTC instant,
+                        # matching the datetime64 branch's tz_convert —
+                        # stripping tzinfo directly would hash local
+                        # wall-clock and silently mis-bucket.
+                        if x.tzinfo is not None:
+                            x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                        else:
+                            x = x.replace(tzinfo=None)
                         delta = x - _dt.datetime(1970, 1, 1)
                         return (
                             delta.days * 86_400_000_000

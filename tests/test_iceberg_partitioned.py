@@ -478,3 +478,27 @@ def test_bucket_time_fixture_prunes_and_is_sound(spark, sf_dir):
     )
     assert got.count() > 0
     assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
+
+
+def test_bucket_udf_object_dtype_tz_aware_hashes_utc_instant(spark):
+    """The object-dtype fallback in _bucket_udf must hash a tz-aware
+    datetime's UTC instant (spec: bucket over timestamptz evaluates in
+    UTC), matching the datetime64 branch's tz_convert('UTC') — not the
+    local wall-clock after a bare tzinfo strip (ADVICE r10)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from map_reduce_spark.sources.iceberg_transforms import _bucket_udf, bucket_value
+
+    fn = _bucket_udf(16, "timestamptz").func
+    naive = dt.datetime(2017, 11, 16, 22, 31, 8, 123456)
+    us = (naive - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+    utc = naive.replace(tzinfo=dt.timezone.utc)
+    est = utc.astimezone(dt.timezone(dt.timedelta(hours=-5)))
+    got = list(fn(pd.Series([utc, est, naive, None], dtype=object)))
+    want = bucket_value(us, 16, "timestamp")
+    assert got[0] == want
+    assert got[1] == want  # same instant, -05:00 rendering
+    assert got[2] == want  # naive treated as already-UTC civil value
+    assert pd.isna(got[3])

@@ -1,0 +1,192 @@
+"""Round-11 hardening: CDF completeness for the writers that used to
+skip it (DV deletes, RESTORE), the column-mapping CDF read path, and
+the flattened O(1)-in-commits CDF planner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import map_reduce_spark.sources.delta_py as D
+
+
+def _rows(spark, ids):
+    return spark.createDataFrame([(i, i * 7) for i in sorted(ids)], "id long, v long")
+
+
+def _feed(spark, tbl, since=-1, to=None):
+    return {
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in D.read_delta_changes_cdf(spark, tbl, since, to).collect()
+    }
+
+
+def test_dv_delete_emits_cdc_when_cdf_enabled(spark, tmp_path):
+    """A deletion-vector DELETE on a CDF-enabled table must stage cdc
+    files (ADVICE r10): the feed shows exactly the newly-deleted rows,
+    and a second stacking delete emits ONLY its own rows (the DV
+    anti-join keeps already-deleted rows out of the change set)."""
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(10)), tbl, mode="overwrite")  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    v2 = D.delete_where_dv(spark, tbl, F.col("id") < 3)
+    assert v2 == 2
+    assert _feed(spark, tbl, since=1) == {
+        (2, "delete", i, i * 7) for i in range(3)
+    }
+    v3 = D.delete_where_dv(spark, tbl, F.col("id") < 5)  # stacks on v2's DVs
+    assert _feed(spark, tbl, since=2) == {
+        (3, "delete", i, i * 7) for i in (3, 4)
+    }
+    assert v3 == 3
+    # the surviving table agrees with the folded feed
+    assert {r.id for r in D.read_delta_py(spark, tbl).collect()} == set(range(5, 10))
+
+
+def test_cdf_on_column_mapped_table_projects_physical(spark, tmp_path):
+    """CDF over a column-mapping table: the append leg (v0 CREATE's
+    adds) must scan under PHYSICAL names and project back — the
+    pre-fix logical-schema scan returned every mapped column NULL
+    (ADVICE r10) — and a DV delete's cdc files round-trip through the
+    same mapping."""
+    tbl = str(tmp_path / "t")
+    D.write_mapped_table(_rows(spark, range(8)), tbl, stats_cols=("id",))  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    D.delete_where_dv(spark, tbl, F.col("id") >= 6)  # v2, cdc under physical names
+    feed = _feed(spark, tbl, since=-1)
+    assert feed == {(0, "insert", i, i * 7) for i in range(8)} | {
+        (2, "delete", i, i * 7) for i in (6, 7)
+    }
+    # logical column names on the way out
+    cols = D.read_delta_changes_cdf(spark, tbl, -1).columns
+    assert cols == ["id", "v", "_change_type", "_commit_version"]
+
+
+def test_restore_emits_cdc_when_cdf_enabled(spark, tmp_path):
+    """RESTORE on a CDF-enabled table stages row-level cdc (dropped
+    files' rows as deletes, re-added files' rows as inserts) instead
+    of silently committing a rewrite the feed then refuses
+    (ADVICE r10)."""
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(4)), tbl, mode="overwrite")  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    D.write_delta_py(_rows(spark, range(4, 7)), tbl)  # v2 append
+    v3 = D.restore_table(spark, tbl, 1)  # drops v2's files
+    assert v3 == 3
+    assert _feed(spark, tbl, since=2) == {
+        (3, "delete", i, i * 7) for i in (4, 5, 6)
+    }
+    v4 = D.restore_table(spark, tbl, 2)  # re-adds them
+    assert _feed(spark, tbl, since=3, to=v4) == {
+        (4, "insert", i, i * 7) for i in (4, 5, 6)
+    }
+    # the whole feed still folds to the final state
+    state: dict[int, int] = {}
+    for cv, ct, rid, rv in sorted(_feed(spark, tbl)):
+        if ct == "delete":
+            assert state.pop(rid) == rv
+        else:
+            state[rid] = rv
+    assert state == {r.id: r.v for r in D.read_delta_py(spark, tbl).collect()}
+
+
+def test_restore_cdf_across_metadata_change_refuses(spark, tmp_path):
+    """Restoring across a schema change with CDF enabled cannot render
+    change rows under one schema — must refuse loudly, not commit a
+    feed-breaking rewrite."""
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(3)), tbl, mode="overwrite")  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    wider = _rows(spark, range(3, 5)).withColumn("w", F.col("id") * 2)
+    D.write_delta_py(wider, tbl, mode="overwrite")  # v2: schema change
+    with pytest.raises(NotImplementedError, match="metadata change"):
+        D.restore_table(spark, tbl, 1)
+
+
+def test_cdf_many_commits_plans_two_scans(spark, tmp_path):
+    """The flattened CDF reader (VERDICT r10 item 2): a long catch-up
+    range plans ONE multi-file scan per leg (cdc + appends) with a
+    broadcast file->version join — never a union leg per commit. 30
+    commits must show exactly 2 parquet scans and constant-depth
+    plans; per-commit attribution must still be exact."""
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, [0]), tbl, mode="overwrite")  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    n = 30
+    for i in range(1, n + 1):
+        D.write_delta_py(_rows(spark, [i]), tbl, checkpoint_interval=0)
+    D.delete_where(spark, tbl, F.col("id") == 1)  # one cdc commit on top
+    df = D.read_delta_changes_cdf(spark, tbl, since_version=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in df.collect()
+    }
+    want = {(i + 1, "insert", i) for i in range(1, n + 1)}
+    want.add((n + 2, "delete", 1))
+    assert got == want
+
+
+def _ice_ids(tbl):
+    import map_reduce_spark.sources.iceberg_py as II
+
+    meta = II.load_table_metadata(tbl)
+    return [
+        s["snapshot-id"]
+        for s in sorted(
+            meta.get("snapshots") or [], key=lambda s: s.get("sequence-number", 0)
+        )
+    ]
+
+
+def test_changelog_over_rollback_skips_abandoned_lineage(spark, tmp_path):
+    """A rolled-back-then-reappended history must net NO phantom
+    changes against the abandoned head (ADVICE r10): the changelog
+    diffs along the surviving chain only, and a range endpoint inside
+    the abandoned interval refuses loudly."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    II.append_iceberg_snapshot(_rows(spark, range(5)), tbl)
+    II.append_iceberg_snapshot(_rows(spark, range(5, 9)), tbl)  # the bad write
+    good, bad = _ice_ids(tbl)
+    II.rollback_iceberg(tbl, good)
+    II.append_iceberg_snapshot(_rows(spark, range(20, 23)), tbl)
+    head = _ice_ids(tbl)[-1]
+    feed = II.read_iceberg_changelog(spark, tbl, from_snapshot=0)
+    rows = [
+        (r["_change_type"], r["id"], r["_change_ordinal"]) for r in feed.collect()
+    ]
+    assert all(t == "INSERT" for t, _, _ in rows)  # no phantom DELETEs
+    assert {(i, o) for _, i, o in rows} == {(i, 0) for i in range(5)} | {
+        (i, 1) for i in (20, 21, 22)
+    }
+    assert head != bad
+    with pytest.raises(ValueError, match="rolled-back"):
+        II.read_iceberg_changelog(spark, tbl, from_snapshot=0, to_snapshot=bad)
+    with pytest.raises(ValueError, match="rolled-back"):
+        II.read_iceberg_changelog(spark, tbl, from_snapshot=bad)
+
+
+def test_changelog_many_appends_plans_single_scan(spark, tmp_path):
+    """The flattened changelog (VERDICT r10 item 2): a catch-up over a
+    long run of appends plans ONE multi-file scan with a broadcast
+    file->commit join — never a union leg per snapshot — and per-commit
+    ordinal/snapshot attribution stays exact."""
+    import map_reduce_spark.sources.iceberg_py as II
+
+    tbl = str(tmp_path / "t")
+    n = 25
+    for i in range(n):
+        II.append_iceberg_snapshot(_rows(spark, [i]), tbl)
+    sids = _ice_ids(tbl)
+    df = II.read_iceberg_changelog(spark, tbl, from_snapshot=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    got = {
+        (r["id"], r["_change_ordinal"], r["_commit_snapshot_id"])
+        for r in df.collect()
+    }
+    assert got == {(i, i, sids[i]) for i in range(n)}
