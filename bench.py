@@ -162,6 +162,11 @@ HEADLINE = [
     "streaming_delta_cdf",
     "iceberg_files_metadata",
     "delta_history_metadata",
+    # round 11 additions: the automatic v2-checkpoint-policy write
+    # path read back through its own manifest, and CDF over a
+    # column-mapped + DV-deleted table
+    "delta_v2_checkpoint_policy_scan",
+    "delta_cdf_mapped_dv_scan",
 ]
 
 

@@ -77,113 +77,101 @@ def register(name: str, oracle: str | None = None):
 
 # Catalog order is a verification budget: the round driver hash-checks
 # the FIRST 50 entries of queries() against their DuckDB oracles.
-# The round-10 window:
+# The round-11 window (the r10 verdict's rotation order, exactly):
 #   - two anchors (the reference flagship + exact dedup), continuously
 #     verified;
-#   - the two r10 additions with NO driver row yet
-#     (delta_v2_checkpoint_scan, iceberg_name_mapping_scan);
-#   - one representative per r10-CHANGED code path, chosen so every
-#     edit gets a driver row: the delta log/checkpoint core
-#     (delta_scan classic-checkpoint fixture, delta_time_travel
-#     pre-checkpoint replay, delta_restore), the partitioned-Iceberg
-#     writer fixes (bucket-over-temporal hashing, 'v'-prefixed string
-#     partition staging, rewrite spec-id — partition_prune,
-#     minmax_prune, partition_evolution, production_loop,
-#     merge_upsert, update_where, delete_where, rewrite_sorted,
-#     compact_mor), the rollback guard + snapshot-log/properties carry
-#     (iceberg_rollback, streaming_iceberg_source/sink), the
-#     current-vs-pinned schema selection + name-mapping read path
-#     (iceberg_scan, snapshot_travel, schema_evolution_travel,
-#     mor_scan), migrate_delta_to_iceberg (touches both formats'
-#     cores), and vocab_coverage (ranking.global_prefix_sum rewrite);
-#   - the other r10 additions (delta_cdf_scan, iceberg_changelog_scan,
-#     iceberg_orphan_sweep, streaming_delta_cdf — all never driven)
-#     displaced text_normalize, skew_agg_twophase, dq_checks (green r4
-#     rows, unchanged files) and streaming_iceberg_sink (green r9 row;
-#     its append-commit machinery is driven by every partitioned
-#     append in this window) — never-driven beats stale-row refresh;
-#     delta_history_metadata displaced iceberg_rewrite_sorted (green
-#     r9 row; compact_mor in this window drives the same rewrite-commit
-#     machinery — sorted layout is its order_by variant) and
-#     iceberg_files_metadata likewise displaced iceberg_mor_scan
-#     (green r9 row; the MOR anti-join is unchanged this round and the
-#     r10 read-path edits are driven via iceberg_scan and the
-#     schema-evolution travel row);
-#   - the r9-verdict-named stalest rows, in its order: the multimodal
-#     six (r6 rows on a file last edited r8), the r4-era
-#     pipeline_ops/text tail, and the SURVEY §2.1 ten (r5 rows;
-#     mr_pipeline is the 11th and anchors the window).
-# Displaced (all keep green r7-r9 rows on files unchanged since):
-# migrate_iceberg_to_delta (its shared machinery is driven via the
-# delta->iceberg leg), the remaining delta/iceberg r9 rows, and the
-# r2/r3-era tail — the builder's full-catalog sf0.01 drive re-covers
-# the whole registry on the final tree each round.
-# The round-9 window rationale is in git history (as are all prior
+#   - the two r11 additions with NO driver row yet:
+#     delta_v2_checkpoint_policy_scan (the automatic
+#     delta.checkpointPolicy=v2 write path, VERDICT r10 item 3) and
+#     delta_cdf_mapped_dv_scan (CDF over a column-mapped + DV-deleted
+#     + mapped-append table — both r11 CDF completions in one row; it
+#     takes the slot iceberg_bucket_time_prune would have had: the tz
+#     fix touched only the object-dtype fallback branch no registered
+#     query reaches, so the sentinel's green r10 row on the unchanged
+#     datetime64 branch still stands);
+#   - the verdict-named 20 r9-row queries on delta_py.py /
+#     iceberg_py.py — the files r10 grew by ~2,000 lines and r11
+#     edited again (CDF completeness, flattened change readers,
+#     v2-checkpoint policy): the delta DV/mapping/schema-travel reads,
+#     the delta rewrite writers (merge/optimize/zorder/update/ingest),
+#     partition pruning, the iceberg MOR family, snapshot travel +
+#     expiry, incremental changes both formats, rewrite_sorted,
+#     migrate_iceberg_to_delta, and both streaming sinks;
+#   - the five r10-row queries sitting DIRECTLY on r11-edited
+#     functions: delta_cdf_scan + streaming_delta_cdf (flattened CDF
+#     reader), iceberg_changelog_scan (flattened + rollback-aware
+#     changelog), delta_restore (now CDF-staging), iceberg_rollback
+#     (whose abandoned-lineage log the changelog now consults);
+#   - the r2-era tail in full (15 queries — the catalog's oldest rows:
+#     the pandas-UDF family, outer joins, approx/exact percentiles,
+#     pivot, UDTF, scalar subquery, minhash/simhash dedup, LSH top-k);
+#   - the verdict-named r3-era corpus_quality tail (6 queries).
+# Displaced (all keep green r10 rows on paths whose r11 edits they
+# don't touch): the SURVEY §2.1 ten + multimodal six + pipeline_ops
+# tail (fresh r10 rows, files unchanged in r11), iceberg_name_mapping
+# / files/history metadata / orphan sweep / partition-writer rows
+# (r10 rows; their code paths are re-driven here via the mor/travel/
+# prune/migrate entries) — the builder's full-catalog sf0.01 drive
+# re-covers the whole registry on the final tree each round.
+# The round-10 window rationale is in git history (as are all prior
 # windows').
 _PRIORITY: tuple[str, ...] = (
     # anchors
     "mr_pipeline",
     "dedup_exact",
-    # r10 additions (no driver row yet)
-    "delta_v2_checkpoint_scan",
-    "iceberg_name_mapping_scan",
+    # r11 addition (no driver row yet)
+    "delta_v2_checkpoint_policy_scan",
+    "delta_cdf_mapped_dv_scan",
+    # the 20 r9-row delta/iceberg/streaming queries (files re-edited r11)
+    "delta_changes_scan",
+    "delta_column_mapping_scan",
+    "delta_dv_scan",
+    "delta_ingest_dedup",
+    "delta_merge_upsert",
+    "delta_optimize_compact",
+    "delta_optimize_zorder",
+    "delta_partition_prune",
+    "delta_schema_evolution_travel",
+    "delta_update_where",
+    "iceberg_changes_scan",
+    "iceberg_eq_delete_scan",
+    "iceberg_expire_snapshots",
+    "iceberg_mor_changes",
+    "iceberg_mor_scan",
+    "iceberg_rewrite_sorted",
+    "iceberg_snapshot_travel",
+    "migrate_iceberg_to_delta",
+    "streaming_delta_sink",
+    "streaming_iceberg_sink",
+    # r10-row queries directly on r11-edited functions
     "delta_cdf_scan",
-    "iceberg_changelog_scan",
-    "iceberg_orphan_sweep",
     "streaming_delta_cdf",
-    "iceberg_files_metadata",
-    "delta_history_metadata",
-    # r10-changed: delta log/checkpoint core + restore
-    "delta_scan",
-    "delta_time_travel",
+    "iceberg_changelog_scan",
     "delta_restore",
-    # r10-changed: partitioned-Iceberg writer fixes
-    "iceberg_partition_prune",
-    "iceberg_minmax_prune",
-    "iceberg_partition_evolution",
-    "iceberg_production_loop",
-    "iceberg_merge_upsert",
-    "iceberg_update_where",
-    "iceberg_delete_where",
-    "iceberg_compact_mor",
-    # r10-changed: rollback guard + snapshot-log/properties carry
     "iceberg_rollback",
-    "streaming_iceberg_source",
-    # r10 addition: the bucket-over-temporal regression sentinel
-    "iceberg_bucket_time_prune",
-    # r10-changed: schema selection + name-mapping read path
-    # (schema_evolution_travel covers the pinned-snapshot path that
-    # snapshot_travel would, freeing its slot for the sentinel above)
-    "iceberg_scan",
-    "iceberg_schema_evolution_travel",
-    "migrate_delta_to_iceberg",
-    # r10-changed: ranking.global_prefix_sum consumer
-    "vocab_coverage",
-    # SURVEY 2.1 ten (stalest driver rows: r5)
-    "scan_dir",
-    "scan_file",
-    "tokenize",
-    "filter_empty",
-    "upper_map",
-    "sort_by_key",
-    "hash_partition",
-    "group_by_key",
-    "count_reduce",
-    "sink_text",
-    # multimodal six (r6 rows; file last edited r8)
-    "binary_metadata",
-    "multimodal_features",
-    "multimodal_parse",
-    "multimodal_pipeline",
-    "multimodal_gif_pipeline",
-    "audio_metadata",
-    # r4-era pipeline_ops/text tail
-    "split_train_val_test",
-    "stratified_sample",
-    "pii_scrub",
-    "tokenize_to_ids",
-    "doc_chunking",
-    "boilerplate_dedup",
+    # r2-era tail (the catalog's stalest driver rows)
+    "agg_approx_distinct",
+    "ann_lsh_topk",
+    "asof_join_cogroup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "join_full_outer",
+    "join_right",
+    "map_funcs",
+    "pandas_grouped_agg",
+    "pandas_scalar_norm",
+    "pandas_zscore_by_label",
+    "percentiles_exact",
+    "pivot_event_counts",
+    "python_udtf",
+    "scalar_subquery",
+    # r3-era corpus_quality tail (verdict-named)
+    "bm25_rank",
+    "contamination_check",
+    "heavy_hitters",
+    "inverted_index",
+    "repetition_stats",
+    "unigram_logprob",
 )
 
 
