@@ -167,6 +167,7 @@ HEADLINE = [
     # column-mapped + DV-deleted table
     "delta_v2_checkpoint_policy_scan",
     "delta_cdf_mapped_dv_scan",
+    "delta_log_retention_scan",
 ]
 
 

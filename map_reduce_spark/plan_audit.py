@@ -73,6 +73,10 @@ ACCEPTED_1PART: dict[str, str] = {
     "vocab_coverage": "scalar corpus token total",
     "funnel_analysis": "four per-stage single-row user counts",
     "delta_ingest_dedup": "single-row index-invariant summary (the oracle row)",
+    "delta_log_retention_scan": (
+        "single-row post-cleanup state summary unioned with the "
+        "constant-size CDF-tail rollup"
+    ),
     "agg_basic": "single-row global aggregate",
     "sql_api_q6": "single-row revenue aggregate (TPC-H Q6 shape)",
     "scalar_subquery": "scalar subquery aggregate",

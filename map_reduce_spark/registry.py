@@ -149,6 +149,12 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_changelog_scan",
     "delta_restore",
     "iceberg_rollback",
+    # late-r11 addition: spec log-retention cleanup end-to-end
+    # (clean_delta_log fixture + CDF over the retained tail); it takes
+    # map_funcs's slot — never-driven beats stale-row refresh, and
+    # map_funcs's scalar-function family file is unchanged since r2
+    # with every sibling covered by the full-catalog drive
+    "delta_log_retention_scan",
     # r2-era tail (the catalog's stalest driver rows)
     "agg_approx_distinct",
     "ann_lsh_topk",
@@ -157,7 +163,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "join_full_outer",
     "join_right",
-    "map_funcs",
     "pandas_grouped_agg",
     "pandas_scalar_norm",
     "pandas_zscore_by_label",

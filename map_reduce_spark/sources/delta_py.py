@@ -1384,6 +1384,112 @@ def vacuum_delta(table: str) -> int:
                 pass  # racing writer moved/removed it: theirs
     return n
 
+
+def _sidecar_refs(path: str) -> set[str]:
+    """Sidecar file basenames referenced by a v2 checkpoint manifest
+    (json or parquet form). Classic checkpoints return empty."""
+    import pyarrow.parquet as pq
+
+    refs: set[str] = set()
+    if path.endswith(".json"):
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    sc = json.loads(line).get("sidecar")
+                    if sc:
+                        refs.add(os.path.basename(sc["path"]))
+        return refs
+    f = pq.ParquetFile(path)
+    if "sidecar" not in f.schema_arrow.names:
+        return refs
+    for row in f.read(columns=["sidecar"]).to_pylist():
+        sc = row.get("sidecar")
+        if sc:
+            refs.add(os.path.basename(sc["path"]))
+    return refs
+
+
+def clean_delta_log(table: str, retain_last: int = 0) -> dict:
+    """Expire log metadata superseded by the newest checkpoint — the
+    Delta spec's log-cleanup contract (PROTOCOL.md "Delta Log Entries"
+    / "Checkpoints": state at and after a checkpoint is reconstructible
+    without the earlier entries). At 100 TB this is what keeps a
+    long-lived table's ``_delta_log`` listing O(checkpoint cadence)
+    instead of O(total commits ever made).
+
+    Removes, with boundary B = the newest complete checkpoint version:
+      - json commit files at or below ``B - retain_last``
+        (``retain_last`` trailing commits survive so the CDF /
+        incremental change readers stay servable over that tail — the
+        version-count analog of ``delta.logRetentionDuration``);
+      - checkpoint files strictly below B, in every form (classic
+        single-file, complete or torn multipart sets, v2 uuid
+        manifests) — superseded seeds;
+      - ``_sidecars/*.parquet`` referenced by NO surviving v2 manifest
+        (mtime-guarded like the staging reaper: a checkpoint writer
+        racing this sweep publishes sidecars BEFORE its manifest, so
+        only files older than the stage window are reaped).
+
+    Time travel to an expired version stops working, by design — the
+    same trade real log retention makes. Returns ``{"boundary",
+    "json_removed", "checkpoints_removed", "sidecars_removed"}``."""
+    import time
+
+    out = {
+        "boundary": None,
+        "json_removed": 0,
+        "checkpoints_removed": 0,
+        "sidecars_removed": 0,
+    }
+    _, cps = _list_log(table)
+    if not cps:
+        return out  # no checkpoint: every commit is load-bearing
+    b = cps[-1]
+    out["boundary"] = b
+    d = _log_dir(table)
+    json_floor = b - max(retain_last, 0)
+    surviving_manifests: list[str] = []
+    for f in sorted(os.listdir(d)):
+        p = os.path.join(d, f)
+        m_v2 = _V2_CKPT_RE.match(f)
+        m_multi = _MULTI_CKPT_RE.match(f)
+        if m_v2:
+            v = int(m_v2.group(1))
+            if v < b:
+                os.remove(p)
+                out["checkpoints_removed"] += 1
+            else:
+                surviving_manifests.append(p)
+        elif m_multi:
+            if int(m_multi.group(1)) < b:
+                os.remove(p)
+                out["checkpoints_removed"] += 1
+        elif f.endswith(".checkpoint.parquet") and f[:20].isdigit():
+            if int(f[:20]) < b:
+                os.remove(p)
+                out["checkpoints_removed"] += 1
+        elif f.endswith(".json") and f[:20].isdigit():
+            if int(f[:20]) <= json_floor:
+                os.remove(p)
+                out["json_removed"] += 1
+    sc_dir = os.path.join(d, "_sidecars")
+    if os.path.isdir(sc_dir):
+        live: set[str] = set()
+        for mp in surviving_manifests:
+            live |= _sidecar_refs(mp)
+        cutoff = time.time() - _STAGING_RETENTION_SEC
+        for f in os.listdir(sc_dir):
+            if not f.endswith(".parquet") or f in live:
+                continue
+            p = os.path.join(sc_dir, f)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    out["sidecars_removed"] += 1
+            except OSError:
+                pass  # racing checkpoint writer: theirs
+    return out
+
 # --------------------------------------------------------------------
 # deletion vectors (round 9): merge-on-read reads + DV DELETE writer
 # --------------------------------------------------------------------
@@ -2364,15 +2470,10 @@ def ensure_delta_v2policy_fixture(spark: SparkSession, sf_dir: str) -> str:
         stats_cols=("o_orderkey",),
         checkpoint_interval=2,
     )
-    log_d = _log_dir(tmp)
-    for f in os.listdir(log_d):  # spec metadata cleanup at/below the seed
-        is_json_commit = (
-            f.endswith(".json") and f[:20].isdigit() and not _V2_CKPT_RE.match(f)
-        )
-        if (is_json_commit or f.endswith(".checkpoint.parquet")) and int(
-            f[:20]
-        ) <= 2:
-            os.remove(os.path.join(log_d, f))
+    stats = clean_delta_log(tmp)  # spec metadata cleanup at/below the seed
+    if stats["boundary"] != 2 or stats["json_removed"] != 3:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"log cleanup did not take effect: {stats}")
     delete_where(  # v3: json replay above the checkpoint-only seed
         spark,
         tmp,
@@ -3941,6 +4042,139 @@ def delta_cdf_mapped_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def ensure_delta_logclean_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A table whose log went through REAL retention cleanup
+    (``clean_delta_log``), not test-side ``os.remove``: v0 load
+    (md5-bucket8 ≤ 4), v1 enables CDF, v2 append (bucket8 5-6), v3 a
+    COW DELETE staging cdc (status 'F', bucket16 1), v4 append
+    (bucket8 7) whose ``checkpoint_interval=4`` cuts a classic
+    checkpoint. ``clean_delta_log(retain_last=2)`` then expires json
+    commits 0-2 while keeping 3-4 — the CDF tail stays servable, time
+    travel below the checkpoint is gone, and the cleanup's effect is
+    HARD-ASSERTED here (boundary 4, exactly 3 commits expired) so a
+    silently inert cleaner reddens the driver row instead of passing
+    on an uncleaned log."""
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"mr_spark_deltalogclean_{key}")
+    if os.path.isdir(dest):
+        return dest
+    tmp = f"{dest}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = _orders_frame(spark, sf_dir)
+    b8 = _bucket(F.col("o_orderkey"), 8)
+    b16 = _bucket(F.col("o_orderkey"), 16)
+    write_delta_py(
+        d.filter(b8 <= 4),
+        tmp,
+        mode="overwrite",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=0,
+    )  # v0
+    set_delta_table_property(tmp, "delta.enableChangeDataFeed", "true")  # v1
+    write_delta_py(
+        d.filter(b8.isin(5, 6)),
+        tmp,
+        mode="append",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=0,
+    )  # v2
+    delete_where(
+        spark,
+        tmp,
+        (F.col("o_orderstatus") == "F") & (b16 == 1),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=0,
+    )  # v3: COW delete, stages cdc
+    write_delta_py(
+        d.filter(b8 == 7),
+        tmp,
+        mode="append",
+        partition_by=("o_year",),
+        stats_cols=("o_orderkey",),
+        checkpoint_interval=4,
+    )  # v4: classic checkpoint cut here
+    stats = clean_delta_log(tmp, retain_last=2)
+    if stats["boundary"] != 4 or stats["json_removed"] != 3:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"log cleanup did not take effect: {stats}")
+    for v in (3, 4):
+        if not os.path.exists(_json_path(tmp, v)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"retain_last=2 lost commit {v}")
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@register(
+    "delta_log_retention_scan",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         {_B8_SQL} AS b8, {_B16_SQL} AS b16
+  FROM orders
+),
+deleted AS (
+  SELECT * FROM d WHERE b8 <= 6 AND o_orderstatus = 'F' AND b16 = 1
+),
+inserted AS (SELECT * FROM d WHERE b8 = 7),
+state AS (
+  SELECT * FROM d
+  WHERE (b8 <= 6 AND NOT (o_orderstatus = 'F' AND b16 = 1)) OR b8 = 7
+)
+SELECT * FROM (
+  SELECT 'state' AS leg, COUNT(*) AS cnt,
+         CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+  FROM state
+  UNION ALL
+  SELECT 'cdf_delete', COUNT(*), CAST(SUM(price_cents) AS BIGINT),
+         CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+  FROM deleted
+  UNION ALL
+  SELECT 'cdf_insert', COUNT(*), CAST(SUM(price_cents) AS BIGINT),
+         CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+  FROM inserted
+) t
+""",
+)
+def delta_log_retention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table AFTER spec log-retention cleanup
+    (``clean_delta_log``): the current state must seed from the
+    surviving checkpoint (json commits 0-2 are expired), and the
+    change feed must still serve the retained tail (the v3 COW delete
+    + v4 append kept by ``retain_last=2``). The oracle recomputes all
+    three legs relationally, so an over-eager cleaner (lost tail
+    commit, broken seed) or an inert one (fixture hard-asserts the
+    expiry) reddens this row."""
+    tbl = ensure_delta_logclean_fixture(spark, sf_dir)
+    aggs = (
+        F.count("*").alias("cnt"),
+        F.sum("price_cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    state = (
+        read_delta_py(spark, tbl)
+        .agg(*aggs)
+        .select(F.lit("state").alias("leg"), "cnt", "sum_cents", "min_key", "max_key")
+    )
+    cdf = (
+        read_delta_changes_cdf(spark, tbl, since_version=2)
+        .groupBy(F.concat(F.lit("cdf_"), F.col("_change_type")).alias("leg"))
+        .agg(*aggs)
+    )
+    return state.unionByName(cdf)
 
 
 def ensure_delta_part_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -250,3 +250,67 @@ def test_append_to_mapped_table_stages_physical_names(spark, tmp_path):
     D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")
     D.write_delta_py(_rows(spark, [10]), tbl)  # v3
     assert _feed(spark, tbl, since=2) == {(3, "insert", 10, 70)}
+
+
+def test_clean_delta_log_retention(spark, tmp_path):
+    """clean_delta_log expires json commits and superseded checkpoints
+    below the newest checkpoint, keeps the retain_last tail (CDF stays
+    servable over it), and is a no-op on a checkpoint-less log."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(4)), tbl, mode="overwrite",
+                     checkpoint_interval=0)  # v0
+    # checkpoint-less: nothing to do
+    assert D.clean_delta_log(tbl) == {
+        "boundary": None, "json_removed": 0,
+        "checkpoints_removed": 0, "sidecars_removed": 0,
+    }
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    D.write_delta_py(_rows(spark, [10]), tbl, checkpoint_interval=2)  # v2 +ckpt
+    D.write_delta_py(_rows(spark, [11]), tbl, checkpoint_interval=0)  # v3
+    D.write_delta_py(_rows(spark, [12]), tbl, checkpoint_interval=4)  # v4 +ckpt
+    stats = D.clean_delta_log(tbl, retain_last=1)
+    assert stats["boundary"] == 4
+    assert stats["json_removed"] == 4          # v0..v3 (floor = 3)
+    assert stats["checkpoints_removed"] == 1   # the superseded v2 ckpt
+    log_d = os.path.join(tbl, "_delta_log")
+    assert not os.path.exists(os.path.join(log_d, f"{3:020d}.json"))
+    assert os.path.exists(os.path.join(log_d, f"{4:020d}.json"))
+    # current state reads from the surviving seed
+    got = {r.id for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == set(range(4)) | {10, 11, 12}
+    # the retained tail still serves CDF (range is (since, to])
+    assert _feed(spark, tbl, since=3) == {(4, "insert", 12, 84)}
+    # time travel below the seed is gone, loudly
+    with pytest.raises((ValueError, FileNotFoundError)):
+        D.snapshot(tbl, 1)
+
+
+def test_clean_delta_log_sweeps_superseded_v2_sidecars(spark, tmp_path):
+    """Two successive v2 checkpoints: cleanup removes the superseded
+    manifest and (once aged past the stage window) its now-unreferenced
+    sidecars, while every sidecar of the surviving manifest stays."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(3)), tbl, mode="overwrite",
+                     checkpoint_interval=0)  # v0
+    D.enable_v2_checkpoints(tbl)  # v1
+    D.write_delta_py(_rows(spark, [5]), tbl, checkpoint_interval=2)  # v2 +v2ckpt
+    sc_dir = os.path.join(tbl, "_delta_log", "_sidecars")
+    old_sidecars = set(os.listdir(sc_dir))
+    assert old_sidecars
+    D.write_delta_py(_rows(spark, [6]), tbl, checkpoint_interval=3)  # v3 +v2ckpt
+    # age everything: a racing checkpoint writer's fresh sidecars are
+    # protected by mtime, so the test backdates to simulate quiescence
+    for f in os.listdir(sc_dir):
+        os.utime(os.path.join(sc_dir, f), (1, 1))
+    stats = D.clean_delta_log(tbl)
+    assert stats["boundary"] == 3
+    assert stats["checkpoints_removed"] == 1  # the v2 manifest at v2
+    assert stats["sidecars_removed"] == len(old_sidecars)
+    survivors = set(os.listdir(sc_dir))
+    assert survivors and not (survivors & old_sidecars)
+    got = {r.id for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == {0, 1, 2, 5, 6}
