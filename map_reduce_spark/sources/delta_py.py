@@ -2974,11 +2974,19 @@ def read_delta_changes(
     if not js:
         raise FileNotFoundError(f"no Delta log at {table!r}")
     hi = js[-1] if to_version is None else to_version
+    have = [v for v in js if since_version < v <= hi]
+    if have != list(range(since_version + 1, hi + 1)):
+        # log-retention cleanup (clean_delta_log) may have expired
+        # commits inside the range — silently skipping them would hand
+        # the consumer a hole in the feed
+        raise RuntimeError(
+            f"change range ({since_version}, {hi}] has expired commits "
+            f"(present: {have}) — history below a cleaned log is "
+            "unrecoverable; re-read the snapshot"
+        )
     snap = snapshot(table, hi)  # protocol gate + schema as of the range end
     new_files: list[str] = []
-    for v in js:
-        if not (since_version < v <= hi):
-            continue
+    for v in have:
         for a in _read_commit(table, v):
             if "remove" in a and a["remove"].get("dataChange", True):
                 raise NotImplementedError(
@@ -3247,9 +3255,23 @@ def stream_delta_cdf(spark: SparkSession, table: str) -> DataFrame:
 
         out = []
         d = _os.path.join(table_abs, "_delta_log")
-        for f in sorted(_os.listdir(d)):
-            if not (f.endswith(".json") and f[:20].isdigit() and len(f) == 25):
-                continue
+        names = sorted(
+            f
+            for f in _os.listdir(d)
+            if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+        )
+        have = [v for v in (int(f[:20]) for f in names) if lo < v <= hi]
+        if have != list(range(lo + 1, hi + 1)):
+            # a cleaned log (clean_delta_log) must not silently shrink
+            # the stream: a fresh stream below the retained tail, or a
+            # resuming stream whose offset predates the cleaned floor,
+            # refuses instead of dropping the expired commits
+            raise RuntimeError(
+                f"delta cdf stream: offset range ({lo}, {hi}] has "
+                f"expired commits (present: {have}) — restart the "
+                "stream from a snapshot read + fresh checkpoint"
+            )
+        for f in names:
             v = int(f[:20])
             if not (lo < v <= hi):
                 continue

@@ -314,3 +314,62 @@ def test_clean_delta_log_sweeps_superseded_v2_sidecars(spark, tmp_path):
     assert survivors and not (survivors & old_sidecars)
     got = {r.id for r in D.read_delta_py(spark, tbl).collect()}
     assert got == {0, 1, 2, 5, 6}
+
+
+def test_change_readers_refuse_expired_range(spark, tmp_path):
+    """After clean_delta_log, a change range that dips below the
+    retained tail must REFUSE (silently skipping expired commits would
+    hand the consumer a hole in the feed); in-tail ranges still
+    serve."""
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, [0]), tbl, mode="overwrite",
+                     checkpoint_interval=0)  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    D.write_delta_py(_rows(spark, [1]), tbl, checkpoint_interval=0)  # v2
+    D.write_delta_py(_rows(spark, [2]), tbl, checkpoint_interval=0)  # v3
+    D.write_delta_py(_rows(spark, [3]), tbl, checkpoint_interval=4)  # v4 +ckpt
+    stats = D.clean_delta_log(tbl, retain_last=1)
+    assert stats["json_removed"] == 4  # v0..v3 expired
+    with pytest.raises(RuntimeError, match="expired commits"):
+        D.read_delta_changes(spark, tbl, since_version=0)
+    with pytest.raises(RuntimeError, match="expired commits"):
+        D.read_delta_changes_cdf(spark, tbl, since_version=0)
+    # the retained tail still serves both feeds
+    got = {r.id for r in D.read_delta_changes(spark, tbl, 3).collect()}
+    assert got == {3}
+    assert _feed(spark, tbl, since=3) == {(4, "insert", 3, 21)}
+
+
+def test_cdf_stream_refuses_cleaned_history(spark, tmp_path):
+    """A FRESH CDF stream on a log whose early commits were expired by
+    clean_delta_log must fail loudly instead of silently serving only
+    the retained tail as if it were the whole history."""
+    import time
+
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(4)), tbl, mode="overwrite",
+                     checkpoint_interval=0)  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    D.write_delta_py(_rows(spark, [10]), tbl, checkpoint_interval=2)  # v2 +ckpt
+    D.clean_delta_log(tbl)  # expires json 0..2
+    D.write_delta_py(_rows(spark, [11]), tbl, checkpoint_interval=0)  # v3
+    out_dir = str(tmp_path / "out")
+    q = (
+        D.stream_delta_cdf(spark, tbl)
+        .writeStream.foreachBatch(lambda df, eid: df.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while q.exception() is None:
+            assert time.time() < deadline, "stream neither failed nor..."
+            time.sleep(0.2)
+        assert "expired commits" in str(q.exception())
+    finally:
+        q.stop()
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            pass  # the failed query re-raises its own exception here
