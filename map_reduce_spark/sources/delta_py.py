@@ -1334,26 +1334,45 @@ def vacuum_delta(table: str) -> int:
     (crashed stagings, lost-race rewrites, tombstoned files whose every
     referencing version has been checkpointed away is NOT assumed —
     any file named by any surviving add OR remove action is kept).
-    Returns the number of files deleted. Metadata-only pass."""
+    Returns the number of files deleted. Metadata-only pass.
+
+    The reference set seeds from BOTH surviving json commits AND every
+    surviving checkpoint's reconstructed state (sidecars chased): after
+    ``clean_delta_log`` the early adds exist only in the checkpoint, and
+    a json-only sweep would delete the table's live base data (NOTES
+    rule 52 — the cleaner's consumers must each handle the retained
+    structure)."""
     js, cps = _list_log(table)
-    if not js:
+    if not js and not cps:
         return 0
     referenced: set[str] = set()
     codec = None
+
+    def _ref(act: dict | None) -> None:
+        nonlocal codec
+        if not act:
+            return
+        referenced.add(os.path.realpath(
+            os.path.join(table, urllib.parse.unquote(act["path"]))))
+        dv = act.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            if codec is None:
+                codec = make_dv_codec()
+            _, loc = _resolve_dv_location(table, dv, codec)
+            referenced.add(os.path.realpath(loc))
+
     for v in js:
         for a in _read_commit(table, v):
             # cdc change files are referenced table state too — sweeping
             # them would amputate the change feed's history
-            act = a.get("add") or a.get("remove") or a.get("cdc")
-            if act:
-                referenced.add(os.path.realpath(
-                    os.path.join(table, urllib.parse.unquote(act["path"]))))
-            dv = (act or {}).get("deletionVector")
-            if dv and dv.get("storageType") in ("u", "p"):
-                if codec is None:
-                    codec = make_dv_codec()
-                _, loc = _resolve_dv_location(table, dv, codec)
-                referenced.add(os.path.realpath(loc))
+            _ref(a.get("add") or a.get("remove") or a.get("cdc"))
+    for v in cps:
+        try:
+            state = _read_checkpoint(table, v)
+        except (FileNotFoundError, RuntimeError):
+            continue  # torn/vanished seed cannot anchor references
+        for act in list(state["adds"].values()) + list(state["removes"].values()):
+            _ref(act)
     n = 0
     for root, dirs, names in os.walk(table):
         dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
@@ -4077,7 +4096,10 @@ def ensure_delta_logclean_fixture(spark: SparkSession, sf_dir: str) -> str:
     travel below the checkpoint is gone, and the cleanup's effect is
     HARD-ASSERTED here (boundary 4, exactly 3 commits expired) so a
     silently inert cleaner reddens the driver row instead of passing
-    on an uncleaned log."""
+    on an uncleaned log. A post-clean ``vacuum_delta`` then runs and
+    must sweep NOTHING: the base data's only references live in the
+    checkpoint, so a json-only reference sweep (the pre-fix bug)
+    deletes live files and the oracle catches the loss."""
     import tempfile
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
@@ -4129,6 +4151,10 @@ def ensure_delta_logclean_fixture(spark: SparkSession, sf_dir: str) -> str:
         if not os.path.exists(_json_path(tmp, v)):
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(f"retain_last=2 lost commit {v}")
+    swept = vacuum_delta(tmp)  # post-clean vacuum must see the
+    if swept:  # checkpoint's references — a json-only sweep would
+        shutil.rmtree(tmp, ignore_errors=True)  # delete live base data
+        raise RuntimeError(f"vacuum after log cleanup swept {swept} live files")
     try:
         os.rename(tmp, dest)
     except OSError:

@@ -373,3 +373,34 @@ def test_cdf_stream_refuses_cleaned_history(spark, tmp_path):
             q.awaitTermination(30)
         except Exception:
             pass  # the failed query re-raises its own exception here
+
+
+def test_vacuum_after_log_cleanup_keeps_checkpoint_referenced_files(
+    spark, tmp_path
+):
+    """vacuum_delta must seed its reference set from surviving
+    CHECKPOINTS too: after clean_delta_log the base data's adds exist
+    only in the checkpoint, and the pre-fix json-only sweep deleted
+    the table's live files. Genuine orphans (crashed stagings) still
+    go, and a DV carried through the checkpoint stays resolvable."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    D.write_delta_py(_rows(spark, range(6)), tbl, mode="overwrite",
+                     checkpoint_interval=0)  # v0
+    D.delete_where_dv(spark, tbl, F.col("id") < 2)  # v1: DV on a v0 file
+    D.write_delta_py(_rows(spark, [10]), tbl, checkpoint_interval=2)  # v2 +ckpt
+    D.clean_delta_log(tbl)  # expires json 0..2
+    D.write_delta_py(_rows(spark, [11]), tbl, checkpoint_interval=0)  # v3
+    # a genuine orphan: an unreferenced parquet dropped into the table
+    orphan = os.path.join(tbl, "part-99999-orphan.parquet")
+    import shutil as _sh
+    src = next(
+        os.path.join(tbl, f) for f in os.listdir(tbl) if f.endswith(".parquet")
+    )
+    _sh.copyfile(src, orphan)
+    n = D.vacuum_delta(tbl)
+    assert n == 1, "exactly the orphan goes"
+    assert not os.path.exists(orphan)
+    got = {r.id for r in D.read_delta_py(spark, tbl).collect()}
+    assert got == set(range(2, 6)) | {10, 11}  # DV still applied, data intact
