@@ -101,3 +101,66 @@ def test_band_join_bucket_rewrite_matches_naive_incl_negative_epochs(spark):
         if ua == ub and abs(ta - tb) < W
     }
     assert got == want and len(want) > 50
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_delta_log_lifecycle_state_invariant(spark, tmp_path_factory, data):
+    """Random walks over the Delta log lifecycle — appends, COW
+    deletes, checkpoint cuts, retention cleanup, vacuum — against a
+    dict model: maintenance ops (clean_delta_log, vacuum_delta) must
+    NEVER change the readable state, vacuum must sweep nothing on an
+    orphan-free table, and every version neither in the json log nor
+    checkpointed must refuse time travel (no silent partial replay)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import map_reduce_spark.sources.delta_py as D
+
+    tbl = str(tmp_path_factory.mktemp("lifecycle") / "t")
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, i * 7) for i in ids], "id long, v long"
+        )
+
+    D.write_delta_py(frame(range(4)), tbl, mode="overwrite",
+                     checkpoint_interval=0)  # v0
+    D.set_delta_table_property(tbl, "delta.enableChangeDataFeed", "true")  # v1
+    model = {i: i * 7 for i in range(4)}
+    next_id = 4
+    for _ in range(data.draw(st.integers(3, 6))):
+        op = data.draw(st.sampled_from(
+            ["append", "append", "delete", "ckpt_append", "clean", "vacuum"]
+        ))
+        if op == "append":
+            k = data.draw(st.integers(1, 3))
+            new = list(range(next_id, next_id + k))
+            next_id += k
+            D.write_delta_py(frame(new), tbl, checkpoint_interval=0)
+            model.update({i: i * 7 for i in new})
+        elif op == "ckpt_append":
+            new = [next_id]
+            next_id += 1
+            D.write_delta_py(frame(new), tbl, checkpoint_interval=1)
+            model.update({i: i * 7 for i in new})
+        elif op == "delete" and model:
+            victim = data.draw(st.sampled_from(sorted(model)))
+            D.delete_where(spark, tbl, F.col("id") == victim,
+                           checkpoint_interval=0)
+            model.pop(victim)
+        elif op == "clean":
+            D.clean_delta_log(tbl, retain_last=data.draw(st.integers(0, 2)))
+        elif op == "vacuum":
+            assert D.vacuum_delta(tbl) == 0
+        got = {r.id: r.v for r in D.read_delta_py(spark, tbl).collect()}
+        assert got == model, f"after {op}"
+    js, cps = D._list_log(tbl)
+    latest = max(js[-1:] + cps[-1:])
+    servable = set(js) | set(cps)
+    for v in range(latest + 1):
+        if v in servable:
+            D.snapshot(tbl, v)  # must reconstruct
+        else:
+            with _pytest.raises((ValueError, FileNotFoundError)):
+                D.snapshot(tbl, v)
