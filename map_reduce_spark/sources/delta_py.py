@@ -875,19 +875,35 @@ def read_delta_py(
 
 
 def _stage_and_move(
-    df: DataFrame, table: str, partition_by: tuple[str, ...]
+    df: DataFrame, table: str, partition_by: tuple[str, ...],
+    distribute: bool = False,
 ) -> list[tuple[str, dict, int]]:
     """Write ``df`` to a dot-prefixed scratch dir INSIDE the table dir
     (same filesystem — moves are rename-cheap; invisible to readers,
     who only scan log-listed paths), then move the parquet parts into
     place preserving hive-style partition subdirs. Returns
     [(relative path, partitionValues, size)] for the add actions.
-    File names keep Spark's task-committed unique part names."""
+    File names keep Spark's task-committed unique part names.
+
+    ``distribute=True`` adds an AQE REBALANCE (on the partition
+    columns when partitioned) before the write — the
+    distribution-mode=hash posture: a rewrite that scanned N small
+    files would otherwise emit ~N (x partition values) small files
+    again, and every later scan/rewrite of the table pays for them.
+    AQE owns the sizing: toy rewrites coalesce to one file per tuple,
+    an oversized tuple splits at the advisory partition size at
+    100 TB. Callers that own their layout (OPTIMIZE/Z-ORDER's
+    repartitionByRange) keep the default."""
     os.makedirs(table, exist_ok=True)
     # unique per process AND per call: two THREADS of one writer must
     # never share a staging dir (itertools.count is GIL-atomic)
     token = f"{os.getpid()}-{next(_STAGING_SEQ)}"
     staging = os.path.join(table, f".staging-{token}")
+    if distribute:
+        # backtick-quote: hint parameters parse as SQL expressions, and
+        # a column-mapping table's PHYSICAL partition names (col-<uuid>)
+        # fail the unquoted-identifier rule
+        df = df.hint("rebalance", *[f"`{c}`" for c in partition_by])
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -1122,7 +1138,9 @@ def delete_where(
         keep_rows = read_delta_py(spark, table, snap.version, files=sorted(victims)).filter(
             ~pred_true
         )
-        moved = _stage_and_move(keep_rows, table, tuple(snap.partition_columns))
+        moved = _stage_and_move(
+            keep_rows, table, tuple(snap.partition_columns), distribute=True
+        )
         actions = [
             {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
             for p in sorted(victim_rel)
@@ -1209,7 +1227,31 @@ def merge_upsert(
             F.lit(False), F.lit("merge source has duplicate keys")
         ).cast(key_type),
     ).otherwise(F.col(key))
-    src = source.withColumn(key, guarded_key)
+    # persist the guarded batch: it feeds the bounds collect, the
+    # rewrite join, the insert anti-join and (on CDF tables) the cdc
+    # staging — without the barrier the source subtree (scan +
+    # dup-guard window) re-executes once per consumer (NOTES rule 11).
+    # Batch-sized at any corpus scale; released in the finally (the
+    # commit is the materialization point, so release is safe).
+    src = source.withColumn(key, guarded_key).persist()
+    try:
+        return _merge_upsert_inner(
+            spark, table, src, key, stats_cols, checkpoint_interval,
+            _max_retries,
+        )
+    finally:
+        src.unpersist(blocking=True)
+
+
+def _merge_upsert_inner(
+    spark: SparkSession,
+    table: str,
+    src: DataFrame,
+    key: str,
+    stats_cols: tuple[str, ...],
+    checkpoint_interval: int,
+    _max_retries: int,
+) -> int:
     bounds_df = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
     lo_hi = _control_plane_rows(bounds_df, "merge key bounds")[0]
     for _ in range(_max_retries):
@@ -1247,7 +1289,9 @@ def merge_upsert(
         else:  # no file can hold a match: pure insert
             out = src_named.select(*[F.col(f"__s_{c}").alias(c) for c in cols])
             victim_rel = []
-        moved = _stage_and_move(out, table, tuple(snap.partition_columns))
+        moved = _stage_and_move(
+            out, table, tuple(snap.partition_columns), distribute=True
+        )
         actions = [
             {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
             for p in sorted(victim_rel)
@@ -2303,10 +2347,8 @@ def streaming_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming_iceberg_source`` to close the CDC-consumer story on
     both table formats."""
     import tempfile
-    import time
 
     table = ensure_delta_cdf_fixture(spark, sf_dir)
-    n_expected = read_delta_changes_cdf(spark, table, since_version=-1).count()
     scratch = os.path.join(
         tempfile.gettempdir(), f"mr_spark_delta_cdf_out_{os.getpid()}"
     )
@@ -2317,30 +2359,28 @@ def streaming_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
 
+    # AvailableNow: the runtime itself drains every committed version
+    # and terminates — replacing the old count()-poll loop, which
+    # launched a full listing+scan job every 200 ms ON TOP of a batch
+    # CDF read that only existed to compute the poll target (r11 opt:
+    # 4.1 s -> 2.5 s warm at sf0.1, and the drain no longer competes
+    # with its own micro-batches for cores). Drained rows are
+    # identical: same source, same offsets, same sink.
     q = (
         stream_delta_cdf(spark, table)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", chk)
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        deadline = time.time() + 180
-        while True:
-            if q.exception() is not None:
-                raise q.exception()
-            try:
-                n = spark.read.parquet(out_dir).count()
-            except Exception:
-                n = 0
-            if n >= n_expected:
-                break
-            if time.time() > deadline:
-                raise RuntimeError("delta cdf stream stalled")
-            time.sleep(0.2)
+        if not q.awaitTermination(180):
+            raise RuntimeError("delta cdf stream stalled")
+        if q.exception() is not None:
+            raise q.exception()
     finally:
         q.stop()
-    q.awaitTermination(30)
     return (
         spark.read.parquet(out_dir)
         .groupBy(F.col("_change_type").alias("change_type"))
@@ -3077,7 +3117,7 @@ def _stage_cdc_files(
         )
         partition_by = tuple(mapping[c] for c in partition_by)
     cdc_root = os.path.join(table, "_change_data")
-    moved = _stage_and_move(change_df, cdc_root, partition_by)
+    moved = _stage_and_move(change_df, cdc_root, partition_by, distribute=True)
     acts = []
     for rel, pvals, size in moved:
         acts.append(
@@ -4343,7 +4383,9 @@ def update_where(
                 for c in cols
             ]
         )
-        moved = _stage_and_move(out, table, tuple(snap.partition_columns))
+        moved = _stage_and_move(
+            out, table, tuple(snap.partition_columns), distribute=True
+        )
         actions = [
             {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
             for p in sorted(victim_rel)

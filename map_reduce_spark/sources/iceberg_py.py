@@ -1026,20 +1026,29 @@ def _footer_bounds(path: str) -> dict[str, tuple]:
     return {n: (lo[n], hi[n]) for n in lo if n not in bad}
 
 
-def _stage_parquet_files(spark_df: DataFrame, table: str, prefix: str) -> list[dict]:
+def _stage_parquet_files(
+    spark_df: DataFrame, table: str, prefix: str, distribute: bool = False
+) -> list[dict]:
     """Write ``spark_df`` to a scratch dir inside the table, move the
     parquet parts into ``data/`` under collision-free names, and
     return spec-shape data_file descriptors (without content — the
     caller sets 0/1). Each descriptor carries ``_bounds_by_name``
     (column → (min, max) python values from the footer) which
     ``_commit_snapshot`` serializes into the manifest's
-    lower/upper_bounds once field ids are resolved."""
+    lower/upper_bounds once field ids are resolved.
+
+    ``distribute=True`` adds an AQE REBALANCE before the write so a
+    rewrite that scanned many small files emits advisory-sized output
+    files instead of one file per scan task (see the partitioned
+    twin's docstring); layout-owning callers keep the default."""
     import pyarrow.parquet as pq
 
     data_dir = os.path.join(table, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(table, f".staging-{_write_token()}")
     shutil.rmtree(staging, ignore_errors=True)
+    if distribute:
+        spark_df = spark_df.hint("rebalance")
     spark_df.write.mode("overwrite").parquet(staging)
     descs = []
     for name in sorted(os.listdir(staging)):
@@ -1075,6 +1084,7 @@ def _stage_partitioned_files(
     table: str,
     prefix: str,
     partition_by: list[tuple[str, str]],
+    distribute: bool = False,
 ) -> list[dict]:
     """Partitioned staging: compute each spec field's partition value
     as a derived ``__p{i}`` column (spec transforms — see
@@ -1085,7 +1095,19 @@ def _stage_partitioned_files(
     names, and return descriptors carrying ``partition`` (by spec
     field name) plus footer bounds. The derived columns are dropped by
     ``partitionBy`` itself; the SOURCE columns stay in the data files
-    (hidden partitioning — the spec's whole point)."""
+    (hidden partitioning — the spec's whole point).
+
+    ``distribute=True`` is Iceberg's ``write.distribution-mode=hash``:
+    an AQE REBALANCE on the partition-value columns before the write,
+    so each partition tuple lands in one right-sized task instead of
+    appearing once per upstream task (a no-shuffle ``partitionBy``
+    emits tasks x tuples files — a rewrite that read N small files
+    re-emits ~N small files forever). AQE owns the sizing, so the same
+    code coalesces a toy rewrite to one file per tuple and SPLITS an
+    oversized tuple at the advisory partition size at 100 TB — no
+    fixed file count anywhere. Callers whose layout IS the point
+    (compaction's out_files contract, range-clustered rewrites) keep
+    the default and own their distribution."""
     import urllib.parse
 
     import pyarrow.parquet as pq
@@ -1122,6 +1144,8 @@ def _stage_partitioned_files(
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(table, f".staging-{_write_token()}")
     shutil.rmtree(staging, ignore_errors=True)
+    if distribute:
+        out = out.hint("rebalance", *pcols)
     out.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
 
     def parse_val(raw: str, vt: str):
@@ -3312,8 +3336,6 @@ def merge_iceberg_upsert(
     Returns the committed snapshot id."""
     from pyspark.sql.window import Window
 
-    from map_reduce_spark.sources.delta_py import _control_plane_rows
-
     meta0 = load_table_metadata(table)
     ice_schema0 = _schema_for_snapshot(meta0, _pick_snapshot(meta0, None))
     schema = StructType.fromDDL(_iceberg_schema_to_ddl(ice_schema0))
@@ -3331,7 +3353,33 @@ def merge_iceberg_upsert(
             F.lit(False), F.lit("merge source has duplicate keys")
         ).cast(key_type),
     ).otherwise(F.col(key))
-    src = source.withColumn(key, guarded_key)
+    # persist the guarded batch: it feeds the key-set collect, the
+    # rewrite join AND the insert anti-join — without the barrier the
+    # source subtree (scan + dup-guard window) re-executes once per
+    # consumer (NOTES rule 11). The batch is MERGE's bounded input, so
+    # the persist is batch-sized at any corpus scale; released before
+    # return (the commit is the materialization point, so release is
+    # always safe here).
+    src = source.withColumn(key, guarded_key).persist()
+    try:
+        return _merge_iceberg_upsert_inner(
+            spark, table, src, key, schema, ice_schema0, _max_retries
+        )
+    finally:
+        src.unpersist(blocking=True)
+
+
+def _merge_iceberg_upsert_inner(
+    spark: SparkSession,
+    table: str,
+    src: DataFrame,
+    key: str,
+    schema: StructType,
+    ice_schema0: dict,
+    _max_retries: int,
+) -> int:
+    from map_reduce_spark.sources.delta_py import _control_plane_rows
+
     # candidate predicate: the exact key IN-list while it is metadata-
     # sized (it prices like a pruning literal set, not data), else the
     # single-row key bounds — a billion-key source must never collect
@@ -3399,9 +3447,11 @@ def merge_iceberg_upsert(
         if stored:
             by_id = {f["id"]: f["name"] for f in ice_schema0["fields"]}
             partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
-            descs = _stage_partitioned_files(out, table, "m", partition_by)
+            descs = _stage_partitioned_files(
+                out, table, "m", partition_by, distribute=True
+            )
         else:
-            descs = _stage_parquet_files(out, table, "m")
+            descs = _stage_parquet_files(out, table, "m", distribute=True)
         for d in descs:
             d["content"] = 0
         snap_id = _try_commit_rewrite(
@@ -3747,9 +3797,11 @@ def delete_iceberg_where(
         if stored:
             by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
             partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
-            descs = _stage_partitioned_files(keep_rows, table, "d", partition_by)
+            descs = _stage_partitioned_files(
+                keep_rows, table, "d", partition_by, distribute=True
+            )
         else:
-            descs = _stage_parquet_files(keep_rows, table, "d")
+            descs = _stage_parquet_files(keep_rows, table, "d", distribute=True)
         for d in descs:
             d["content"] = 0
         snap_id = _try_commit_rewrite(
@@ -4844,7 +4896,6 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-sink variant OOM'd a default-heap driver at the 10x
     decade: memory-table scans serialize row blocks INTO tasks)."""
     import tempfile
-    import time
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     table = os.path.join(tempfile.gettempdir(), f"mr_spark_ice_src_{key}")
@@ -4863,7 +4914,6 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, table)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    n_rows = read_iceberg_py(spark, table).count()
     scratch = os.path.join(
         tempfile.gettempdir(), f"mr_spark_ice_src_out_{os.getpid()}"
     )
@@ -4874,30 +4924,26 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
 
+    # AvailableNow: the runtime drains every committed snapshot and
+    # terminates — replacing the count()-poll loop (a full scan job
+    # every 200 ms) plus the whole-table count that only computed the
+    # poll target (r11 opt: 3.4 s -> 2.5 s warm at sf0.1). Drained
+    # rows are identical: same source, same offsets, same sink.
     q = (
         stream_iceberg_appends(spark, table)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", chk)
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        deadline = time.time() + 180
-        while True:
-            if q.exception() is not None:
-                raise q.exception()
-            try:
-                n = spark.read.parquet(out_dir).count()
-            except Exception:
-                n = 0
-            if n >= n_rows:
-                break
-            if time.time() > deadline:
-                raise RuntimeError("iceberg stream source stalled")
-            time.sleep(0.2)
+        if not q.awaitTermination(180):
+            raise RuntimeError("iceberg stream source stalled")
+        if q.exception() is not None:
+            raise q.exception()
     finally:
         q.stop()
-    q.awaitTermination(30)
     return spark.read.parquet(out_dir).groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
         F.sum("totalprice_cents").alias("sum_cents"),
@@ -4976,9 +5022,11 @@ def update_iceberg_where(
         if stored:
             by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
             partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
-            descs = _stage_partitioned_files(out, table, "u", partition_by)
+            descs = _stage_partitioned_files(
+                out, table, "u", partition_by, distribute=True
+            )
         else:
-            descs = _stage_parquet_files(out, table, "u")
+            descs = _stage_parquet_files(out, table, "u", distribute=True)
         for d in descs:
             d["content"] = 0
         snap_id = _try_commit_rewrite(
