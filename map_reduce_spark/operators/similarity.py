@@ -986,7 +986,7 @@ REFINE_THRESH = 48
 _REFINE_SALTS = 64
 
 
-def _coarse_cells(iv: DataFrame) -> DataFrame:
+def _coarse_cells(iv: DataFrame, with_q: bool = False) -> DataFrame:
     """(vec_id, cell): TWO-LEVEL coarse quantizer — the ONE cell
     assignment dedup_semantic and knn_graph share, so a scale-factor or
     tie-break change cannot desynchronize the family.
@@ -1011,37 +1011,65 @@ def _coarse_cells(iv: DataFrame) -> DataFrame:
     the O(N^2 / n_labels) of a fixed-cardinality key. The md5-coin
     cross-multiply ``u32 * cnt < m * 2^32`` stays inside int64 for
     cnt < 2^31. Zero-seed cells (P ~ e^-m per cell) deterministically
-    fall back to their level-1 cell via the left join."""
-    from pyspark.sql import Window
+    fall back to their level-1 cell via the left join.
 
-    terms = iv.select(
-        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
-    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
-        F.sum("qi").alias("s"), F.count("*").alias("n")
-    )
-    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
-    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
-    d = (
-        t.join(c, F.col("t.i") == F.col("c.i"))
-        .groupBy("t.vec_id", "c.clabel", "c.n")
-        .agg(F.sum(num * num).alias("num2"))
-        .select(
-            "vec_id",
-            "clabel",
-            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+    Plan shape (r11 optimization — identical values, fewer stages):
+    level-1 distances come from one broadcast of the PER-LABEL
+    CENTROID ARRAYS joined to the un-exploded vectors (the old shape
+    exploded every vector into 64 term rows and re-aggregated the
+    64·N·L join — two extra exchanges and a corpus-grain explode);
+    both argmins are ``min(struct(dist, id))`` partial aggregations
+    instead of ``row_number`` windows (same (dist, id) total order,
+    but map-side combine and no per-partition sort); and the assigned
+    frame CARRIES ``q``, so neither level 2 nor the callers re-join
+    the vector table. The arithmetic is unchanged integer math —
+    num2 = Σ(n·qi − s)² in int64 with the identical overflow window —
+    so the cell frontier is bit-identical to the oracle CTEs.
+
+    ``with_q=True`` returns (vec_id, cell, q) so callers that need the
+    scaled vector skip their own join back to ``iv``."""
+
+    terms = iv.select("vec_id", "label", F.posexplode("q").alias("i0", "qi"))
+    cent_arr = (
+        terms.groupBy(F.col("label").alias("clabel"), "i0")
+        .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "s"))),
+                lambda st: st["s"],
+            ).alias("s_arr"),
+            F.max("n").alias("n"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    num2 = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("s_arr"),
+            lambda qi, si: (F.col("n") * qi - si) * (F.col("n") * qi - si),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d = iv.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "clabel",
+        "q",
+        (num2.cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
+    )
     # three consumers: counts, the refine join, the final join. Tracked
     # cache (r4 ADVICE leak): released by session.release_caches() once
     # the caller has materialized its result — the whole quantizer is
     # deterministic (md5 coins, exact integer math), so a post-release
     # recompute cannot diverge.
+    ord1 = F.struct("d2", "clabel")
     a1 = stage_cache(
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "clabel")
+        d.groupBy("vec_id")
+        .agg(
+            F.min(ord1).alias("mn"),
+            F.min_by("q", ord1).alias("q"),
+        )
+        .select("vec_id", F.col("mn.clabel").alias("clabel"), "q")
     )
     cntm = a1.groupBy("clabel").agg(F.count("*").alias("cnt")).withColumn(
         "m",
@@ -1050,9 +1078,7 @@ def _coarse_cells(iv: DataFrame) -> DataFrame:
             F.ceil(F.sqrt(F.col("cnt").cast("double"))).cast("long"),
         ).otherwise(F.lit(0)),
     )
-    a2 = a1.join(F.broadcast(cntm), "clabel").join(
-        iv.select("vec_id", "q"), "vec_id"
-    )
+    a2 = a1.join(F.broadcast(cntm), "clabel")
     u32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("cellseed:"), F.col("vec_id").cast("string"))),
@@ -1090,19 +1116,19 @@ def _coarse_cells(iv: DataFrame) -> DataFrame:
         )
         .select("vec_id", "seed_id", dd2.alias("dd2"))
     )
-    w2 = Window.partitionBy("vec_id").orderBy("dd2", "seed_id")
     ref = (
-        cand.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "seed_id")
+        cand.groupBy("vec_id")
+        .agg(F.min(F.struct("dd2", "seed_id")).alias("mn"))
+        .select("vec_id", F.col("mn.seed_id").alias("seed_id"))
     )
-    return a1.join(ref, "vec_id", "left").select(
-        "vec_id",
-        F.coalesce(
-            F.concat(F.lit("S:"), F.col("seed_id").cast("string")),
-            F.concat(F.lit("L:"), F.col("clabel").cast("string")),
-        ).alias("cell"),
-    )
+    cell = F.coalesce(
+        F.concat(F.lit("S:"), F.col("seed_id").cast("string")),
+        F.concat(F.lit("L:"), F.col("clabel").cast("string")),
+    ).alias("cell")
+    joined = a1.join(ref, "vec_id", "left")
+    if with_q:
+        return joined.select("vec_id", cell, "q")
+    return joined.select("vec_id", cell)
 
 
 # DuckDB mirror of _coarse_cells: CTEs (iv .. cells) shared verbatim by
@@ -1305,8 +1331,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     iv = _iv4(e)
-    assign = _coarse_cells(iv)
-    nv = assign.join(iv.select("vec_id", "q"), "vec_id").withColumn(
+    # with_q: the quantizer carries the scaled vector through, so no
+    # join back to iv here (r11 opt — one exchange less per consumer)
+    nv = _coarse_cells(iv, with_q=True).withColumn(
         "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
     )
     a, b = nv.alias("a"), nv.alias("b")
@@ -1378,10 +1405,11 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     iv = _iv4(e)
-    assign = _coarse_cells(iv)
     from pyspark.sql import Window
 
-    nv = assign.join(iv.select("vec_id", "q"), "vec_id").withColumn(
+    # with_q: the quantizer carries the scaled vector through, so no
+    # join back to iv here (r11 opt — one exchange less per consumer)
+    nv = _coarse_cells(iv, with_q=True).withColumn(
         "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
     )
     a, b = nv.alias("a"), nv.alias("b")
