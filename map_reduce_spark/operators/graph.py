@@ -101,18 +101,28 @@ def _token_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_if_narrow(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", "[^a-zA-Z]")).alias("pos", "t")
-    ).filter(F.col("t") != "")
-    # pair each token with its successor via lead() — no self-join
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # pair each token with its successor ARRAY-LOCALLY: adjacency is a
+    # within-row property, so the old posexplode -> per-doc window ->
+    # lead chain shuffled + sorted the whole token stream for nothing
+    # (r11 opt; the filtered array preserves order, so index-adjacency
+    # equals the old position adjacency and the bigram set is identical)
+    pair_arr = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN transform("
+        "sequence(0, size(__toks) - 2),"
+        " i -> struct(__toks[i] AS t, __toks[i+1] AS t2)) "
+        "ELSE cast(array() as array<struct<t:string,t2:string>>) END"
+    )
     bigram = (
-        toks.withColumn("t2", F.lead("t").over(w))
-        .filter(F.col("t2").isNotNull() & (F.col("t") != F.col("t2")))
+        docs.select(
+            F.filter(F.split("text", "[^a-zA-Z]"), lambda x: x != "").alias(
+                "__toks"
+            )
+        )
+        .select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.t") != F.col("p.t2"))
         .select(
-            F.least("t", "t2").alias("src"), F.greatest("t", "t2").alias("dst")
+            F.least("p.t", "p.t2").alias("src"),
+            F.greatest("p.t", "p.t2").alias("dst"),
         )
         .distinct()
     )

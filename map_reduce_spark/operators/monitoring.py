@@ -201,21 +201,27 @@ def _gram_stream_of(docs: DataFrame) -> DataFrame:
     frame (full corpus or one batch), under the engine tokenizer
     contract with re-ranked positions. Duplicate-insensitive consumers
     (MIN aggregation) use this directly and skip the gram-grain
-    distinct shuffle."""
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split("text", "[^a-zA-Z]")).alias("pos", "t"),
-    ).filter(F.col("t") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.withColumn("t2", F.lead("t", 1).over(w))
-        .withColumn("t3", F.lead("t", 2).over(w))
-        .filter(F.col("t3").isNotNull())
-        .select(
-            "source",
-            F.concat_ws(" ", "t", "t2", "t3").alias("gram"),
-        )
+    distinct shuffle.
+
+    Trigrams are formed ARRAY-LOCALLY (filtered token array, one
+    transform over the index range) instead of the old posexplode →
+    per-doc window → lead chain: token adjacency is a within-row
+    property, and the window shape shuffled AND sorted the entire
+    exploded token stream by doc_id before any aggregation could
+    reduce it — at corpus scale that was the dominant exchange of
+    every consumer. Identical gram multiset: the filtered array
+    preserves token order, so index-adjacency equals the old
+    re-ranked-position adjacency (r11 opt; guide §2.4)."""
+    toks = F.filter(F.split("text", "[^a-zA-Z]"), lambda x: x != "")
+    grams = F.when(
+        F.size("__toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(__toks) - 3),"
+            " i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return docs.select("source", toks.alias("__toks")).select(
+        "source", F.explode(grams).alias("gram")
     )
 
 
