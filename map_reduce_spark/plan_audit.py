@@ -111,6 +111,18 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "unigram_logprob": "broadcast scalar vocab size",
     "heavy_hitters": "broadcast scalar support threshold",
     "kmeans_lloyd": "broadcast k-row centroid frames",
+    "dedup_embedding_cosine": (
+        "broadcast per-label centroid-ARRAY frame (one row per label) "
+        "cross-joined to score level-1 cells in _coarse_cells"
+    ),
+    "dedup_semantic": (
+        "inherits _coarse_cells' broadcast per-label centroid-array "
+        "cross join (one row per label)"
+    ),
+    "knn_graph": (
+        "inherits _coarse_cells' broadcast per-label centroid-array "
+        "cross join (one row per label)"
+    ),
     "mix_temperature": "broadcast per-domain weight row",
     "weighted_sample": "broadcast scalar weight total",
     "bm25_rank": "broadcast single-row corpus doc-stats",
