@@ -1126,9 +1126,15 @@ def _coarse_cells(iv: DataFrame, with_q: bool = False) -> DataFrame:
         F.concat(F.lit("L:"), F.col("clabel").cast("string")),
     ).alias("cell")
     joined = a1.join(ref, "vec_id", "left")
+    # Every caller self-joins (and often re-joins) the assignment — two
+    # to three consumers each. a1's barrier alone leaves the level-2
+    # refine subtree (salted candidate join + argmin + left join) to
+    # re-execute per consumer; cache the FINAL assignment instead so the
+    # whole quantizer runs once per query (tracked, deterministic —
+    # released by session.release_caches(); guide §2.4 / §5).
     if with_q:
-        return joined.select("vec_id", cell, "q")
-    return joined.select("vec_id", cell)
+        return stage_cache(joined.select("vec_id", cell, "q"))
+    return stage_cache(joined.select("vec_id", cell))
 
 
 # DuckDB mirror of _coarse_cells: CTEs (iv .. cells) shared verbatim by
