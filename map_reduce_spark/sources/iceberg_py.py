@@ -3877,8 +3877,10 @@ def compact_iceberg_files(
     order_by: tuple[str, ...] = (),
     _max_retries: int = 5,
 ) -> int:
-    """Rewrite the current snapshot's data files into ``out_files``
-    right-sized files per partition tuple, APPLYING any positional /
+    """Rewrite the current snapshot's data files into a compacted
+    layout — ``out_files`` files when unpartitioned, ~one
+    advisory-sized file per partition tuple (AQE-rebalanced) when
+    partitioned — APPLYING any positional /
     equality delete files in the process and dropping them from the
     new snapshot — the maintenance operator the merge/delete MOR gates
     point at ("compact first"), and the Iceberg twin of
@@ -3921,12 +3923,23 @@ def compact_iceberg_files(
             None,
         )
         ice_schema = _current_schema(meta, snap)
-        if not order_by:  # a sorted rewrite already owns its layout
+        if not order_by and not stored:
+            # unpartitioned, unsorted: out_files IS the layout contract
             resolved = resolved.repartition(out_files)
         if stored:
             by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
             partition_by = [(by_id[f["source-id"]], f["transform"]) for f in stored]
-            descs = _stage_partitioned_files(resolved, table, "c", partition_by)
+            # Unsorted partitioned compaction distributes by the
+            # partition tuple (AQE REBALANCE inside the staging — the
+            # write.distribution-mode=hash posture): each tuple lands as
+            # ~one advisory-sized file instead of out_files x tuples
+            # (the old round-robin repartition re-EXPANDED a 112-file
+            # layout to 224 files — compaction that grew the file
+            # count). A sorted rewrite keeps its range layout: the
+            # repartitionByRange above owns the distribution.
+            descs = _stage_partitioned_files(
+                resolved, table, "c", partition_by, distribute=not order_by
+            )
         else:
             descs = _stage_parquet_files(resolved, table, "c")
         for d in descs:
