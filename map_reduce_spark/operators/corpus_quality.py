@@ -1455,13 +1455,24 @@ def fuzzy_contaminated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("train_id"), "bench_id")
         .distinct()
     )
-    sets = docs.select("doc_id", _shingles().alias("s"))
-    a = cand.join(
-        sets.withColumnRenamed("doc_id", "train_id").withColumnRenamed("s", "sa"),
-        "train_id",
-    ).join(
-        sets.withColumnRenamed("doc_id", "bench_id").withColumnRenamed("s", "sb"),
-        "bench_id",
+    # Shingle sets for docs that can appear in a candidate pair only:
+    # each side semi-joins its own id column of the (cached, bounded)
+    # candidate frame BEFORE the shingle arrays are built, so the
+    # verify stage prices O(candidates) instead of two full-corpus
+    # shingle passes (guide §2.3; the _verify_jaccard shape). AQE owns
+    # the semi-join strategy — no forced broadcast (r4 ADVICE).
+    def side_sets(id_col: str, out: str) -> DataFrame:
+        pruned = docs.join(
+            cand.select(F.col(id_col).alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        return pruned.select(
+            F.col("doc_id").alias(id_col), _shingles().alias(out)
+        )
+
+    a = cand.join(side_sets("train_id", "sa"), "train_id").join(
+        side_sets("bench_id", "sb"), "bench_id"
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_distinct(F.concat("sa", "sb")))
