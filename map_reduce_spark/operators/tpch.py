@@ -572,7 +572,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL")
     )
     avg_qty = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+        (_sumd("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -765,7 +765,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     threshold = c.filter(F.col("c_acctbal") > 0.00).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        (_sumd("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(threshold))
