@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
+from map_reduce_spark.operators.relational import _scaled_long, _sumd
 from map_reduce_spark.registry import register
 
 _EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"  # duckdb: ns ts -> whole seconds
@@ -57,9 +58,9 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
+            # exact 2dp sum as a scaled-long partial agg (see relational
+            # _sumd: ~2x cheaper than the decimal partial agg, same bits)
+            _sumd(F.col("value"), alias="total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
@@ -92,9 +93,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
+            _sumd(F.col("value"), alias="total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -152,9 +151,7 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("user_id", "session_no").agg(
         F.expr("min(ts_us) div 1000000").alias("session_start"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-            "session_value"
-        ),
+        _sumd(F.col("value"), alias="session_value"),
     ).drop("session_no")
 
 
@@ -223,7 +220,7 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long")
     hourly = ev.groupBy("user_id", hb.alias("hb")).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        _sumd(F.col("value"), alias="total"),
     )
     bounds = hourly.groupBy("user_id").agg(
         F.min("hb").alias("mn"), F.max("hb").alias("mx")
@@ -306,9 +303,9 @@ def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.expr("ts_us div 3600000000").alias("hb")
         )
         .agg(
-            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
-            .cast("long")
-            .alias("vi")
+            # the 2dp decimal sum times 100 IS the sum of exact cents:
+            # sum the scaled longs directly (same value, long partial agg)
+            F.sum(_scaled_long(F.col("value"))).alias("vi")
         )
     )
     bounds = hourly.groupBy("user_id").agg(
