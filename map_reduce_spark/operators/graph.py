@@ -148,10 +148,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank")
     )
     for _ in range(_ITER):
+        # join the two VOCAB-sized frames first (rank div outdeg per
+        # node is a node property), so the edge stream pays ONE probe
+        # per iteration instead of two arc-sized probes (r11 opt:
+        # arcs x ranks then x deg streamed the arc table through two
+        # joins; same integer contributions, same bits)
+        rd = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select(ranks["node"], F.expr("rank div outdeg").alias("c"))
+        )
         contrib = (
-            arcs.join(ranks, arcs["src"] == ranks["node"])
-            .join(deg, "src")
-            .select("dst", F.expr("rank div outdeg").alias("c"))
+            arcs.join(rd, arcs["src"] == rd["node"]).select("dst", "c")
         )
         ranks = (
             contrib.groupBy("dst")
