@@ -441,6 +441,19 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
         for a in _read_commit(table, v):
             _apply_action(state, a)
     if state["protocol"] is None or state["metadata"] is None:
+        if not usable and js and js[0] > 0:
+            # protocol is written only at genesis (and metaData at
+            # genesis/overwrite), so a replay that starts above version
+            # 0 with no checkpoint seed can only happen after
+            # log-retention cleanup: the retained commit tail serves
+            # the CHANGE FEED over that range, not snapshots. Refuse in
+            # the same class as any other expired-version time travel.
+            raise ValueError(
+                f"version {target} of {table!r} is below the earliest "
+                "reconstructible version: log-retention cleanup expired "
+                "its seed (the retained tail serves the change feed, "
+                "not snapshots)"
+            )
         raise RuntimeError(f"Delta log for {table!r} lacks protocol/metaData")
     _gate_protocol(state["protocol"])
     return DeltaSnapshot(

@@ -157,9 +157,22 @@ def test_delta_log_lifecycle_state_invariant(spark, tmp_path_factory, data):
         assert got == model, f"after {op}"
     js, cps = D._list_log(tbl)
     latest = max(js[-1:] + cps[-1:])
-    servable = set(js) | set(cps)
+    jset = set(js)
+    # Reconstructible = checkpointed, seedable from a checkpoint <= v
+    # with the (c, v] json tail intact, or reachable from genesis with
+    # json [0, v] intact. A json commit retained by clean_delta_log's
+    # retain_last tail WITHOUT such a seed serves the change feed only
+    # — snapshot must refuse it loudly, not partially replay.
     for v in range(latest + 1):
-        if v in servable:
+        reconstructible = (
+            v in cps
+            or any(
+                c <= v and all(x in jset for x in range(c + 1, v + 1))
+                for c in cps
+            )
+            or (v in jset and all(x in jset for x in range(0, v + 1)))
+        )
+        if reconstructible:
             D.snapshot(tbl, v)  # must reconstruct
         else:
             with _pytest.raises((ValueError, FileNotFoundError)):
