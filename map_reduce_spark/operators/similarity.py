@@ -313,6 +313,65 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cent_arrays(iv: DataFrame) -> DataFrame:
+    """Per-label centroid stats as ARRAYS: (clabel, s_arr, n) — one row
+    per label, ``s_arr[i] = Σ qi`` over members, ``n`` the member count.
+    The k-row frame the array-local L2 scorer (``_l2_cell_dists``)
+    broadcasts; same integer sums as the exploded (clabel, i) grain the
+    oracle CTE ``cent`` uses, just regrouped into one array row."""
+    terms = iv.select("label", F.posexplode("q").alias("i0", "qi"))
+    return (
+        terms.groupBy(F.col("label").alias("clabel"), "i0")
+        .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "s"))),
+                lambda st: st["s"],
+            ).alias("s_arr"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
+def _cents_row(iv: DataFrame) -> DataFrame:
+    """ONE-row frame holding every label's centroid stats:
+    ``cs: array<struct<clabel, s_arr, n>>`` sorted by clabel. The
+    constant-size (k · dim longs) frame the per-row argmin broadcasts;
+    the final single-partition collect is k rows in, 1 row out."""
+    return _cent_arrays(iv).agg(
+        F.array_sort(F.collect_list(F.struct("clabel", "s_arr", "n"))).alias("cs")
+    )
+
+
+def _cell_dist_structs():
+    """Column expr (given ``q`` and ``cs`` columns in scope):
+    ``array<struct<d2, clabel>>`` — the exact rational squared-L2 of the
+    row's vector to EVERY label centroid, computed array-locally.
+    d2 = Σ(n·qi − s_i)² / n² with an exact int64 numerator — identical
+    arithmetic and overflow window to the exploded terms⋈cent shape it
+    replaces (see ``ivf_assign`` for the math). ``array_min`` of the
+    result is the (d2, clabel) argmin; ``array_sort`` + ``slice`` the
+    (d2, clabel) top-n — the same total order row_number used."""
+
+    def d2(c):
+        num2 = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                c["s_arr"],
+                lambda qi, si: (c["n"] * qi - si) * (c["n"] * qi - si),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return num2.cast("double") / (c["n"] * c["n"])
+
+    return F.transform(
+        F.col("cs"),
+        lambda c: F.struct(d2(c).alias("d2"), c["clabel"].alias("clabel")),
+    )
+
+
 @register(
     "ivf_assign",
     oracle="""
@@ -353,48 +412,26 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< 2^53, so the double conversion is exact), making the argmin
     deterministic at any parallelism and identical in DuckDB.
 
-    Scale shape: one posexplode (narrow), one groupBy for centroids
-    (640 rows — broadcast), one groupBy for distances. The assignment
-    column is the IVF cell key: written partitioned-by-cell it turns
-    ANN search into a one-cell scan.
+    Scale shape (r11 — identical values, fewer stages): ALL label
+    centroid arrays ride in ONE broadcast row cross-joined to the
+    un-exploded vectors, and the (d2, clabel) argmin is computed PER
+    ROW over that array — after the centroid aggregate the query is a
+    fully narrow pipeline: no corpus-grain explode, no 64·N·k join, no
+    distance shuffle, no row_number sort (A/B'd against both: the
+    exploded shape and a min(struct) groupBy argmin — this shape beat
+    both). The assignment column is the IVF cell key: written
+    partitioned-by-cell it turns ANN search into a one-cell scan.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    iv = e.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
-        ).alias("q"),
-    )
-    terms = iv.select(
-        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
-    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
-        F.sum("qi").alias("s"), F.count("*").alias("n")
-    )
-    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
-    num = (F.col("c.n") * F.col("t.qi") - F.col("c.s"))
-    d = (
-        t.join(c, F.col("t.i") == F.col("c.i"))
-        .groupBy("t.vec_id", "c.clabel", "c.n")
-        .agg(F.sum(num * num).alias("num2"))
-        .select(
-            F.col("vec_id"),
-            F.col("clabel"),
-            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    iv = _iv4(e)
+    best = F.array_min(_cell_dist_structs())
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        iv.crossJoin(F.broadcast(_cents_row(iv)))
+        .select("vec_id", best.alias("mn"))
         .select(
             "vec_id",
-            F.col("clabel").alias("assigned_label"),
-            F.round(F.col("d2") / 1e8, 6).alias("dist2"),
+            F.col("mn.clabel").alias("assigned_label"),
+            F.round(F.col("mn.d2") / 1e8, 6).alias("dist2"),
         )
     )
 
@@ -515,69 +552,52 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σ(n·q−s)²/n², integer numerator), the final ranking the
     scaled-integer cosine — every stage deterministic in both engines.
 
-    Scale shape: centroids are a tiny broadcast (k×64 rows); the
-    assignment argmin is a per-vector window over k rows; the probe
-    filter is a broadcast semi-join; top-k is TakeOrderedAndProject.
+    Scale shape (r11 — identical values, fewer stages): ALL label
+    centroid arrays ride in ONE CACHED broadcast row (the expensive
+    explode+agg subtree runs once for its two consumers); the corpus
+    assignment is a PER-ROW array argmin — narrow, no distance shuffle,
+    no window — and the row CARRIES the 1e7-scaled cosine vector, so
+    the candidate leg never joins back to the corpus (the old shape's
+    nv⋈cand equi-join is gone: ONE corpus scan serves assignment and
+    scoring). The query's nprobe list is a per-row array_sort + slice
+    over the ONE query vector's k distances (the vec_id=0 filter prunes
+    at the scan); the probe filter is a broadcast semi-join; top-k is
+    TakeOrderedAndProject.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    iv4 = e.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
-        ).alias("q"),
+    # one scan computes BOTH scaled views of the vector: q (1e4, the
+    # assignment/centroid contract) and q7 (1e7, the cosine contract)
+    q4 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
     )
-    terms = iv4.select(
-        "vec_id", "label", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "qi")
-    cent = terms.groupBy(F.col("label").alias("clabel"), "i").agg(
-        F.sum("qi").alias("s"), F.count("*").alias("n")
-    )
-    t, c = terms.alias("t"), F.broadcast(cent).alias("c")
-    num = F.col("c.n") * F.col("t.qi") - F.col("c.s")
-    d = (
-        t.join(c, F.col("t.i") == F.col("c.i"))
-        .groupBy("t.vec_id", "c.clabel", "c.n")
-        .agg(F.sum(num * num).alias("num2"))
-        .select(
-            "vec_id",
-            "clabel",
-            (F.col("num2").cast("double") / (F.col("n") * F.col("n"))).alias("d2"),
-        )
-    )
-    # distance table feeds both the corpus assignment and the query
-    # probe list — cache so the explode+centroid subtree runs once
-    # (tracked: released by session.release_caches())
-    d = stage_cache(d)
-    wv = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    base = e.select("vec_id", "label", q4.alias("q"), _ivec("embedding").alias("q7"))
+    # 1-row frame consumed by both distance passes — cache so the
+    # centroid explode+agg subtree runs once (tracked: released by
+    # session.release_caches())
+    cents = stage_cache(_cents_row(base))
+    dstructs = _cell_dist_structs()
     assign = (
-        d.withColumn("rn", F.row_number().over(wv))
-        .filter("rn = 1")
-        .select("vec_id", "clabel")
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.array_min(dstructs).alias("mn"), "q7")
+        .select("vec_id", F.col("mn.clabel").alias("clabel"), "q7")
     )
-    wq = Window.orderBy("d2", "clabel")
     qprobe = (
-        d.filter(F.col("vec_id") == 0)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("clabel")
+        base.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.explode(F.slice(F.array_sort(dstructs), 1, IVF_NPROBE)).alias("p")
+        )
+        .select(F.col("p.clabel").alias("clabel"))
     )
-    nv = e.select("vec_id", _ivec("embedding").alias("q")).withColumn(
-        "nrm", F.sqrt(_idot(F.col("q"), F.col("q")).cast("double"))
-    )
-    qv = nv.filter(F.col("vec_id") == 0).select(
-        F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    nrm = F.sqrt(_idot(F.col("q7"), F.col("q7")).cast("double"))
+    qv = base.filter(F.col("vec_id") == 0).select(
+        F.col("q7").alias("qq"), nrm.alias("qnrm")
     )
     cand = assign.join(F.broadcast(qprobe), "clabel").filter(F.col("vec_id") != 0)
-    cos = _idot(F.col("q"), F.col("qq")).cast("double") / (
-        F.col("nrm") * F.col("qnrm")
-    )
+    cos = _idot(F.col("q7"), F.col("qq")).cast("double") / (nrm * F.col("qnrm"))
     return (
-        nv.join(cand, "vec_id")
-        .crossJoin(F.broadcast(qv))
+        cand.crossJoin(F.broadcast(qv))
         .select("vec_id", F.col("clabel").alias("cell"), cos.alias("cos_x"))
         .orderBy(F.desc("cos_x"), "vec_id")
         .limit(10)
@@ -601,6 +621,43 @@ _PQ_CODE_CASES_SQL = ",\n       ".join(
     for m in range(PQ_M)
 )
 _PQ_CODE_SELECT_SQL = ", ".join(f"k.code{m}" for m in range(PQ_M))
+
+
+def _pq_cb_row(iv4: DataFrame) -> DataFrame:
+    """ONE-row broadcast codebook: ``cbs: array<struct<cid, q>>`` —
+    the PQ_K codebook vectors (vec_ids 0..PQ_K-1, cid-sorted) with
+    their FULL 64-dim scaled arrays; subspace slicing happens at eval
+    time in ``_pq_best``. Constant-size (PQ_K · 64 longs)."""
+    return (
+        iv4.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), "q")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "q"))).alias("cbs"))
+    )
+
+
+def _pq_d2(m: int, c):
+    """Exact integer subspace-m squared-L2 of the row's ``q`` to
+    codebook struct ``c``: Σ(qi−ci)² over the m-th PQ_SUBDIM-dim
+    slice — identical arithmetic to the exploded terms⋈cb SUM."""
+    qm = F.slice(F.col("q"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    cm = F.slice(c["q"], m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.aggregate(
+        F.zip_with(qm, cm, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_best(m: int):
+    """Column expr (given ``q`` and ``cbs`` in scope): the subspace-m
+    argmin as ``struct<d2, cid>`` — tie-break (d2, cid) via struct
+    ordering (the same total order the old row_number window used)."""
+    return F.array_min(
+        F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(_pq_d2(m, c).alias("d2"), c["cid"].alias("cid")),
+        )
+    )
 
 
 @register(
@@ -648,13 +705,15 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace argmin and the summed reconstruction error exact in
     both engines.
 
-    Scale shape: the codebook is a broadcast ({PQ_M * PQ_K} x 16 rows);
-    encoding is one narrow posexplode + broadcast join + two grouped
-    aggregations partitioned by vec_id — no corpus-wide shuffle beyond
-    the per-vector rollups, embarrassingly parallel at any scale.
+    Scale shape (r11 — identical values, fully narrow): the codebook
+    rides in ONE broadcast row (PQ_K structs of the full scaled
+    vectors); each subspace's argmin is computed PER ROW over that
+    array with the subspace statically unrolled (PQ_M is a constant) —
+    after the 4-row codebook build the encode is a pure projection:
+    no corpus-grain explode, no {PQ_M * PQ_K * PQ_SUBDIM}-way join
+    blow-up, no per-(vec,m) shuffle, no window sort. Same exact
+    integer d2 = Σ(qi−ci)² and the same (d2, cid) tie-break.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     iv4 = e.select(
         "vec_id",
@@ -663,32 +722,16 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
         ).alias("q"),
     )
-    terms = iv4.select(
-        "vec_id", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", F.expr(f"i0 div {PQ_SUBDIM}").alias("m"), "i0", "qi")
-    cb = (
-        terms.filter(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"), "m", "i0", F.col("qi").alias("ci")
-        )
+    scored = iv4.crossJoin(F.broadcast(_pq_cb_row(iv4))).select(
+        "vec_id", *[_pq_best(m).alias(f"b{m}") for m in range(PQ_M)]
     )
-    t, c = terms.alias("t"), F.broadcast(cb).alias("c")
-    diff = F.col("t.qi") - F.col("c.ci")
-    d = (
-        t.join(c, (F.col("t.m") == F.col("c.m")) & (F.col("t.i0") == F.col("c.i0")))
-        .groupBy("t.vec_id", "t.m", "c.cid")
-        .agg(F.sum(diff * diff).alias("d2"))
+    recon = sum(
+        (F.col(f"b{m}.d2") for m in range(1, PQ_M)), F.col("b0.d2")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    best = d.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-    code_cols = [
-        F.max(F.when(F.col("m") == m, F.col("cid")))
-        .cast("int")
-        .alias(f"code{m}")
-        for m in range(PQ_M)
-    ]
-    return best.groupBy("vec_id").agg(
-        *code_cols, F.sum("d2").cast("long").alias("recon_err")
+    return scored.select(
+        "vec_id",
+        *[F.col(f"b{m}.cid").cast("int").alias(f"code{m}") for m in range(PQ_M)],
+        recon.cast("long").alias("recon_err"),
     )
 
 
@@ -742,13 +785,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer arithmetic, so the ranking (tie-broken by vec_id)
     is hash-verified end to end by the DuckDB oracle.
 
-    Scale shape: codes are computed by the same broadcast-codebook
-    argmin as ``pq_encode``; the LUT join is a broadcast of 16 rows;
-    top-k plans TakeOrderedAndProject. Per-vector work is O(M), not
-    O(dim) — the point of ADC.
+    Scale shape (r11 — identical values, fully narrow): codes come
+    from the same per-row broadcast-codebook argmin as ``pq_encode``;
+    the query's 16-entry LUT rides in ONE broadcast row (flattened
+    (m, cid)-ordered array) and each vector's approximate distance is
+    {PQ_M} array lookups + adds computed in the SAME projection as its
+    codes — no corpus explode, no (m, cid) equi-join, no per-vector
+    aggregation shuffle; top-k plans TakeOrderedAndProject. Per-vector
+    scoring work is O(M) lookups, the point of ADC.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     iv4 = e.select(
         "vec_id",
@@ -757,33 +802,36 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1e4, 0).cast("long"),
         ).alias("q"),
     )
-    terms = iv4.select(
-        "vec_id", F.posexplode("q").alias("i0", "qi")
-    ).select("vec_id", F.expr(f"i0 div {PQ_SUBDIM}").alias("m"), "i0", "qi")
-    cb = terms.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", "i0", F.col("qi").alias("ci")
+    # 1-row codebook consumed by the corpus codes pass AND the query
+    # LUT pass — cache so it builds once (tracked: released by
+    # session.release_caches())
+    cbrow = stage_cache(_pq_cb_row(iv4))
+    # LUT: the query's exact d2 to every (m, cid), flattened m-major
+    # (cbs is cid-sorted, so index = m*PQ_K + cid). NB: the lambda must
+    # stay ONE-parameter — a second parameter (even a default) makes
+    # PySpark pass the element INDEX into it.
+    def _lut_for(m: int):
+        return F.transform(F.col("cbs"), lambda c: _pq_d2(m, c))
+
+    lut_arr = F.flatten(F.array(*[_lut_for(m) for m in range(PQ_M)]))
+    qlut = (
+        iv4.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cbrow))
+        .select(lut_arr.alias("lut"))
     )
-    t, c = terms.alias("t"), F.broadcast(cb).alias("c")
-    diff = F.col("t.qi") - F.col("c.ci")
-    d = (
-        t.join(c, (F.col("t.m") == F.col("c.m")) & (F.col("t.i0") == F.col("c.i0")))
-        .groupBy("t.vec_id", "t.m", "c.cid")
-        .agg(F.sum(diff * diff).alias("d2"))
+    scored = (
+        iv4.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cbrow))
+        .select("vec_id", *[_pq_best(m)["cid"].alias(f"c{m}") for m in range(PQ_M)])
     )
-    # distance table feeds both the corpus codes and the query LUT
-    d = stage_cache(d)
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    codes = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vec_id", "m", "cid")
-    )
-    lut = d.filter(F.col("vec_id") == 0).select("m", "cid", F.col("d2").alias("qd2"))
+    lookups = [
+        F.element_at("lut", (F.lit(m * PQ_K) + F.col(f"c{m}") + 1).cast("int"))
+        for m in range(PQ_M)
+    ]
+    adist = sum(lookups[1:], lookups[0])
     return (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd2").alias("adist"))
+        scored.crossJoin(F.broadcast(qlut))
+        .select("vec_id", adist.alias("adist"))
         .orderBy("adist", "vec_id")
         .limit(10)
         .select("vec_id", F.col("adist").cast("long").alias("adist"))

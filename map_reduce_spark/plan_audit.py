@@ -52,7 +52,12 @@ ACCEPTED_1PART: dict[str, str] = {
         "two single-row global aggregates (one per snapshot schema) "
         "unioned into a 2-row certification frame"
     ),
-    "ivf_topk": "nprobe ranking over the ONE query vector's k cell distances",
+    "ivf_assign": "single-row centroid-array collect (k label rows in, 1 out)",
+    "ivf_topk": "single-row centroid-array collect (k label rows in, 1 out)",
+    "pq_encode": "single-row codebook collect (PQ_K rows in, 1 out)",
+    "pq_adc_topk": (
+        "single-row codebook collect + the query's 1-row LUT projection"
+    ),
     "percentiles_exact": "3-group exact percentile rollup (constant-size final agg)",
     "agg_approx_distinct": "single-row sketch summary",
     "dedup_exact_survivors": "single-row corpus summary",
@@ -100,7 +105,18 @@ ACCEPTED_BNLJ: dict[str, str] = {
     "embedding_topk": "broadcast single-row query vector",
     "ann_lsh_topk": "broadcast 9-row probe list + query vector",
     "ann_lsh_topk_portable": "broadcast 9-row probe list + query vector",
-    "ivf_topk": "broadcast single-row query vector",
+    "ivf_assign": (
+        "broadcast ONE-row all-labels centroid-array frame (per-row "
+        "argmin; constant-size k·dim longs)"
+    ),
+    "ivf_topk": (
+        "broadcast ONE-row all-labels centroid-array frame + "
+        "single-row query vector / probe list"
+    ),
+    "pq_encode": "broadcast ONE-row PQ_K-struct codebook (per-row argmin)",
+    "pq_adc_topk": (
+        "broadcast ONE-row PQ_K-struct codebook + single-row query LUT"
+    ),
     "embedding_quantize": "broadcast scalar scale factor",
     "q11_important_stock": "broadcast scalar global threshold",
     "q15_top_supplier": "broadcast scalar max revenue",

@@ -301,15 +301,30 @@ def test_ann_portable_probe_is_broadcast_topk(spark, sf_dir):
 
 
 def test_ivf_topk_broadcasts_centroids_and_probes(spark, sf_dir):
-    """IVF search: centroids (k x 64 rows) and the nprobe cell list are
-    broadcast; the corpus-side argmin window partitions by vec_id.
-    The only SinglePartition exchange allowed is the query's own
-    nprobe ranking (k rows for ONE vector, constant-size by
-    construction)."""
+    """IVF search (r11 per-row shape): the all-labels centroid-array
+    row and the nprobe cell list are broadcast and the corpus-side
+    argmin is computed per row — the corpus path must stay free of
+    window sorts and of equi-joins back to the vector table (the old
+    nv⋈cand SMJ); the probe filter stays a broadcast hash join and
+    top-k a TakeOrderedAndProject."""
     plan = plan_of(spark, sf_dir, "ivf_topk")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_pq_encode_is_narrow_after_codebook(spark, sf_dir):
+    """PQ encode (r11 per-row shape): after the constant-size codebook
+    collect, encoding is a pure projection — no corpus-grain shuffle,
+    no window, no join blow-up (the codebook rides in one broadcast
+    row)."""
+    plan = plan_of(spark, sf_dir, "pq_encode")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row codebook
 
 
 def test_multimodal_pipeline_is_shuffle_free(spark, sf_dir):
