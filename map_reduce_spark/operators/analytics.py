@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
+from map_reduce_spark.operators.relational import _sumd
 from map_reduce_spark.registry import register
 
 # DuckDB: epoch µs of the nanos timestamp — matches Spark-side ts_us.
@@ -189,9 +190,7 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("volume"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-            "total_value"
-        ),
+        _sumd(F.col("value"), alias="total_value"),
     )
 
 

@@ -60,6 +60,18 @@ def _sumd(col, scale: int = 2, alias: str | None = None):
     return e.alias(alias) if alias else e
 
 
+def _sumd_over(col, w, scale: int = 2, alias: str | None = None):
+    """``_sumd`` at WINDOW grain: the frame sum runs over exact scaled
+    LONGs (the window's incremental add/remove work drops from decimal
+    to long arithmetic, and the frame state narrows to 8 bytes) and the
+    per-ROW finish divides as a decimal — the same correctly-rounded-
+    double-of-the-exact-sum contract as ``_sumd``, bit-identical to
+    SUM(DECIMAL(18,scale)) OVER w ::DOUBLE at any magnitude."""
+    n = F.sum(_scaled_long(col, scale)).over(w)
+    e = (n.cast("decimal(38,0)") / F.lit(10**scale)).cast("double")
+    return e.alias(alias) if alias else e
+
+
 def _dec_prod(expr, scale: int = 6):
     """Exact fixed-point recovery of a product of fixed-point columns.
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
+from map_reduce_spark.operators.relational import _sumd
 from map_reduce_spark.registry import register
 
 
@@ -32,9 +33,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine convention)."""
     o = load_table(spark, sf_dir, "orders")
     avg_df = o.agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
-            "avg_price"
-        )
+        (_sumd(F.col("o_totalprice")) / F.count("*")).alias("avg_price")
     )
     return (
         o.crossJoin(F.broadcast(avg_df))

@@ -2,8 +2,10 @@
 in the reference, required category).
 
 Determinism: every ORDER BY inside a window carries a unique tiebreak so
-row_number/lag/frames are total-ordered; frame sums go through DECIMAL so
-partial-order evaluation can't flip float bits.
+row_number/lag/frames are total-ordered; frame sums accumulate exact
+scaled LONGs finished by a per-row decimal division (``_sumd_over``) so
+partial-order evaluation can't flip float bits — same value as the
+decimal frame sums they replaced, cheaper frame arithmetic.
 
 Scale notes: all windows below partition by a key (custkey/suppkey) —
 one shuffle on the partition key, then per-partition sorting; nothing
@@ -17,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_spark.io import load_table
+from map_reduce_spark.operators.relational import _sumd, _sumd_over
 from map_reduce_spark.registry import register
 
 
@@ -113,7 +116,10 @@ FROM orders
 """,
 )
 def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving aggregate with an explicit ROWS frame (3-order window)."""
+    """Moving aggregate with an explicit ROWS frame (3-order window).
+    The frame sum runs over exact scaled longs (``_sumd_over``) — same
+    correctly-rounded double as the decimal frame sum, cheaper frame
+    arithmetic and 8-byte frame state."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -123,10 +129,7 @@ def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("moving_3"),
+        _sumd_over(F.col("o_totalprice"), w, alias="moving_3"),
     )
 
 
@@ -143,16 +146,18 @@ FROM orders
 """,
 )
 def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per customer (unbounded-preceding frame)."""
+    """Running total per customer (unbounded-preceding frame); the
+    running sum accumulates exact scaled longs (``_sumd_over``)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double")
-        .alias("running_total"),
+        _sumd_over(
+            F.col("o_totalprice"),
+            w.rowsBetween(Window.unboundedPreceding, 0),
+            alias="running_total",
+        ),
         F.row_number().over(w).alias("order_seq"),
     )
 

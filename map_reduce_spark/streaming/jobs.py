@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_spark.operators.relational import _sumd
 from map_reduce_spark.registry import register
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -142,9 +143,9 @@ def windowed_counts_plan(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
+            # exact scaled-long sum, decimal-division finish (_sumd):
+            # same value as the decimal sum, 8-byte streaming state
+            _sumd(F.col("value"), alias="total_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
     )
@@ -202,9 +203,7 @@ def session_plan(events: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "session_value"
-            ),
+            _sumd(F.col("value"), alias="session_value"),
         )
     )
 
@@ -343,9 +342,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
+            _sumd(F.col("value"), alias="total_value"),
         )
     )
     return _run_to_table(plan, "stream_static_join", "complete")
