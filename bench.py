@@ -9,8 +9,14 @@ round-9 per-query maps outgrew):
 
 The full per-query maps ({"queries": {q: sec}, "queries_norm":
 {q: sec/calib_shuffle_sec}, "cold": {...}}) are written to
-BENCH_DETAIL.json next to this script AND printed as the
-second-to-last stdout line.
+BENCH_DETAIL.json AND to a per-run stamped file
+(BENCH_DETAIL_cpus<N>_sf<sf>.json, so a second run at a different
+core count cannot clobber the first run's detail), printed once as a
+single detail line, and — because that line exceeds a 2000-char
+line-oriented capture — re-emitted as short standalone
+{"metric": "per_query_chunk", "i": k, "n": K, "queries": {...}}
+JSON lines immediately before the final summary line (round-11
+VERDICT item 1; warm values identical to detail["queries"]).
 
 Each query is materialized through the noop sink (full execution, no
 driver-side collection cost), after a small JVM warm-up.
@@ -336,19 +342,45 @@ def main() -> None:
         "sf": sf_val,
         "queries_detail": "BENCH_DETAIL.json",
     }
+    # Per-run stamped detail file (round-11 VERDICT item 1): the driver
+    # benches at TWO core counts per round, and a single BENCH_DETAIL
+    # .json was overwritten by the second (low-core) run, losing the
+    # main run's per-query map. The stamped name keeps every
+    # configuration's detail on disk; the legacy name stays for
+    # existing tooling.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 0)
+    stamped = f"BENCH_DETAIL_cpus{cpus}_sf{sf}.json"
+    summary["queries_detail"] = stamped
     detail = dict(summary, queries=timings, queries_norm=queries_norm, cold=cold)
-    # The per-query maps (2 x 80 entries) outgrew the driver's stdout
-    # tail capture in round 9 (BENCH_r09.parsed was null): they now go
-    # to a side file plus an EARLIER stdout line, and the machine-read
-    # FINAL line stays compact (totals + calibration only).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError:
-        pass  # read-only checkout: the stdout detail line still carries it
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_DETAIL.json", stamped):
+        try:
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout: the stdout lines still carry it
     print(json.dumps(detail))
+    # Per-query map in tail-capturable form (round-11 VERDICT item 1):
+    # the single detail line above is ~8 KB and invisible to the
+    # driver's 2000-char line capture, so the warm per-query map is
+    # re-emitted as SHORT standalone JSON lines any line-oriented
+    # reader can parse. Values identical to detail["queries"].
+    chunk_limit = 700
+    chunks: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    for k, v in timings.items():
+        cur[k] = v
+        if len(json.dumps(cur)) > chunk_limit:
+            cur.popitem()
+            chunks.append(cur)
+            cur = {k: v}
+    if cur:
+        chunks.append(cur)
+    for i, c in enumerate(chunks):
+        print(json.dumps({
+            "metric": "per_query_chunk", "i": i, "n": len(chunks),
+            "cpus": cpus, "sf": sf_val, "queries": c,
+        }))
     print(json.dumps(summary))
     spark.stop()
 

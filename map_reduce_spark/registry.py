@@ -103,8 +103,10 @@ def register(name: str, oracle: str | None = None):
 #     changelog), delta_restore (now CDF-staging), iceberg_rollback
 #     (whose abandoned-lineage log the changelog now consults);
 #   - the r2-era tail in full (15 queries — the catalog's oldest rows:
-#     the pandas-UDF family, outer joins, approx/exact percentiles,
-#     pivot, UDTF, scalar subquery, minhash/simhash dedup, LSH top-k);
+#     the pandas-UDF family, outer joins, exact percentiles, pivot,
+#     UDTF, scalar subquery, and — r12 — the ORACLED twins of the four
+#     approximate operators: portable minhash/simhash dedup, portable
+#     LSH top-k, linear-counting distinct);
 #   - the verdict-named r3-era corpus_quality tail (6 queries).
 # Displaced (all keep green r10 rows on paths whose r11 edits they
 # don't touch): the SURVEY §2.1 ten + multimodal six + pipeline_ops
@@ -155,12 +157,18 @@ _PRIORITY: tuple[str, ...] = (
     # map_funcs's scalar-function family file is unchanged since r2
     # with every sibling covered by the full-catalog drive
     "delta_log_retention_scan",
-    # r2-era tail (the catalog's stalest driver rows)
-    "agg_approx_distinct",
-    "ann_lsh_topk",
+    # r2-era tail (the catalog's stalest driver rows). Round 12: the
+    # four oracle=None approximate operators that sat here in r11
+    # (agg_approx_distinct, ann_lsh_topk, dedup_minhash_lsh,
+    # dedup_simhash) reported "no_oracle" and wasted verification
+    # slots (r11 VERDICT item 2); each is replaced by its
+    # hash-checkable twin on the same code path so the window spends
+    # all 50 slots on oracled rows.
+    "distinct_linear_counting",
+    "ann_lsh_topk_portable",
     "asof_join_cogroup",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
     "join_full_outer",
     "join_right",
     "pandas_grouped_agg",
