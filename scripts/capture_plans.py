@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Capture ``explain("formatted")`` for named queries into plans/r11/.
+"""Capture ``explain("formatted")`` for named queries into plans/$SPARK_GRAFT_PLANS_ROUND/ (default r12).
 
 Usage:
     python scripts/capture_plans.py <suffix> <query> [<query> ...]
 
-Writes ``plans/r11/<query>_<suffix>.txt`` for each query, built at
+Writes ``plans/<round>/<query>_<suffix>.txt`` for each query, built at
 $SPARK_GRAFT_SF_DIR (default sf0.1) — the optimization round's
 plan-evidence deliverable. Streaming queries (which execute eagerly
 through a sink) are skipped with a note.
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r11")
+                       "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
 
 
 def main() -> int:

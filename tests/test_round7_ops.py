@@ -77,6 +77,31 @@ def test_ann_compact_fold_order_through_parquet(spark, sf_dir, tmp_path):
     release_caches()
 
 
+def test_compact_ledger_single_pass_equals_pairwise_fold(spark, sf_dir):
+    """r12 (VERDICT item 6): the query's single-pass day-tagged ledger
+    (``ann_merged_delta_by_day``) must equal the production pairwise
+    fold of per-day ``ann_delta_frame`` ledgers FIELD-EXACT — at the
+    ledger grain, not just through the compact output — in both fold
+    orders. This is the mechanical check that licenses collapsing the
+    in-query fold chain to one keyed SUM."""
+    from map_reduce_spark.operators.similarity import ann_merged_delta_by_day
+
+    iv = _iv4(load_table(spark, sf_dir, "embeddings"))
+    is_batch = F.col("vec_id") % _UPSERT_MOD == 0
+    cent = _ivf_cell_stats(iv.filter(~is_batch))
+    bterms = _batch_terms(iv.filter(is_batch))
+    assign = _upsert_assign(bterms, cent)
+    day = F.expr(f"(vec_id div {_UPSERT_MOD}) % {_COMPACT_DAYS}")
+    deltas = [
+        ann_delta_frame(assign.filter(day == d), bterms.filter(day == d))
+        for d in range(_COMPACT_DAYS)
+    ]
+    single = _rows(ann_merged_delta_by_day(assign, bterms, day))
+    assert _rows(reduce(merge_ann_deltas, deltas)) == single
+    assert _rows(reduce(merge_ann_deltas, deltas[::-1])) == single
+    release_caches()
+
+
 def test_ann_compact_one_shot_equals_fold(spark, sf_dir):
     """A single delta over the whole accumulated batch consolidates to
     the same sums/counts/flags as the per-day fold (n_deltas aside,
