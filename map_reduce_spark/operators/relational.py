@@ -66,7 +66,12 @@ def _sumd_over(col, w, scale: int = 2, alias: str | None = None):
     to long arithmetic, and the frame state narrows to 8 bytes) and the
     per-ROW finish divides as a decimal — the same correctly-rounded-
     double-of-the-exact-sum contract as ``_sumd``, bit-identical to
-    SUM(DECIMAL(18,scale)) OVER w ::DOUBLE at any magnitude."""
+    SUM(DECIMAL(18,scale)) OVER w ::DOUBLE while the frame sum stays
+    under 2^63 scaled units (same bound as ``_sumd``; r11 ADVICE: past
+    that bound a non-ANSI long sum would WRAP silently where the
+    DECIMAL(18,_) it replaced — and the oracle's HUGEINT — stayed
+    exact, so the bound is a stated precondition, not 'any
+    magnitude')."""
     n = F.sum(_scaled_long(col, scale)).over(w)
     e = (n.cast("decimal(38,0)") / F.lit(10**scale)).cast("double")
     return e.alias(alias) if alias else e

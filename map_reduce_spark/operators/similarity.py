@@ -320,7 +320,7 @@ def _cent_arrays(iv: DataFrame) -> DataFrame:
     broadcasts; same integer sums as the exploded (clabel, i) grain the
     oracle CTE ``cent`` uses, just regrouped into one array row."""
     terms = iv.select("label", F.posexplode("q").alias("i0", "qi"))
-    return (
+    per_pos = (
         terms.groupBy(F.col("label").alias("clabel"), "i0")
         .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
         .groupBy("clabel")
@@ -330,8 +330,25 @@ def _cent_arrays(iv: DataFrame) -> DataFrame:
                 lambda st: st["s"],
             ).alias("s_arr"),
             F.max("n").alias("n"),
+            F.min("n").alias("n_min"),
         )
     )
+    # r11 ADVICE: taking max(n) as THE member count assumes every
+    # embedding carries all 64 positions (the dataset contract the
+    # oracle's fixed range(1,65) grain also relies on). A ragged or
+    # null-element embedding would silently diverge from the oracle's
+    # per-(clabel, i) counts — make that loud instead.
+    n_checked = F.when(F.col("n") == F.col("n_min"), F.col("n")).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "_cent_arrays: ragged embedding dims (per-position member "
+                "counts differ within a label) — the array-grain centroid "
+                "stats would diverge from the per-(clabel, i) oracle grain"
+            ),
+        ).cast("long")
+    )
+    return per_pos.select("clabel", "s_arr", n_checked.alias("n"))
 
 
 def _cents_row(iv: DataFrame) -> DataFrame:
@@ -814,10 +831,25 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.transform(F.col("cbs"), lambda c: _pq_d2(m, c))
 
     lut_arr = F.flatten(F.array(*[_lut_for(m) for m in range(PQ_M)]))
+    # r11 ADVICE: positional lookup (index = m*PQ_K + cid) is only
+    # valid when the codebook holds exactly PQ_K cid rows (cids are
+    # distinct vec_ids < PQ_K, so size == PQ_K implies 0..PQ_K-1 all
+    # present and position == cid). A missing codebook id would
+    # silently SHIFT every lookup under bare positional indexing —
+    # assert instead.
+    lut_checked = F.when(F.size("cbs") == PQ_K, lut_arr).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                f"pq_adc_topk: codebook must hold exactly {PQ_K} cid rows "
+                "for positional LUT indexing"
+            ),
+        ).cast("array<bigint>")
+    )
     qlut = (
         iv4.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(cbrow))
-        .select(lut_arr.alias("lut"))
+        .select(lut_checked.alias("lut"))
     )
     scored = (
         iv4.filter(F.col("vec_id") != 0)

@@ -18,6 +18,13 @@ real cluster — state lives in the state store keyed by (window, key) or
 session, watermarks bound state size, and AvailableNow becomes a
 continuous trigger. Nothing below is local-mode-specific except the
 memory sink used to surface results.
+
+Checkpoint-compatibility note (r11 ADVICE): the r11 switch of the
+streaming aggregates from DECIMAL sums to ``_sumd`` scaled-long
+partials changed the aggregation STATE schema (decimal -> long), so a
+deployment restoring a pre-r11 checkpoint across that upgrade must
+reset its checkpoint (fresh offsets or a state rebuild); the in-repo
+memory-sink runs always start fresh checkpoints and are unaffected.
 """
 
 from __future__ import annotations
